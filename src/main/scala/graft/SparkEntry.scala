@@ -14,11 +14,45 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Relational.q01 _),
+    "q02_filter_project" -> (Relational.q02 _),
+    "q03_join_agg" -> (Relational.q03 _),
+    "q04_broadcast_dims" -> (Relational.q04 _),
+    "q05_window_rank" -> (Relational.q05 _),
+    "q06_topk" -> (Relational.q06 _),
+    "q07_distinct" -> (Relational.q07 _),
+    "q08_union" -> (Relational.q08 _),
+    "q09_semi_join" -> (Relational.q09 _),
+    "q10_anti_join" -> (Relational.q10 _),
+    "q11_rollup" -> (Relational.q11 _),
+    "q12_conditional_agg" -> (Relational.q12 _),
+    "q13_monthly" -> (Relational.q13 _),
+    "q14_string_ops" -> (Relational.q14 _),
+    "q15_having" -> (Relational.q15 _),
+    "q16_subquery_avg" -> (Relational.q16 _),
+    "q17_running_sum" -> (Relational.q17 _),
+    "q18_sessionize" -> (Relational.q18 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_filter_project" -> Relational.q02Sql,
+    "q03_join_agg" -> Relational.q03Sql,
+    "q04_broadcast_dims" -> Relational.q04Sql,
+    "q05_window_rank" -> Relational.q05Sql,
+    "q06_topk" -> Relational.q06Sql,
+    "q07_distinct" -> Relational.q07Sql,
+    "q08_union" -> Relational.q08Sql,
+    "q09_semi_join" -> Relational.q09Sql,
+    "q10_anti_join" -> Relational.q10Sql,
+    "q11_rollup" -> Relational.q11Sql,
+    "q12_conditional_agg" -> Relational.q12Sql,
+    "q13_monthly" -> Relational.q13Sql,
+    "q14_string_ops" -> Relational.q14Sql,
+    "q15_having" -> Relational.q15Sql,
+    "q16_subquery_avg" -> Relational.q16Sql,
+    "q17_running_sum" -> Relational.q17Sql,
+    "q18_sessionize" -> Relational.q18Sql,
   )
 }

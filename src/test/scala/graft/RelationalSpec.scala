@@ -22,4 +22,32 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("all declared queries run at sf0.001 and every oracle key exists") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      df.count() // materialize — catches analysis + runtime errors
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q05 window rank: ≤5 rows per priority, rank ordered by price desc") {
+    val rows = operators.Relational.q05(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val prices = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q18 sessionize: session bounds ordered, counts positive") {
+    val rows = operators.Relational.q18(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("session_start")
+        .after(r.getAs[java.sql.Timestamp]("session_end")))
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
 }
