@@ -31,6 +31,10 @@ object SparkEntry {
     "q16_subquery_avg" -> (Relational.q16 _),
     "q17_running_sum" -> (Relational.q17 _),
     "q18_sessionize" -> (Relational.q18 _),
+    "q20_token_count" -> (TextAnalysis.q20 _),
+    "q21_quality_score" -> (TextAnalysis.q21 _),
+    "q22_lang_id" -> (TextAnalysis.q22 _),
+    "q23_fingerprint" -> (TextAnalysis.q23 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +58,9 @@ object SparkEntry {
     "q16_subquery_avg" -> Relational.q16Sql,
     "q17_running_sum" -> Relational.q17Sql,
     "q18_sessionize" -> Relational.q18Sql,
+    "q20_token_count" -> TextAnalysis.q20Sql,
+    "q21_quality_score" -> TextAnalysis.q21Sql,
+    "q22_lang_id" -> TextAnalysis.q22Sql,
+    "q23_fingerprint" -> TextAnalysis.q23Sql,
   )
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the building
+  * blocks of an LLM training-data pipeline: tokenization stats,
+  * quality scoring, language ID, content fingerprinting. All pure
+  * `functions._` column expressions (whole-stage codegen, no UDFs);
+  * each has a DuckDB oracle computing the identical definition.
+  */
+object TextAnalysis {
+
+  /** \S+ token array over the `text` column — whitespace tokenizer. */
+  private def wsTokens: Column = expr("regexp_extract_all(text, '\\\\S+', 0)")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
+    * non-alnum marks (the GPT-2 pre-tokenizer family, simplified).
+    */
+  private def bpeTokens: Column =
+    expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+
+  /** q20: per-language corpus token statistics. */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(wsTokens).cast("long").as("ws_toks"),
+        size(expr("array_distinct(regexp_extract_all(text, '\\\\S+', 0))"))
+          .cast("long").as("uniq_toks"),
+        size(bpeTokens).cast("long").as("bpe_toks"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).cast("long").as("total_tokens"),
+        sum(col("bpe_toks")).cast("long").as("total_bpe_tokens"),
+        sum(col("uniq_toks")).cast("long").as("total_uniq_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+
+  val q20Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(len(list_distinct(regexp_extract_all(text, '\S+')))) AS BIGINT) AS total_uniq_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** q21: per-document quality score — length, lexical diversity and
+    * stopword-density features combined into one double in [0, ~1].
+    * Integer counts feed double divisions, so the score is
+    * bit-deterministic across engines.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(wsTokens).cast("long")
+    val uniq = size(expr("array_distinct(regexp_extract_all(text, '\\\\S+', 0))"))
+      .cast("long")
+    val stops = size(expr(
+      "regexp_extract_all(text, '\\\\b(the|a|of|and|to)\\\\b', 0)")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        toks.as("n_tokens"), uniq.as("n_uniq"), stops.as("n_stop"),
+        (col("n_chars").cast("double") / toks).as("avg_tok_len"),
+        (uniq.cast("double") / toks).as("diversity"),
+        (stops.cast("double") / toks).as("stop_ratio"))
+      .withColumn("quality",
+        col("diversity") * lit(0.5)
+          + least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3)
+          + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, lit(0.2))
+            .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val q21Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq,
+      |    len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS n_stop,
+      |    n_chars
+      |  FROM documents)
+      |SELECT doc_id, lang, n_tokens, n_uniq, n_stop,
+      |  CAST(n_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+      |  CAST(n_uniq AS DOUBLE) / n_tokens AS diversity,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+      |    + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3
+      |    + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.2 ELSE 0.0 END
+      |    AS quality
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  /** Marker-word hit counts for one "language" profile. */
+  private def hits(words: Seq[String]): Column =
+    size(expr(s"regexp_extract_all(text, '\\\\b(${words.mkString("|")})\\\\b', 0)"))
+      .cast("long")
+
+  /** q22: n-gram/stopword-profile language ID — score each candidate
+    * language by marker-token density, argmax with a fixed tie order.
+    * (The synthetic corpus shares one vocabulary, so profiles are
+    * synthetic marker sets; the operator under test is the scoring +
+    * argmax machinery.)
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "stream"),
+      "de" -> Seq("agg", "merge", "batch"),
+      "fr" -> Seq("window", "join", "line"),
+      "zh" -> Seq("table", "key", "hash"))
+    val scored = Tables(spark, dir, "documents")
+      .select(Seq(col("doc_id"), col("lang"),
+        size(wsTokens).cast("long").as("n_tokens")) ++
+        profiles.map { case (l, ws) => hits(ws).as(s"hits_$l") }: _*)
+    // argmax: first lang (in profile order) whose hits equal the row
+    // max — the reverse fold makes earlier profiles win ties
+    val maxHits = greatest(profiles.map { case (l, _) => col(s"hits_$l") }: _*)
+    val pred = profiles.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"hits_$l") === maxHits, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("correct", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q22Sql: String = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "stream"),
+      "de" -> Seq("agg", "merge", "batch"),
+      "fr" -> Seq("window", "join", "line"),
+      "zh" -> Seq("table", "key", "hash"))
+    val hitCols = profiles.map { case (l, ws) =>
+      s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b')) AS hits_$l"
+    }.mkString(",\n    ")
+    val maxExpr = s"GREATEST(${profiles.map(p => "hits_" + p._1).mkString(", ")})"
+    val caseExpr = profiles.map { case (l, _) =>
+      s"WHEN hits_$l = $maxExpr THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    $hitCols
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens, hits_en, hits_es, hits_de, hits_fr, hits_zh,
+       |  $caseExpr AS pred_lang,
+       |  CAST($caseExpr = lang AS INT) AS correct
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q23: content fingerprint — md5 of whitespace-normalized text
+    * (cross-engine oracle) alongside graft's native fingerprint64
+    * (rolling-hash Catalyst expression, checked by FingerprintSpec).
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("md5_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q23Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS md5_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}
