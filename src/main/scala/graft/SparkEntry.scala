@@ -35,6 +35,11 @@ object SparkEntry {
     "q21_quality_score" -> (TextAnalysis.q21 _),
     "q22_lang_id" -> (TextAnalysis.q22 _),
     "q23_fingerprint" -> (TextAnalysis.q23 _),
+    "q30_dedup_exact" -> (Dedup.q30 _),
+    "q31_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.q31(s, d)),
+    "q32_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.q32(s, d)),
+    "q33_simhash" -> ((s: SparkSession, d: String) => Dedup.q33(s, d)),
+    "q34_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.q34(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +67,9 @@ object SparkEntry {
     "q21_quality_score" -> TextAnalysis.q21Sql,
     "q22_lang_id" -> TextAnalysis.q22Sql,
     "q23_fingerprint" -> TextAnalysis.q23Sql,
+    "q30_dedup_exact" -> Dedup.q30Sql,
+    "q31_ngram_jaccard" -> Dedup.q31Sql,
+    // q32/q33 are probabilistic sketches — rows-only by design
+    "q34_embed_neardup" -> Dedup.q34Sql,
   )
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. The exact paths (q30, q31) have DuckDB
+  * oracles; the sketch paths (q32, q33) are probabilistic and are
+  * checked by recall specs against the exact q31 result.
+  *
+  * Scale shape (100 TB): everything is explode → shuffle-on-key →
+  * partial-agg; candidate pairs only ever materialize for documents
+  * sharing a bucket/shingle, never all-pairs. Signatures are fixed
+  * width (64×8 B), so the per-doc state is O(1).
+  */
+object Dedup {
+
+  /** Distinct word-3-shingles of `text` as an array column. */
+  private def shingles: Column = {
+    val t = "regexp_extract_all(text, '\\\\S+', 0)"
+    expr(
+      s"""CASE WHEN size($t) >= 3 THEN
+         |  array_distinct(transform(sequence(0, size($t) - 3),
+         |    i -> concat_ws(' ', element_at($t, i + 1),
+         |                        element_at($t, i + 2),
+         |                        element_at($t, i + 3))))
+         |ELSE array() END""".stripMargin)
+  }
+
+  /** (doc_id, g) exploded shingle relation. */
+  private def exploded(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles).as("g"))
+
+  /** (doc_id, n) distinct-shingle counts. */
+  private def sizes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(shingles).cast("long").as("n"))
+
+  /** q30: exact dedup — group by content hash, keep the smallest
+    * doc_id. One shuffle on a 128-bit hash, never on the text itself
+    * (at 100 TB the payload stays columnar-pruned out of the shuffle).
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  val q30Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  /** q31: exact n-gram Jaccard near-dup pairs via inverted shingle
+    * index: explode → self-join on shingle → pair intersection counts
+    * → |A∪B| from per-doc sizes. No all-pairs product anywhere.
+    */
+  def q31(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val ex = exploded(spark, dir)
+    val sz = sizes(spark, dir)
+    val a = ex.select(col("doc_id").as("ia"), col("g"))
+    val b = ex.select(col("doc_id").as("ib"), col("g"))
+    val inter = a.join(b, Seq("g"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sz.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), col("inter"), col("na"), col("nb"),
+        col("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val q31Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+      |  ELSE [] END AS s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ia, ib, CAST(inter AS BIGINT) AS inter,
+      |  CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb,
+      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM inter
+      |JOIN sz x ON x.doc_id = ia
+      |JOIN sz y ON y.doc_id = ib
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+      |ORDER BY ia, ib""".stripMargin
+
+  private val NumPerms = 64
+  private val NumBands = 16 // 16 bands × 4 rows
+
+  /** MinHash signature columns: min over shingles of xxhash64(g, i). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    exploded(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(col("g"), lit(0))).as("s0"),
+        (1 until NumPerms).map(i =>
+          min(xxhash64(col("g"), lit(i))).as(s"s$i")): _*)
+
+  /** q32: MinHash + banded LSH candidate pairs. Signature = 64 minima
+    * of seeded xxhash64 over the shingle set; 16 bands of 4 rows are
+    * re-hashed to buckets; docs sharing any (band, bucket) pair up.
+    * `est_jaccard` = matching-component fraction of the signatures.
+    * Probabilistic ⇒ no SQL oracle; DedupSpec checks recall vs q31.
+    */
+  def q32(spark: SparkSession, dir: String, minEst: Double = 0.5): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+    val banded = sigArr.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until NumBands).map(b =>
+        xxhash64(col(s"sig")(4 * b), col("sig")(4 * b + 1),
+          col("sig")(4 * b + 2), col("sig")(4 * b + 3))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("doc_id").as("ia"), col("sig").as("siga"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("ib"), col("sig").as("sigb"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (size(filter(zip_with(col("siga"), col("sigb"), _ === _),
+          x => x)).cast("double") / NumPerms).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEst)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Per-token 64-bit SimHash of a document set, as (doc_id, simhash). */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = tokens.groupBy(col("doc_id")).agg(
+      sum(when(shiftrightunsigned(col("th"), 0).bitwiseAND(1) === 1,
+        col("cnt")).otherwise(-col("cnt"))).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1,
+          col("cnt")).otherwise(-col("cnt"))).as(s"b$i")): _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    bitSums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** q33: SimHash near-dup pairs. 8 bands of 8 bits (pigeonhole ⇒
+    * full recall for hamming ≤ 7, probabilistic above); pairs kept at
+    * hamming ≤ 8. Rows-only; DedupSpec cross-checks against q31.
+    */
+  def q33(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val sh = simhashes(spark, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 8).map(j =>
+        shiftrightunsigned(col("simhash"), 8 * j)
+          .bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("doc_id").as("ia"), col("simhash").as("ha"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("ib"), col("simhash").as("hb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** q34: embedding-cosine near-duplicate pairs (exact, double math).
+    * The tiny side is broadcast; each pair's dot product runs inside
+    * codegen via zip_with/aggregate. Scale path: swap the broadcast
+    * nested-loop for the q41 LSH bucketing at >10⁶ vectors.
+    */
+  def q34(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("na") * col("nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("ia"), col("ib"), col("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val q34Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+      |ORDER BY ia, ib""".stripMargin
+}
