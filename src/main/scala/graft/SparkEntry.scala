@@ -42,6 +42,7 @@ object SparkEntry {
     "q34_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.q34(s, d)),
     "q40_knn_brute" -> (Similarity.q40 _),
     "q41_knn_lsh" -> (Similarity.q41 _),
+    "q50_event_window" -> (Events.q50 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,5 +76,6 @@ object SparkEntry {
     "q34_embed_neardup" -> Dedup.q34Sql,
     "q40_knn_brute" -> Similarity.q40Sql,
     // q41 is approximate by construction — rows-only
+    "q50_event_window" -> Events.q50Sql,
   )
 }

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The stream source is the same parquet directory read with
+  * `readStream` (schema pinned from a batch peek) — in production this
+  * would be Kafka/files landing continuously; locally
+  * `processAllAvailable()` drives the whole directory through the
+  * streaming engine so specs can compare against the batch twin.
+  */
+object EventStreams {
+
+  /** ts_us is event time in epoch MICROseconds — java.sql.Timestamp
+    * getters truncate to millis, which would corrupt session bounds.
+    */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+    user_id: Long, event_type: String, value: Double)
+
+  case class Session(user_id: Long, n_events: Long,
+    start_us: Long, end_us: Long)
+
+  /** Streaming source over the events table (nanos → micros like the
+    * batch path).
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // glob, not bare file: FileStreamSource requires a directory/glob
+    spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * the streaming twin of [[graft.operators.Events.q50]]. Append mode
+    * emits each window once its watermark passes; state is bounded by
+    * (windows in flight × event types).
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState — the streaming twin of q18. Sessions are
+    * emitted when the event-time timeout fires (gap elapsed past the
+    * watermark); per-user state is one (count, start, last) triple.
+    */
+  def sessionize(spark: SparkSession, dir: String): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    source(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("ts"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      // state tuple: (nEvents, sessionStartMs, lastEventMs)
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Event],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, start, last) = state.get
+            state.remove()
+            Iterator.single(Session(userId, n, start, last))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts_us
+              cur match {
+                case Some((n, start, last)) if t - last <= gapUs =>
+                  cur = Some((n + 1, start, t))
+                case Some((n, start, last)) =>
+                  closed ::= Session(userId, n, start, last)
+                  cur = Some((1L, t, t))
+                case None =>
+                  cur = Some((1L, t, t))
+              }
+            }
+            cur.foreach { case s @ (_, _, last) =>
+              state.update(s)
+              // timeout is in event-time millis
+              state.setTimeoutTimestamp((last + gapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

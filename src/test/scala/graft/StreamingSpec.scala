@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Events, Relational}
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counts match the batch q50 aggregation") {
+    val q = EventStreams.windowedCounts(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try { q.processAllAvailable() } finally q.stop()
+    // append mode only emits windows sealed by the watermark; every
+    // emitted row must match the batch result exactly
+    val got = spark.sql(
+      "SELECT hour_start, event_type, n_events, total_value FROM win_out")
+      .collect().map(_.toSeq).toSet
+    val want = Events.q50(spark, sf)
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "watermark sealed no windows")
+    assert(got.subsetOf(want))
+  }
+
+  test("stateful streaming sessionize emits q18's closed sessions") {
+    val q = EventStreams.sessionize(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("sess_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.sql(
+      "SELECT user_id, n_events, start_us, end_us FROM sess_out")
+      .collect().map(_.toSeq).toSet
+    val want = Relational.q18(spark, sf)
+      .selectExpr("user_id", "n_events", "unix_micros(session_start)",
+        "unix_micros(session_end)")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "no sessions emitted")
+    // every emitted (closed) session must exist in the batch result;
+    // open/last sessions may be withheld by the watermark
+    assert(got.subsetOf(want), s"streaming-only sessions: ${got.diff(want).take(3)}")
+  }
+}
