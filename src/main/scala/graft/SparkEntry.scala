@@ -43,6 +43,7 @@ object SparkEntry {
     "q40_knn_brute" -> (Similarity.q40 _),
     "q41_knn_lsh" -> (Similarity.q41 _),
     "q50_event_window" -> (Events.q50 _),
+    "q60_file_manifest" -> (graft.sources.FileOps.q60 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

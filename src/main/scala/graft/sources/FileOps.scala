@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference blueprint surface (upload / download / move / delete
+  * with exact or regex matching — ftp-blueprints
+  * {upload,download,move,delete}_file.py) re-expressed over
+  * `org.apache.hadoop.fs.FileSystem`, so one implementation serves
+  * file://, hdfs://, s3a://, and graft's own FTP connector, and every
+  * bulk operation distributes over Spark executors (one FS connection
+  * per partition — 1000 executors ⇒ 1000 parallel transfer streams,
+  * no driver bottleneck).
+  */
+object FileOps {
+
+  case class FileEntry(path: String, size: Long, mtime: Long, is_dir: Boolean)
+
+  private def fs(uri: String, conf: Configuration): FileSystem = {
+    val f = FileSystem.newInstance(new URI(uri), conf)
+    // no .crc sidecars from ChecksumFileSystem wrappers (local fs)
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  /** Recursive listing as a DataFrame — the Spark-shaped twin of the
+    * reference's `find_files_in_directory` walk (download_file.py:138).
+    * First level is listed on the driver, each child subtree is then
+    * walked in parallel on the executors (driver never holds more than
+    * the manifest).
+    */
+  def listRecursive(spark: SparkSession, rootUri: String): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(hadoopConf(spark))
+    val root = fs(rootUri, conf.value)
+    val top: Seq[FileStatus] =
+      try root.listStatus(new Path(rootUri)).toSeq
+      finally root.close()
+    val (dirs, files) = top.partition(_.isDirectory)
+    val fileEntries = files.map(st => FileEntry(
+      st.getPath.toUri.getPath, st.getLen,
+      st.getModificationTime, is_dir = false))
+    val subtreeEntries: Seq[FileEntry] =
+      if (dirs.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(dirs.map(_.getPath.toString), math.min(dirs.size, 64))
+        .mapPartitions { paths =>
+          paths.flatMap { p =>
+            val f = FileSystem.newInstance(new URI(p), conf.value)
+            try walk(f, new Path(p))
+            finally f.close()
+          }
+        }.collect().toSeq
+    (fileEntries ++ dirs.map(st => FileEntry(st.getPath.toUri.getPath,
+      0L, st.getModificationTime, is_dir = true)) ++ subtreeEntries)
+      .toDF().orderBy(col("path"))
+  }
+
+  private def walk(f: FileSystem, p: Path): Seq[FileEntry] =
+    f.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory)
+        FileEntry(st.getPath.toUri.getPath, 0L, st.getModificationTime,
+          is_dir = true) +: walk(f, st.getPath)
+      else Seq(FileEntry(st.getPath.toUri.getPath, st.getLen,
+        st.getModificationTime, is_dir = false))
+    }
+
+  /** Regex basename matching (download_file.py:174) over a manifest. */
+  def matchBasename(manifest: DataFrame, pattern: String): DataFrame =
+    manifest.filter(!col("is_dir")
+      && regexp_like(element_at(split(col("path"), "/"), -1), lit(pattern)))
+
+  /** Full-path regex matching (upload_file.py:147 semantics). */
+  def matchFullPath(manifest: DataFrame, pattern: String): DataFrame =
+    manifest.filter(!col("is_dir") && regexp_like(col("path"), lit(pattern)))
+
+  /** Transfer spec: one source file → one destination path. */
+  case class Transfer(src: String, dst: String)
+
+  /** Plan destination names for a set of matched sources: explicit
+    * destination name is enumerated `name_N.ext` on multi-match
+    * (upload_file.py:242-253), otherwise each source keeps its
+    * basename under the destination folder.
+    */
+  def planTransfers(
+      sources: Seq[String],
+      destinationFolder: String,
+      destinationFileName: Option[String]): Seq[Transfer] = {
+    val multi = sources.lengthCompare(1) > 0
+    sources.zipWithIndex.map { case (src, i) =>
+      Transfer(src, PathUtils.determineDestinationFullPath(
+        destinationFolder, destinationFileName, src,
+        if (multi && destinationFileName.isDefined) Some(i + 1) else None))
+    }
+  }
+
+  /** Distributed bulk copy between any two Hadoop filesystems: the
+    * transfer list is partitioned across executors; each partition
+    * opens one source FS + one destination FS and streams bytes.
+    * `dstUriPrefix` anchors relative destinations (e.g.
+    * "file:/tmp/out" or "gftp://host:21").
+    */
+  def bulkCopy(
+      spark: SparkSession,
+      transfers: Seq[Transfer],
+      srcUriPrefix: String,
+      dstUriPrefix: String,
+      parallelism: Int = 32): Unit = {
+    if (transfers.isEmpty) return
+    val conf = new SerializableConfiguration(hadoopConf(spark))
+    spark.sparkContext
+      .parallelize(transfers, math.min(transfers.size, parallelism))
+      .foreachPartition { it: Iterator[Transfer] =>
+        val sfs = FileSystem.newInstance(new URI(srcUriPrefix), conf.value)
+        val dfs = FileSystem.newInstance(new URI(dstUriPrefix), conf.value)
+        sfs.setVerifyChecksum(false)
+        dfs.setWriteChecksum(false)
+        try it.foreach { t =>
+          val dst = new Path(s"$dstUriPrefix/${t.dst}".replaceAll("(?<!:)//+", "/"))
+          val parent = dst.getParent
+          if (parent != null && !dfs.exists(parent)) dfs.mkdirs(parent)
+          val in = sfs.open(new Path(t.src))
+          try {
+            val out = dfs.create(dst, true)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+            finally out.close()
+          } finally in.close()
+        } finally { sfs.close(); dfs.close() }
+      }
+  }
+
+  /** Single-file move (rename) — move_file.py:96. */
+  def move(spark: SparkSession, uri: String, src: String, dst: String): Boolean = {
+    val f = fs(uri, hadoopConf(spark))
+    try {
+      val dstPath = new Path(dst)
+      val parent = dstPath.getParent
+      if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+      f.rename(new Path(src), dstPath)
+    } finally f.close()
+  }
+
+  /** Bulk delete, distributed — delete_file.py:76. */
+  def bulkDelete(spark: SparkSession, uri: String, paths: Seq[String],
+      parallelism: Int = 32): Unit = {
+    if (paths.isEmpty) return
+    val conf = new SerializableConfiguration(hadoopConf(spark))
+    spark.sparkContext.parallelize(paths, math.min(paths.size, parallelism))
+      .foreachPartition { it: Iterator[String] =>
+        val f = FileSystem.newInstance(new URI(uri), conf.value)
+        f.setWriteChecksum(false); f.setVerifyChecksum(false)
+        try it.foreach(p => f.delete(new Path(p), false))
+        finally f.close()
+      }
+  }
+
+  /** q60: file manifest of a scale-factor directory, paths relativized
+    * for determinism. Rows-only (no portable SQL oracle for fs walks).
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    listRecursive(spark, s"file:$dir")
+      .withColumn("path", regexp_replace(col("path"), lit(s"^$dir/?"), lit("")))
+      .filter(col("path") =!= "")
+      .orderBy(col("path"))
+}
+
+/** Minimal serializable wrapper for a Hadoop Configuration (the
+  * standard Spark trick — Configuration itself is not Serializable).
+  */
+class SerializableConfiguration(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{FileOps, PathUtils}
+
+class PathUtilsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import PathUtils._
+
+  test("cleanFolderName strips and normalizes like the reference") {
+    assert(cleanFolderName("") === "")
+    assert(cleanFolderName("/a/b/") === "a/b")
+    assert(cleanFolderName("a//b") === "a/b")
+    assert(cleanFolderName("///") === "")
+  }
+
+  test("combine joins folder and file") {
+    assert(combine("a/b", "c.txt") === "a/b/c.txt")
+    assert(combine("", "c.txt") === "c.txt")
+    assert(combine("a//b", "c.txt") === "a/b/c.txt")
+  }
+
+  test("enumerateDestinationFileName inserts _N at the first dot") {
+    assert(enumerateDestinationFileName("file.csv", 2) === "file_2.csv")
+    assert(enumerateDestinationFileName("file.tar.gz", 3) === "file_3.tar.gz")
+    assert(enumerateDestinationFileName("file", 4) === "file_4")
+  }
+
+  test("determineDestinationFileName: explicit, enumerated, basename") {
+    assert(determineDestinationFileName("x/y/z.csv", None) === "z.csv")
+    assert(determineDestinationFileName("x/y/z.csv", Some("o.csv")) === "o.csv")
+    assert(determineDestinationFileName("x/y/z.csv", Some("o.csv"), Some(2))
+      === "o_2.csv")
+  }
+
+  test("determineDestinationFullPath composes folder + resolved name") {
+    assert(determineDestinationFullPath("/dst/", None, "a/b.csv") === "dst/b.csv")
+    assert(determineDestinationFullPath("dst", Some("n.csv"), "a/b.csv",
+      Some(3)) === "dst/n_3.csv")
+  }
+}
+
+class FileOpsSpec extends SparkSpec {
+
+  private def mkTree(): java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft_fs")
+    Files.createDirectories(root.resolve("sub/inner"))
+    Files.writeString(root.resolve("a.csv"), "1,2,3\n")
+    Files.writeString(root.resolve("b.txt"), "hello\n")
+    Files.writeString(root.resolve("sub/c.csv"), "4,5,6\n")
+    Files.writeString(root.resolve("sub/inner/d.csv"), "7,8\n")
+    root
+  }
+
+  test("listRecursive walks the whole tree with sizes") {
+    val root = mkTree()
+    val df = FileOps.listRecursive(spark, s"file:$root")
+    val files = df.filter("not is_dir").collect()
+    assert(files.length === 4)
+    assert(df.filter("is_dir").count() === 2)
+    val a = files.find(_.getAs[String]("path").endsWith("a.csv")).get
+    assert(a.getAs[Long]("size") === 6L)
+  }
+
+  test("matchBasename matches the reference's regex-on-basename semantics") {
+    val root = mkTree()
+    val m = FileOps.matchBasename(
+      FileOps.listRecursive(spark, s"file:$root"), "\\.csv$")
+    assert(m.count() === 3)
+    // basename-only: a pattern matching the folder must not hit
+    assert(FileOps.matchBasename(
+      FileOps.listRecursive(spark, s"file:$root"), "inner").count() === 0)
+    assert(FileOps.matchFullPath(
+      FileOps.listRecursive(spark, s"file:$root"), "inner").count() === 1)
+  }
+
+  test("planTransfers enumerates only on multi-match with explicit name") {
+    val t1 = FileOps.planTransfers(Seq("x/a.csv"), "dst", Some("out.csv"))
+    assert(t1.map(_.dst) === Seq("dst/out.csv"))
+    val t2 = FileOps.planTransfers(Seq("x/a.csv", "y/b.csv"), "dst",
+      Some("out.csv"))
+    assert(t2.map(_.dst) === Seq("dst/out_1.csv", "dst/out_2.csv"))
+    val t3 = FileOps.planTransfers(Seq("x/a.csv", "y/b.csv"), "dst", None)
+    assert(t3.map(_.dst) === Seq("dst/a.csv", "dst/b.csv"))
+  }
+
+  test("bulkCopy distributes a regex-matched upload end to end") {
+    val root = mkTree()
+    val dst = Files.createTempDirectory("graft_dst")
+    val matched = FileOps.matchBasename(
+      FileOps.listRecursive(spark, s"file:$root"), "\\.csv$")
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val plan = FileOps.planTransfers(matched, "up", None)
+    FileOps.bulkCopy(spark, plan, s"file:$root", s"file:$dst")
+    val copied = Files.list(dst.resolve("up")).toArray.map(_.toString).sorted
+    assert(copied.map(p => Paths.get(p).getFileName.toString).toSeq
+      === Seq("a.csv", "c.csv", "d.csv"))
+    assert(Files.readString(dst.resolve("up/a.csv")) === "1,2,3\n")
+  }
+
+  test("move renames and delete removes, through the FS API") {
+    val root = mkTree()
+    assert(FileOps.move(spark, s"file:$root", s"$root/b.txt",
+      s"$root/moved/renamed.txt"))
+    assert(Files.exists(root.resolve("moved/renamed.txt")))
+    assert(!Files.exists(root.resolve("b.txt")))
+    FileOps.bulkDelete(spark, s"file:$root",
+      Seq(s"$root/a.csv", s"$root/sub/c.csv"))
+    assert(!Files.exists(root.resolve("a.csv")))
+    assert(!Files.exists(root.resolve("sub/c.csv")))
+  }
+
+  test("q60 manifest lists the scale dir") {
+    val rows = FileOps.q60(spark, sf).collect()
+    assert(rows.length === 10) // the ten tables
+    assert(rows.forall(!_.getAs[Boolean]("is_dir")))
+  }
+}
