@@ -1,0 +1,216 @@
+package graft.sources.ftp
+
+import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+
+/** Minimal RFC 959 FTP client over raw sockets — the transport under
+  * graft's FTP connector (the reference drives Python's ftplib; graft
+  * speaks the same protocol surface: USER/PASS, TYPE I, PASV, RETR,
+  * STOR, NLST, MLSD, DELE, RNFR/RNTO, MKD, CWD, PWD, SIZE — see
+  * ftp-blueprints download_file.py:210, upload_file.py:196).
+  *
+  * Passive mode only (the reference also forces PASV,
+  * download_file.py:220). One in-flight data transfer per control
+  * connection, as the protocol requires.
+  */
+object FtpClient {
+  final case class FtpReply(code: Int, text: String) {
+    def ok: Boolean = code < 400
+  }
+
+  final case class FtpEntry(name: String, isDir: Boolean, size: Long,
+    modifyMs: Long)
+}
+
+class FtpClient(host: String, port: Int, user: String, password: String,
+    timeoutMs: Int = 30000) extends AutoCloseable {
+  import FtpClient.{FtpEntry, FtpReply}
+
+  private val control = new Socket()
+  control.connect(new InetSocketAddress(host, port), timeoutMs)
+  control.setSoTimeout(timeoutMs)
+  private val in = new BufferedReader(
+    new InputStreamReader(control.getInputStream, StandardCharsets.UTF_8))
+  private val out = control.getOutputStream
+
+  expect(readReply(), 220)
+  login()
+
+  private def readReply(): FtpReply = {
+    val first = in.readLine()
+    if (first == null) throw new java.io.IOException("FTP control closed")
+    val code = first.take(3).toInt
+    var text = first.drop(4)
+    if (first.length > 3 && first.charAt(3) == '-') {
+      // multiline: read until "NNN " terminator
+      var line = in.readLine()
+      while (line != null && !(line.startsWith(first.take(3))
+          && line.length > 3 && line.charAt(3) == ' ')) {
+        text += "\n" + line
+        line = in.readLine()
+      }
+      if (line != null) text += "\n" + line.drop(4)
+    }
+    FtpReply(code, text)
+  }
+
+  private def send(cmdLine: String): Unit = {
+    out.write((cmdLine + "\r\n").getBytes(StandardCharsets.UTF_8))
+    out.flush()
+  }
+
+  def cmd(cmdLine: String): FtpReply = { send(cmdLine); readReply() }
+
+  private def expect(r: FtpReply, codes: Int*): FtpReply = {
+    if (!codes.contains(r.code))
+      throw new java.io.IOException(
+        s"FTP unexpected reply ${r.code} ${r.text} (wanted ${codes.mkString("/")})")
+    r
+  }
+
+  private def login(): Unit = {
+    val u = expect(cmd(s"USER $user"), 331, 230)
+    if (u.code == 331) expect(cmd(s"PASS $password"), 230)
+    expect(cmd("TYPE I"), 200)
+  }
+
+  /** Open the PASV data connection advertised by the server. */
+  private def pasv(): Socket = {
+    val r = expect(cmd("PASV"), 227)
+    val m = "\\((\\d+),(\\d+),(\\d+),(\\d+),(\\d+),(\\d+)\\)".r
+      .findFirstMatchIn(r.text)
+      .getOrElse(throw new java.io.IOException(s"bad PASV reply: ${r.text}"))
+    val h = (1 to 4).map(m.group).mkString(".")
+    val p = m.group(5).toInt * 256 + m.group(6).toInt
+    val s = new Socket()
+    // servers behind NAT often advertise an unroutable address; the
+    // control-connection host is the reliable one (same as ftplib's
+    // trust_server_pasv_ipv4_address=False default)
+    s.connect(new InetSocketAddress(host, p), timeoutMs)
+    s.setSoTimeout(timeoutMs)
+    s
+  }
+
+  /** RETR as a stream; closing it drains the 226 completion reply. */
+  def retrieveStream(path: String): InputStream = {
+    val data = pasv()
+    expect(cmd(s"RETR $path"), 150, 125)
+    new java.io.FilterInputStream(data.getInputStream) {
+      override def close(): Unit = {
+        super.close(); data.close()
+        expect(readReply(), 226, 250)
+      }
+    }
+  }
+
+  /** STOR as a stream; closing it completes the transfer. */
+  def storeStream(path: String): OutputStream = {
+    val data = pasv()
+    expect(cmd(s"STOR $path"), 150, 125)
+    new java.io.FilterOutputStream(data.getOutputStream) {
+      override def close(): Unit = {
+        super.close(); data.close()
+        expect(readReply(), 226, 250)
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        this.out.write(b, off, len)
+    }
+  }
+
+  /** NLST — bare names (the reference's listing primitive,
+    * download_file.py:147).
+    */
+  def nlst(path: String): Seq[String] = {
+    val data = pasv()
+    expect(cmd(if (path.isEmpty) "NLST" else s"NLST $path"), 150, 125)
+    val r = new BufferedReader(new InputStreamReader(
+      data.getInputStream, StandardCharsets.UTF_8))
+    val names = Iterator.continually(r.readLine()).takeWhile(_ != null).toList
+    data.close()
+    expect(readReply(), 226, 250)
+    names
+  }
+
+  /** MLSD — machine-readable listing (RFC 3659). Missing/invalid
+    * directories surface as FileNotFoundException so FileSystem
+    * `exists()` probes behave.
+    */
+  def mlsd(path: String): Seq[FtpEntry] = {
+    val data = pasv()
+    val rep = cmd(if (path.isEmpty) "MLSD" else s"MLSD $path")
+    if (rep.code >= 400) {
+      data.close()
+      throw new java.io.FileNotFoundException(s"$path: ${rep.code} ${rep.text}")
+    }
+    expect(rep, 150, 125)
+    val r = new BufferedReader(new InputStreamReader(
+      data.getInputStream, StandardCharsets.UTF_8))
+    val lines = Iterator.continually(r.readLine()).takeWhile(_ != null).toList
+    data.close()
+    expect(readReply(), 226, 250)
+    lines.flatMap(parseMlsdLine)
+  }
+
+  private def parseMlsdLine(line: String): Option[FtpEntry] = {
+    val idx = line.indexOf(' ')
+    if (idx < 0) return None
+    val (facts, name) = (line.take(idx), line.drop(idx + 1))
+    val kv = facts.split(";").filter(_.contains("="))
+      .map { f => val Array(k, v) = f.split("=", 2); k.toLowerCase -> v }
+      .toMap
+    val typ = kv.getOrElse("type", "file")
+    if (typ == "cdir" || typ == "pdir") None
+    else Some(FtpEntry(name, typ == "dir",
+      kv.get("size").map(_.toLong).getOrElse(0L),
+      kv.get("modify").map(parseMdtm).getOrElse(0L)))
+  }
+
+  private def parseMdtm(s: String): Long = {
+    val f = new java.text.SimpleDateFormat("yyyyMMddHHmmss")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    try f.parse(s.take(14)).getTime catch { case _: Exception => 0L }
+  }
+
+  /** SIZE probe — also the reference's is-file test (move_file.py:52). */
+  def size(path: String): Option[Long] = {
+    val r = cmd(s"SIZE $path")
+    if (r.code == 213) Some(r.text.trim.toLong) else None
+  }
+
+  def delete(path: String): Boolean = cmd(s"DELE $path").ok
+
+  def rename(from: String, to: String): Boolean = {
+    val r = cmd(s"RNFR $from")
+    r.code == 350 && cmd(s"RNTO $to").ok
+  }
+
+  def mkd(path: String): Boolean = cmd(s"MKD $path").ok
+
+  def rmd(path: String): Boolean = cmd(s"RMD $path").ok
+
+  def cwd(path: String): Boolean = cmd(s"CWD $path").ok
+
+  def pwd(): String = {
+    val r = expect(cmd("PWD"), 257)
+    "\"(.*)\"".r.findFirstMatchIn(r.text).map(_.group(1)).getOrElse("/")
+  }
+
+  /** Walk CWD through each segment, creating missing dirs — the
+    * reference's create_new_folders (upload_file.py:159).
+    */
+  def makeDirs(path: String): Unit = {
+    val orig = pwd()
+    path.split("/").filter(_.nonEmpty).foldLeft("") { (acc, seg) =>
+      val cur = if (path.startsWith("/") || acc.nonEmpty) s"$acc/$seg" else seg
+      if (!cwd(cur)) { mkd(cur); cwd(cur) }
+      cur
+    }
+    cwd(orig)
+  }
+
+  override def close(): Unit = {
+    try cmd("QUIT") catch { case _: Exception => () }
+    control.close()
+  }
+}

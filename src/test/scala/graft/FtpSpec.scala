@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ftp.MiniFtpServer
+import graft.sources.FileOps
+import graft.sources.ftp.FtpClient
+
+class FtpSpec extends SparkSpec {
+
+  private lazy val ftpRoot = {
+    val r = Files.createTempDirectory("graft_ftp")
+    Files.createDirectories(r.resolve("data/sub"))
+    Files.writeString(r.resolve("data/one.csv"), "id,v\n1,a\n2,b\n")
+    Files.writeString(r.resolve("data/two.csv"), "id,v\n3,c\n")
+    Files.writeString(r.resolve("data/sub/three.txt"), "xyz\n")
+    r
+  }
+  private lazy val server = new MiniFtpServer(ftpRoot)
+  private def ftpUri = s"gftp://u:p@127.0.0.1:${server.port}"
+
+  private def withGftp(): Unit = {
+    spark.sparkContext.hadoopConfiguration.set("fs.gftp.impl",
+      "graft.sources.ftp.GraftFtpFileSystem")
+    // FileSystem instances are keyed per (scheme, authority); disable
+    // the cache so each test sees fresh state
+    spark.sparkContext.hadoopConfiguration.set("fs.gftp.impl.disable.cache",
+      "true")
+  }
+
+  test("FtpClient speaks the protocol: list, size, retr, stor, rename, dele") {
+    val c = new FtpClient("127.0.0.1", server.port, "u", "p")
+    try {
+      val names = c.nlst("data").map(_.split("/").last).sorted
+      assert(names === Seq("one.csv", "sub", "two.csv"))
+      assert(c.size("data/one.csv").contains(13L))
+      assert(c.size("data/sub").isEmpty)
+      val is = c.retrieveStream("data/one.csv")
+      val got = new String(is.readAllBytes())
+      is.close() // drains the 226 completion reply
+      assert(got === "id,v\n1,a\n2,b\n")
+      val os = c.storeStream("data/written.bin")
+      os.write(Array[Byte](1, 2, 3)); os.close()
+      assert(c.size("data/written.bin").contains(3L))
+      assert(c.rename("data/written.bin", "data/renamed.bin"))
+      assert(c.delete("data/renamed.bin"))
+      assert(c.size("data/renamed.bin").isEmpty)
+      val entries = c.mlsd("data")
+      assert(entries.find(_.name == "sub").exists(_.isDir))
+      assert(entries.find(_.name == "one.csv").exists(e => !e.isDir && e.size == 13))
+    } finally c.close()
+  }
+
+  test("spark.read.csv works over gftp:// (the connector end-to-end)") {
+    withGftp()
+    val df = spark.read.option("header", "true").csv(s"$ftpUri/data/one.csv")
+    assert(df.count() === 2)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    // glob over the directory
+    val all = spark.read.option("header", "true").csv(s"$ftpUri/data/*.csv")
+    assert(all.count() === 3)
+  }
+
+  test("download blueprint: regex match over FTP tree → distributed copy to local") {
+    withGftp()
+    val manifest = FileOps.listRecursive(spark, ftpUri)
+    val matched = FileOps.matchBasename(manifest, "\\.csv$")
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    assert(matched === Seq("/data/one.csv", "/data/two.csv"))
+    val dst = Files.createTempDirectory("graft_dl")
+    FileOps.bulkCopy(spark,
+      FileOps.planTransfers(matched, "got", None), ftpUri, s"file:$dst")
+    assert(Files.readString(dst.resolve("got/one.csv")) === "id,v\n1,a\n2,b\n")
+    assert(Files.readString(dst.resolve("got/two.csv")) === "id,v\n3,c\n")
+  }
+
+  test("upload blueprint: local → FTP with enumerated destination names") {
+    withGftp()
+    val src = Files.createTempDirectory("graft_ul")
+    Files.writeString(src.resolve("x.csv"), "a\n")
+    Files.writeString(src.resolve("y.csv"), "b\n")
+    val files = Seq(s"$src/x.csv", s"$src/y.csv")
+    FileOps.bulkCopy(spark,
+      FileOps.planTransfers(files, "up/in", Some("out.csv")),
+      s"file:$src", ftpUri)
+    assert(Files.readString(ftpRoot.resolve("up/in/out_1.csv")) === "a\n")
+    assert(Files.readString(ftpRoot.resolve("up/in/out_2.csv")) === "b\n")
+  }
+
+  test("move + delete blueprints over FTP") {
+    withGftp()
+    Files.writeString(ftpRoot.resolve("data/mv.txt"), "m\n")
+    assert(FileOps.move(spark, ftpUri, "/data/mv.txt", "/moved/mv2.txt"))
+    assert(Files.readString(ftpRoot.resolve("moved/mv2.txt")) === "m\n")
+    FileOps.bulkDelete(spark, ftpUri, Seq("/moved/mv2.txt"))
+    assert(!Files.exists(ftpRoot.resolve("moved/mv2.txt")))
+  }
+
+  test("DataFrame write → gftp (full sink path through the connector)") {
+    withGftp()
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").json(s"$ftpUri/out/js")
+    val back = spark.read.json(s"$ftpUri/out/js")
+    assert(back.count() === 3)
+    assert(back.select("k").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+  }
+}
