@@ -44,6 +44,7 @@ object SparkEntry {
     "q41_knn_lsh" -> (Similarity.q41 _),
     "q50_event_window" -> (Events.q50 _),
     "q60_file_manifest" -> (graft.sources.FileOps.q60 _),
+    "q70_multimodal_features" -> (Multimodal.q70 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
