@@ -55,5 +55,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_d", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -17,27 +17,43 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct word-3-shingles of `text` as an array column. */
-  private def shingles: Column = {
-    val t = "regexp_extract_all(text, '\\\\S+', 0)"
-    expr(
-      s"""CASE WHEN size($t) >= 3 THEN
-         |  array_distinct(transform(sequence(0, size($t) - 3),
-         |    i -> concat_ws(' ', element_at($t, i + 1),
-         |                        element_at($t, i + 2),
-         |                        element_at($t, i + 3))))
-         |ELSE array() END""".stripMargin)
+  /** (doc_id, n, h) exploded shingle relation: n = distinct-shingle
+    * count of the doc, h = 64-bit shingle hash. Tokenization happens
+    * in its own projection so the regex runs once per document (inside
+    * a CASE it would be re-evaluated per reference), and the per-doc
+    * size rides along with every exploded row so downstream pair
+    * generation never needs a join back to the documents.
+    */
+  private def shingleBase(spark: SparkSession, dir: String): DataFrame = {
+    // One typed flatMap instead of a regexp/transform/explode pipeline:
+    // Catalyst's CollapseProject would otherwise inline the tokenizer
+    // into every shingle reference and re-run the regex per element
+    // (profiled 5-10× slower). This is the justified mapPartitions
+    // case — per-doc imperative shingling, evaluated exactly once.
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 3) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i <= toks.length - 3) {
+            val s = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                b.length, 42L)
+            if (seen.add(h)) hs += h
+            i += 1
+          }
+          val n = hs.length.toLong
+          hs.iterator.map(h => (id, n, h))
+        }
+      }.toDF("doc_id", "n", "h")
   }
-
-  /** (doc_id, g) exploded shingle relation. */
-  private def exploded(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles).as("g"))
-
-  /** (doc_id, n) distinct-shingle counts. */
-  private def sizes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), size(shingles).cast("long").as("n"))
 
   /** q30: exact dedup — group by content hash, keep the smallest
     * doc_id. One shuffle on a 128-bit hash, never on the text itself
@@ -62,17 +78,28 @@ object Dedup {
     * → |A∪B| from per-doc sizes. No all-pairs product anywhere.
     */
   def q31(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val ex = exploded(spark, dir)
-    val sz = sizes(spark, dir)
-    val a = ex.select(col("doc_id").as("ia"), col("g"))
-    val b = ex.select(col("doc_id").as("ib"), col("g"))
-    val inter = a.join(b, Seq("g"))
-      .filter(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib"))
+    // inverted index: one pass over the shingle pipeline, grouped on
+    // the 64-bit hash; each posting list emits its C(df,2) doc pairs
+    // in codegen (sorted, so ia < ib by construction). No self-join,
+    // no sizes join — (n_a, n_b) ride inside the posting structs.
+    // At 100 TB add a df-cap on posting lists (stop-shingle filter) —
+    // max df here is 25, so the exact form is the right default.
+    val postings = shingleBase(spark, dir)
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
+        col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = postings.select(explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds)),
+        |    y -> named_struct('ia', x.id, 'na', x.n,
+        |                      'ib', y.id, 'nb', y.n))))""".stripMargin))
+      .as("p"))
+    pairs
+      .select(col("p.ia").as("ia"), col("p.na").as("na"),
+        col("p.ib").as("ib"), col("p.nb").as("nb"))
+      .groupBy(col("ia"), col("na"), col("ib"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
-      .join(sz.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -107,14 +134,18 @@ object Dedup {
   private val NumPerms = 64
   private val NumBands = 16 // 16 bands × 4 rows
 
-  /** MinHash signature columns: min over shingles of xxhash64(g, i). */
+  /** MinHash signature columns: min over shingles of the seeded
+    * re-hash of the 64-bit shingle hash (a hash of a hash is an
+    * equally valid permutation family and avoids re-hashing strings
+    * 64 times).
+    */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    exploded(spark, dir)
+    shingleBase(spark, dir)
       .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(col("g"), lit(0))).as("s0"),
+        min(xxhash64(col("h"), lit(0))).as("s0"),
         (1 until NumPerms).map(i =>
-          min(xxhash64(col("g"), lit(i))).as(s"s$i")): _*)
+          min(xxhash64(col("h"), lit(i))).as(s"s$i")): _*)
 
   /** q32: MinHash + banded LSH candidate pairs. Signature = 64 minima
     * of seeded xxhash64 over the shingle set; 16 bands of 4 rows are
@@ -131,16 +162,20 @@ object Dedup {
         xxhash64(col(s"sig")(4 * b), col("sig")(4 * b + 1),
           col("sig")(4 * b + 2), col("sig")(4 * b + 3))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("doc_id").as("ia"), col("sig").as("siga"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("ib"), col("sig").as("sigb"),
-      col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    // dedup candidate PAIRS first (8-byte keys through the shuffle),
+    // then attach the two signatures once per surviving pair
+    val a = banded.select(col("doc_id").as("ia"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("ib"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+      .distinct()
+    pairs
+      .join(sigArr.select(col("doc_id").as("ia"), col("sig").as("siga")), Seq("ia"))
+      .join(sigArr.select(col("doc_id").as("ib"), col("sig").as("sigb")), Seq("ib"))
       .select(col("ia"), col("ib"),
         (size(filter(zip_with(col("siga"), col("sigb"), _ === _),
           x => x)).cast("double") / NumPerms).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEst)
       .orderBy(col("ia"), col("ib"))
   }
@@ -194,17 +229,16 @@ object Dedup {
     * nested-loop for the q41 LSH bucketing at >10⁶ vectors.
     */
   def q34(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
     val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("ia") < col("ib"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("na") * col("nb")))
+        expr("dot_d(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= tau)
       .select(col("ia"), col("ib"), col("cosine"))
       .orderBy(col("ia"), col("ib"))

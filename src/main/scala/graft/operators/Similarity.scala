@@ -25,15 +25,16 @@ object Similarity {
   val QueryIds: Seq[Long] = Seq(1L, 101L, 201L, 301L, 401L)
   val K = 10
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+  }
 
-  private val dot =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  /** Native codegen dot product — see [[graft.functions.DotProductD]]. */
+  private val dot = expr("dot_d(qv, v)")
 
   /** q40: brute-force cosine top-k for the fixed query set. */
   def q40(spark: SparkSession, dir: String): DataFrame = {
@@ -92,8 +93,7 @@ object Similarity {
   private def tableBuckets(planes: Seq[Column]): Column = {
     val buckets = (0 until NumTables).map { t =>
       (0 until PlanesPerTable).map { j =>
-        when(expr(s"aggregate(zip_with(v, plane_${t * PlanesPerTable + j}, " +
-          "(x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        when(expr(s"dot_d(v, plane_${t * PlanesPerTable + j})") > 0,
           shiftleft(lit(1L), j)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
     }
@@ -125,12 +125,21 @@ object Similarity {
         col("bucket").as("qbucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    hashed.join(broadcast(queries),
+    // candidate ids first (8-byte pairs through the distinct), vectors
+    // re-attached once per surviving candidate
+    val candidates = hashed.join(broadcast(queries),
       col("table") === col("qtable") && col("bucket") === col("qbucket")
         && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
-        col("nrm"), col("qnrm"))
+      .select(col("query_id"), col("vec_id"))
       .distinct() // union of per-table candidate sets
+    val qset = vectors(spark, dir)
+      .filter(col("vec_id").isInCollection(QueryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    candidates
+      .join(vectors(spark, dir).select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(qset), Seq("query_id"))
       .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
