@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.{DotProductD, Fingerprint64}
+
+/** Session extensions: registers graft's native expressions so plain
+  * SQL (`SELECT fingerprint64(text), dot_d(a, b)`) works on any
+  * session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("fingerprint64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Fingerprint64].getName, "fingerprint64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Fingerprint64(exprs.head)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("dot_d"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductD].getName, "dot_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductD(exprs(0), exprs(1))))
+  }
+}
+
+/** Canonical session builder: the configuration every graft driver
+  * (Verify, Bench, user apps) wants — AQE with skew handling, UTC,
+  * sensible local shuffle parallelism, graft SQL extensions, and the
+  * gftp:// connector registered.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.fs.gftp.impl",
+        "graft.sources.ftp.GraftFtpFileSystem")
+      .config("spark.ui.enabled", "false")
+}

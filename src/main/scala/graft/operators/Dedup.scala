@@ -180,24 +180,38 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** Per-token 64-bit SimHash of a document set, as (doc_id, simhash). */
+  /** Per-token 64-bit SimHash of a document set, as (doc_id, simhash).
+    * Computed in one typed map per document (token-count map → 64
+    * weighted bit sums → sign bits); the bit hash is XXH64(seed 42),
+    * identical to SQL `xxhash64(tok)`. A 64-aggregate SQL formulation
+    * works but shuffles an exploded token relation; this is one narrow
+    * pass, no shuffle at all.
+    */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = tokens.groupBy(col("doc_id")).agg(
-      sum(when(shiftrightunsigned(col("th"), 0).bitwiseAND(1) === 1,
-        col("cnt")).otherwise(-col("cnt"))).as("b0"),
-      (1 until 64).map(i =>
-        sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1,
-          col("cnt")).otherwise(-col("cnt"))).as(s"b$i")): _*)
-    val simhash = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    bitSums.select(col("doc_id"), simhash.as("simhash"))
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new java.util.HashMap[String, Int]()
+        text.trim.split("\\s+").withFilter(_.nonEmpty)
+          .foreach(t => counts.merge(t, 1, Integer.sum))
+        val bits = new Array[Long](64)
+        counts.forEach { (tok, cnt) =>
+          val b = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val th = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+          var i = 0
+          while (i < 64) {
+            bits(i) += (if (((th >>> i) & 1L) == 1L) cnt.toLong else -cnt.toLong)
+            i += 1
+          }
+        }
+        var sim = 0L
+        var i = 0
+        while (i < 64) { if (bits(i) > 0) sim |= (1L << i); i += 1 }
+        (id, sim)
+      }.toDF("doc_id", "simhash")
   }
 
   /** q33: SimHash near-dup pairs. 8 bands of 8 bits (pigeonhole ⇒

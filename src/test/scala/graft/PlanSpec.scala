@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan audit: the scale properties SURVEY §5 promises must
+  * be visible in the executed plan, not just intended.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan(Relational.q02(spark, sf))
+    // toString truncates long filter lists — presence of pushed
+    // IsNotNull + shipdate bound proves the pushdown happened
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+    // pruned read schema — only the 6 referenced columns, no
+    // l_returnflag/l_tax/etc
+    assert(!p.contains("l_returnflag"), "scan reads unneeded columns")
+  }
+
+  test("q04: dimension chain is all broadcast joins, no shuffle joins") {
+    val p = plan(Relational.q04(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join shuffled:\n$p")
+  }
+
+  test("q06: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = plan(Relational.q06(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q40: query set is broadcast, big side never shuffles before scoring") {
+    val p = plan(Similarity.q40(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: aggregation is partial (map-side) before the exchange") {
+    val p = plan(Relational.q01(spark, sf))
+    // HashAggregate appears twice around the exchange: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("fingerprint64 and dot_d work via SQL through GraftExtensions") {
+    val s2 = GraftSession.builder("local[2]", 2).getOrCreate()
+    val r = s2.sql(
+      "SELECT fingerprint64('abc') AS fp, dot_d(array(1D,2D), array(3D,4D)) AS d")
+      .collect()(0)
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Long]("fp") !== 0L)
+  }
+}
