@@ -31,6 +31,7 @@ object SparkEntry {
     "q16_subquery_avg" -> (Relational.q16 _),
     "q17_running_sum" -> (Relational.q17 _),
     "q18_sessionize" -> (Relational.q18 _),
+    "q19_asof_join" -> (Relational.q19 _),
     "q20_token_count" -> (TextAnalysis.q20 _),
     "q21_quality_score" -> (TextAnalysis.q21 _),
     "q22_lang_id" -> (TextAnalysis.q22 _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q16_subquery_avg" -> Relational.q16Sql,
     "q17_running_sum" -> Relational.q17Sql,
     "q18_sessionize" -> Relational.q18Sql,
+    "q19_asof_join" -> Relational.q19Sql,
     "q20_token_count" -> TextAnalysis.q20Sql,
     "q21_quality_score" -> TextAnalysis.q21Sql,
     "q22_lang_id" -> TextAnalysis.q22Sql,

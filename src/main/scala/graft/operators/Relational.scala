@@ -442,4 +442,42 @@ object Relational {
       |FROM sess
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q19: as-of join — for every purchase event, the most recent
+    * prior-or-equal view event of the same user. Spark has no native
+    * ASOF JOIN; the scalable composition is the tag-union + ignoreNulls
+    * last() carry-forward window: one shuffle on user_id, linear scan
+    * per partition — the same shape a custom SparkPlan would produce,
+    * with no all-pairs or range-join blowup.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("last_view_ts"))
+      .orderBy(col("user_id"), col("purchase_ts"), col("purchase_id"))
+  }
+
+  val q19Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'view' THEN ts END AS view_ts
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |e AS (
+      |  SELECT *, LAST_VALUE(view_ts IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+      |  FROM tagged)
+      |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, last_view_ts
+      |FROM e
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin
 }

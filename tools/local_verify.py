@@ -19,6 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetime units: pandas 2.x assert_frame_equal with
+    # check_dtype=False still compares raw ints for datetime64[ns] vs
+    # datetime64[us], so align everything to microseconds
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
