@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Scale-technique evidence (SURVEY §5): bucketed co-located joins and
+  * salted skew joins behave as designed.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val wh = Files.createTempDirectory("graft_wh")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Tables(spark, sf, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+    Tables(spark, sf, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+    val joined = spark.table("li_b").hint("merge")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_totalprice"), col("l_quantity"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be co-located, but shuffled:\n$plan")
+    assert(joined.count() === Tables(spark, sf, "lineitem").count())
+  }
+
+  test("salted join equals the plain join row-for-row") {
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+    assert(salted.count() === plain.count())
+    val a = plain.groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("keyHistogram surfaces the heaviest keys in order") {
+    val h = Skew.keyHistogram(Tables(spark, sf, "lineitem"), "l_suppkey", 5)
+      .collect()
+    assert(h.length === 5)
+    val counts = h.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+  }
+}
