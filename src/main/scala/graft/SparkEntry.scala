@@ -36,16 +36,27 @@ object SparkEntry {
     "q21_quality_score" -> (TextAnalysis.q21 _),
     "q22_lang_id" -> (TextAnalysis.q22 _),
     "q23_fingerprint" -> (TextAnalysis.q23 _),
+    "q24_tfidf" -> (TextAnalysis.q24 _),
     "q30_dedup_exact" -> (Dedup.q30 _),
     "q31_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.q31(s, d)),
     "q32_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.q32(s, d)),
     "q33_simhash" -> ((s: SparkSession, d: String) => Dedup.q33(s, d)),
     "q34_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.q34(s, d)),
+    "q35_dup_clusters" -> (Dedup.q35 _),
     "q40_knn_brute" -> (Similarity.q40 _),
     "q41_knn_lsh" -> (Similarity.q41 _),
+    "q42_knn_ivf" -> (Similarity.q42 _),
     "q50_event_window" -> (Events.q50 _),
     "q60_file_manifest" -> (graft.sources.FileOps.q60 _),
     "q70_multimodal_features" -> (Multimodal.q70 _),
+    "q80_cube" -> (RelationalExt.q80 _),
+    "q81_pivot" -> (RelationalExt.q81 _),
+    "q82_percentiles" -> (RelationalExt.q82 _),
+    "q83_setops" -> (RelationalExt.q83 _),
+    "q84_full_outer" -> (RelationalExt.q84 _),
+    "q85_explode_words" -> (RelationalExt.q85 _),
+    "q86_json_extract" -> (RelationalExt.q86 _),
+    "q87_range_join" -> (RelationalExt.q87 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,12 +85,23 @@ object SparkEntry {
     "q21_quality_score" -> TextAnalysis.q21Sql,
     "q22_lang_id" -> TextAnalysis.q22Sql,
     "q23_fingerprint" -> TextAnalysis.q23Sql,
+    "q24_tfidf" -> TextAnalysis.q24Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_ngram_jaccard" -> Dedup.q31Sql,
     // q32/q33 are probabilistic sketches — rows-only by design
     "q34_embed_neardup" -> Dedup.q34Sql,
+    "q35_dup_clusters" -> Dedup.q35Sql,
     "q40_knn_brute" -> Similarity.q40Sql,
     // q41 is approximate by construction — rows-only
     "q50_event_window" -> Events.q50Sql,
+    // q42 is approximate by construction — rows-only
+    "q80_cube" -> RelationalExt.q80Sql,
+    "q81_pivot" -> RelationalExt.q81Sql,
+    "q82_percentiles" -> RelationalExt.q82Sql,
+    "q83_setops" -> RelationalExt.q83Sql,
+    "q84_full_outer" -> RelationalExt.q84Sql,
+    "q85_explode_words" -> RelationalExt.q85Sql,
+    "q86_json_extract" -> RelationalExt.q86Sql,
+    "q87_range_join" -> RelationalExt.q87Sql,
   )
 }

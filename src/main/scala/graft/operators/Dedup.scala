@@ -258,6 +258,64 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** q35: near-duplicate cluster assignment — connected components
+    * over the exact-Jaccard pair graph (q31 edges), labels = min
+    * doc_id per component, plus cluster sizes. The Spark form is
+    * iterative min-label propagation: each round is one join + one
+    * min-aggregate over the (narrow) label relation, with
+    * `localCheckpoint` truncating the growing lineage; rounds needed =
+    * graph diameter (near-dup components are shallow — 4 rounds here).
+    * The driver-side loop only ever reads one convergence counter per
+    * round, never data. At 10⁹+ edges swap the propagation body for
+    * the large-star/small-star optimization (same join shape, halves
+    * round count on skewed stars). Oracle: DuckDB recursive-CTE
+    * transitive closure with MIN over reachable nodes.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q31(spark, dir).select(col("ia"), col("ib")).localCheckpoint()
+    val sym = edges.unionAll(
+      edges.select(col("ib").as("ia"), col("ia").as("ib")))
+      .toDF("a", "b")
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaEdges = sym.join(labels, sym("a") === labels("node"))
+        .select(col("b").as("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp")).unionAll(viaEdges)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q35Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${q31Sql}
+       |),
+       |sym AS (SELECT ia AS a, ib AS b FROM pairs
+       |        UNION SELECT ib, ia FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
+       |comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+       |         FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
+
   val q34Sql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -146,4 +146,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private val NumCells = 16
+  private val NProbe = 4
+
+  /** q42: IVF (inverted-file) ANN — the coarse-quantizer alternative
+    * to q41's hyperplane LSH. Cells come from a deterministic seed set
+    * (the NumCells smallest vec_ids — a fixed "training sample"; a
+    * k-means refinement would add float-sum order sensitivity for no
+    * correctness gain here). Every vector is assigned to its nearest
+    * cell (broadcast of 16 centroids against one scan; the argmax
+    * window shuffles only (vec_id, cell) pairs); queries probe their
+    * NProbe nearest cells and rank candidates by exact cosine. At
+    * scale the assignment is a write-once partitioning of the corpus
+    * (store `cell` as a partition column) and each query touches
+    * NProbe/NumCells of the data. Probabilistic recall ⇒ rows-only;
+    * SimilaritySpec measures recall against exact q40.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir)
+    val centroids = base.orderBy(col("vec_id")).limit(NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val cellCos = expr("dot_d(cv, v)") / (col("nrm") * col("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val assigned = base.join(broadcast(centroids))
+      .withColumn("ccos", cellCos)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = base.filter(col("vec_id").isInCollection(QueryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .join(broadcast(centroids))
+      .withColumn("ccos", expr("dot_d(cv, qv)") / (col("qnrm") * col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

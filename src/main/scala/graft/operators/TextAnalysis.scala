@@ -171,4 +171,52 @@ object TextAnalysis {
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS md5_fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** q24: TF-IDF top-5 terms per document. The idf factor is the
+    * rational `N / df` (not `ln(N/df)`): per-term rankings are
+    * identical (ln is monotone) and a single IEEE division is
+    * correctly rounded, so the score hash-matches DuckDB — a libm
+    * `ln` is not guaranteed bit-identical across engines. Shape at
+    * scale: the explode shuffles (doc_id, term) pairs once; df is an
+    * aggregate of the already-narrow tf relation; N joins in as a
+    * broadcast scalar (never collected).
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(wsTokens).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val q24Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, tf, df, score FROM ranked
+      |WHERE rnk <= 5
+      |ORDER BY doc_id, rnk""".stripMargin
 }

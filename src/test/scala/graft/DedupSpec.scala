@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(df.count() === df.select("content_hash").distinct().count())
   }
 
+  test("q35 clusters: every q31 edge lands in one cluster, labels are minima") {
+    val labels = Dedup.q35(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val edges = pairs(Dedup.q31(spark, sf))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"edge ($a,$b) split across clusters")
+    }
+    // the cluster id is the smallest member of the cluster
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min)
+    }
+  }
+
   test("q34 cosine pairs are symmetric-free and above threshold") {
     val rows = Dedup.q34(spark, sf, 0.3).collect()
     rows.foreach { r =>

