@@ -278,22 +278,28 @@ object Dedup {
       .toDF("a", "b")
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
-    var changed = 1L
+    // min-propagation strictly decreases sum(comp) until the fixpoint,
+    // so convergence is one scan-aggregate on the fresh labels — no
+    // join-with-previous needed
+    var labelSum = Long.MaxValue
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (!converged && rounds < 20) {
       val viaEdges = sym.join(labels, sym("a") === labels("node"))
         .select(col("b").as("node"), col("comp"))
       val next = labels.select(col("node"), col("comp")).unionAll(viaEdges)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter(col("comp") =!= col("prev")).count()
+      val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
+      converged = nextSum == labelSum
+      labelSum = nextSum
       labels = next
       rounds += 1
     }
-    val sizes = labels.groupBy(col("comp"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("comp"))
+    val wComp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(wComp))
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
         col("cluster_size"))
       .orderBy(col("doc_id"))
