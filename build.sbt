@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] pushes 32 concurrent task threads through shuffle +
+  // localCheckpoint block storage — an undersized heap turns the bench
+  // into a GC lottery (observed 3.8s → 24.5s swings on q35 at 8g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pin the committed heap — G1 heap-resize cycles showed up as
+  // multi-second jitter on the allocation-heavy text pipelines
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

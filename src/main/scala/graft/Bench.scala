@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,6 +19,13 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Spark's ContextCleaner is GC-driven: with a large pinned heap
+      // the JVM never collects, so shuffle registrations / checkpoint
+      // blocks / broadcasts from earlier queries pile up and tax later
+      // ones. An explicit (untimed) collection between queries keeps
+      // each measurement independent of its predecessors.
+      System.gc()
+      Thread.sleep(300) // let the async cleaner drain before timing
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -38,6 +38,10 @@ object GraftSession {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // default 100 thrashes across a many-query workload — evicted
+      // giant generated classes (64-agg signatures, struct explodes)
+      // recompile in Janino at random, multi-second stalls
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.fs.gftp.impl",

@@ -37,16 +37,25 @@ object SparkEntry {
     "q22_lang_id" -> (TextAnalysis.q22 _),
     "q23_fingerprint" -> (TextAnalysis.q23 _),
     "q24_tfidf" -> (TextAnalysis.q24 _),
+    "q25_redact" -> (TextAnalysis.q25 _),
+    "q26_bigrams" -> (TextAnalysis.q26 _),
     "q30_dedup_exact" -> (Dedup.q30 _),
     "q31_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.q31(s, d)),
     "q32_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.q32(s, d)),
     "q33_simhash" -> ((s: SparkSession, d: String) => Dedup.q33(s, d)),
     "q34_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.q34(s, d)),
     "q35_dup_clusters" -> (Dedup.q35 _),
+    "q36_cluster_rep" -> (Dedup.q36 _),
     "q40_knn_brute" -> (Similarity.q40 _),
     "q41_knn_lsh" -> (Similarity.q41 _),
     "q42_knn_ivf" -> (Similarity.q42 _),
     "q50_event_window" -> (Events.q50 _),
+    "q51_funnel" -> (Analytics.q51 _),
+    "q52_retention" -> (Analytics.q52 _),
+    "q53_grouping_sets" -> (Analytics.q53 _),
+    "q54_window_funcs" -> (Analytics.q54 _),
+    "q55_approx_sketch" -> (Analytics.q55 _),
+    "q57_corr_exact" -> (Analytics.q57 _),
     "q60_file_manifest" -> (graft.sources.FileOps.q60 _),
     "q70_multimodal_features" -> (Multimodal.q70 _),
     "q80_cube" -> (RelationalExt.q80 _),
@@ -86,14 +95,24 @@ object SparkEntry {
     "q22_lang_id" -> TextAnalysis.q22Sql,
     "q23_fingerprint" -> TextAnalysis.q23Sql,
     "q24_tfidf" -> TextAnalysis.q24Sql,
+    "q25_redact" -> TextAnalysis.q25Sql,
+    "q26_bigrams" -> TextAnalysis.q26Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_ngram_jaccard" -> Dedup.q31Sql,
     // q32/q33 are probabilistic sketches — rows-only by design
     "q34_embed_neardup" -> Dedup.q34Sql,
     "q35_dup_clusters" -> Dedup.q35Sql,
+    "q36_cluster_rep" -> Dedup.q36Sql,
     "q40_knn_brute" -> Similarity.q40Sql,
     // q41 is approximate by construction — rows-only
     "q50_event_window" -> Events.q50Sql,
+    "q51_funnel" -> Analytics.q51Sql,
+    "q52_retention" -> Analytics.q52Sql,
+    "q53_grouping_sets" -> Analytics.q53Sql,
+    "q54_window_funcs" -> Analytics.q54Sql,
+    // q55 compares approx sketches to exact — sketch internals are
+    // engine-specific ⇒ rows-only; AnalyticsSpec bounds the error
+    "q57_corr_exact" -> Analytics.q57Sql,
     // q42 is approximate by construction — rows-only
     "q80_cube" -> RelationalExt.q80Sql,
     "q81_pivot" -> RelationalExt.q81Sql,

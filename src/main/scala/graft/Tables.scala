@@ -17,6 +17,19 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow projection out to full core parallelism before
+    * CPU-heavy per-row work (shingling, hashing, tokenization). On a
+    * real cluster the scan arrives pre-split (many files / row
+    * groups), but a single-row-group file gives Spark exactly one
+    * input partition — and then the expensive map work runs on one
+    * thread while 31 idle. Only call this on a projection that's
+    * already narrow: the shuffle moves just the columns the map needs.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long and floor-divide to micros —
     * identical to DuckDB's ns→µs truncation, so oracle compares stay

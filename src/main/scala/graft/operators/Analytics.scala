@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Product-analytics + statistics operators over `events` / `orders` /
+  * `lineitem`: funnel, cohort retention, explicit grouping sets,
+  * the full window-function suite, approximate sketches, and
+  * bit-deterministic correlation. Determinism rules per SURVEY.md §4.
+  */
+object Analytics {
+
+  /** q51: conversion funnel signup → view → purchase. Each stage is a
+    * per-user min-timestamp aggregate joined against the previous
+    * stage (strictly-later semantics). Three narrow shuffles on
+    * user_id — at 100 TB each stage input is pre-filtered by event
+    * type before the shuffle, and AQE coalesces the tiny stage-2/3
+    * partitions.
+    */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(s, Seq("user_id")).filter(col("ts") > col("st"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("ts") > col("vt"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage(s, "1_signup").unionAll(stage(v, "2_view"))
+      .unionAll(stage(p, "3_purchase"))
+      .orderBy(col("stage"))
+  }
+
+  val q51Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS st FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |v AS (
+      |  SELECT e.user_id, MIN(e.ts) AS vt FROM events e
+      |  JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > s.st GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > v.vt GROUP BY 1)
+      |SELECT '1_signup' AS stage, COUNT(*) AS users FROM s
+      |UNION ALL SELECT '2_view', COUNT(*) FROM v
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** q52: weekly cohort retention — cohort = week of a user's first
+    * event; cell (cohort, offset) counts users active `offset` weeks
+    * later. Week offsets come from epoch arithmetic on week-truncated
+    * timestamps (exact integer division both engines). Two shuffles:
+    * first-event agg and distinct activity, joined on user_id.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(col("user_id"), col("ts"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .select(col("cohort_week"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_week"))) / 604800)
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q52Sql: String =
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      |SELECT f.cohort_week,
+      |  CAST((epoch(a.wk) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+      |    AS week_offset,
+      |  COUNT(*) AS users
+      |FROM act a JOIN first f ON a.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  private def dsum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(e.cast(DecimalType(18, 4))).cast("double")
+
+  /** q53: explicit GROUPING SETS — ((flag,status),(flag),()) in one
+    * Expand + hash-agg pass (no per-set rescan), with the standard
+    * `grouping_id` bitmask distinguishing set provenance. Unlike q80's
+    * CUBE this skips the (status) set entirely — at 100 TB that's 25%
+    * less shuffled agg state.
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val q53Sql: String =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** q54: the window-function suite — lag/lead/ntile/percent_rank/
+    * cume_dist/first_value over one (partition, order) spec, so Spark
+    * plans a single sort + single Window operator. The order key
+    * includes the unique o_orderkey so every rank function is
+    * deterministic; percent_rank/cume_dist are exact small-integer
+    * divisions (bit-equal across engines).
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_totalprice")).over(w).as("first_price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q54Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** q55: approximate sketches next to their exact counterparts —
+    * HyperLogLog++ distinct counts and a quantile sketch. These are
+    * THE 100 TB substitutes for countDistinct / percentile (mergeable
+    * map-side, O(1) state vs a full shuffle of distinct keys).
+    * Sketch internals are engine-specific ⇒ rows-only; AnalyticsSpec
+    * bounds the relative error against the exact columns.
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"),
+        expr("percentile(value, 0.5)").as("exact_median"))
+      .orderBy(col("event_type"))
+
+  /** q57: Pearson correlation + population covariance, recomposed from
+    * decimal-exact moment sums so the result is bit-deterministic
+    * across engines and shuffle orders (built-in streaming `corr`
+    * is order-sensitive in the last ulp). Factors are cast to
+    * DECIMAL(9,2) BEFORE multiplying — the product stays exact decimal
+    * arithmetic; every decimal→double conversion is ≤15 significant
+    * digits, hence exact. One partial-agg shuffle, same as any sum.
+    */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = DecimalType(9, 2)
+    val x = col("l_quantity").cast(d2)
+    val y = col("l_discount").cast(d2)
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        (col("sy") / col("n")).as("mean_disc"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+          .as("covar_pop"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q57Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) *
+      |             CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(9,2)) *
+      |             CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) *
+      |             CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  CAST(n AS BIGINT) AS n,
+      |  sx / n AS mean_qty,
+      |  sy / n AS mean_disc,
+      |  (sxy - sx * sy / n) / n AS covar_pop,
+      |  (n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_disc
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin
+}

@@ -31,7 +31,8 @@ object Dedup {
     // (profiled 5-10× slower). This is the justified mapPartitions
     // case — per-doc imperative shingling, evaluated exactly once.
     import spark.implicits._
-    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.trim.split("\\s+").filter(_.nonEmpty)
@@ -189,7 +190,8 @@ object Dedup {
     */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val counts = new java.util.HashMap[String, Int]()
@@ -305,7 +307,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val q35Sql: String =
+  /** Shared oracle prefix: transitive closure over the q31 pair graph
+    * as a recursive CTE, `comp` = (doc_id, cluster_id = min reachable).
+    */
+  private val ccCtes: String =
     s"""WITH RECURSIVE pairs AS (
        |${q31Sql}
        |),
@@ -316,11 +321,51 @@ object Dedup {
        |  UNION
        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
        |comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
-       |         FROM reach GROUP BY node)
+       |         FROM reach GROUP BY node)""".stripMargin
+
+  val q35Sql: String =
+    s"""$ccCtes
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp
        |ORDER BY doc_id""".stripMargin
+
+  /** q36: canonical-representative selection — the "keep" step of a
+    * near-dup pipeline. Each q35 cluster keeps its longest document
+    * (ties → smallest doc_id); one row_number window over the
+    * (tiny relative to the corpus) cluster relation after a join back
+    * to document metadata. At 100 TB the join is a broadcast of the
+    * cluster labels against the documents scan, and everything outside
+    * a cluster is untouched (left out here: the trivial singleton
+    * clusters — the anti-join keep-list is `documents EXCEPT labels`).
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    q35(spark, dir).join(docs, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("cluster_size"), col("n_chars").as("rep_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q36Sql: String =
+    s"""$ccCtes,
+       |sized AS (
+       |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+       |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
+       |  CAST(n_chars AS BIGINT) AS rep_chars
+       |FROM sized
+       |WHERE rnk = 1
+       |ORDER BY cluster_id""".stripMargin
 
   val q34Sql: String =
     """WITH e AS (

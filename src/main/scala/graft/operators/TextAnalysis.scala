@@ -185,7 +185,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs.select(col("doc_id"), explode(wsTokens).as("term"))
+    val tf = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(wsTokens).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -200,6 +201,61 @@ object TextAnalysis {
         col("score"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** q25: PII-style redaction — scrub digit runs (account numbers,
+    * phone fragments) out of the events JSON payload, keeping a
+    * per-row redaction count. Pure regexp_replace/extract_all in
+    * codegen, zero shuffles: at 100 TB this is a map-only pass that
+    * pipelines straight into the parquet writer. The pattern set is
+    * extensible (emails, SSNs) — patterns are kept RE2-compatible so
+    * one definition serves both engines.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+          .as("n_redacted"))
+      .orderBy(col("event_id"))
+
+  val q25Sql: String =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q26: corpus bigram frequencies, top-50 with a total tie order.
+    * Adjacent-pair generation is `transform(sequence(...))` over the
+    * token array — array ops inside codegen, exploded AFTER the
+    * 1-column projection so the shuffle carries only (w1, w2) pairs.
+    * The final top-k is TakeOrderedAndProject (per-partition heaps +
+    * driver merge of 50 rows), not a global sort.
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables(spark, dir, "documents").select(col("text")))
+      .select(wsTokens.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i + 1] AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(50)
+
+  val q26Sql: String =
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+      |idx AS (
+      |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+      |  WHERE len(t) >= 2)
+      |SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n
+      |FROM idx
+      |GROUP BY 1, 2
+      |ORDER BY n DESC, w1, w2
+      |LIMIT 50""".stripMargin
 
   val q24Sql: String =
     """WITH terms AS (

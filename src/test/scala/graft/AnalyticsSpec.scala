@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Analytics, Dedup}
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q55 sketches stay within error bounds of exact values") {
+    Analytics.q55(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL off by ${math.abs(approx - exact) / exact}")
+      val em = r.getAs[Double]("exact_median")
+      val am = r.getAs[Double]("approx_median")
+      assert(math.abs(am - em) / math.max(em.abs, 1e-9) <= 0.05,
+        s"approx median $am vs exact $em")
+    }
+  }
+
+  test("q51 funnel stages are monotonically non-increasing") {
+    val stages = Analytics.q51(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("users")).toMap
+    assert(stages("1_signup") >= stages("2_view"))
+    assert(stages("2_view") >= stages("3_purchase"))
+    assert(stages("1_signup") > 0)
+  }
+
+  test("q52 retention: offset-0 cell equals cohort size") {
+    val rows = Analytics.q52(spark, sf).collect()
+    val zero = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    // every cohort has an offset-0 cell (the user's own first week)
+    assert(zero.map(_.get(0)).toSet === rows.map(_.get(0)).toSet)
+    rows.foreach(r => assert(r.getAs[Long]("week_offset") >= 0L))
+  }
+
+  test("q36 representative is the longest (tie: smallest-id) member") {
+    val labels = Dedup.q35(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val want = labels.groupBy(_._2).map { case (cid, ms) =>
+      cid -> ms.map(_._1).maxBy(id => (chars(id), -id))
+    }
+    val reps = Dedup.q36(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("rep_doc_id")).toMap
+    assert(reps === want)
+  }
+}
