@@ -56,6 +56,9 @@ object SparkEntry {
     "q54_window_funcs" -> (Analytics.q54 _),
     "q55_approx_sketch" -> (Analytics.q55 _),
     "q57_corr_exact" -> (Analytics.q57 _),
+    "q58_hash_split" -> (Sampling.q58 _),
+    "q59_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.q59(s, d)),
+    "q61_profile" -> (Analytics.q61 _),
     "q60_file_manifest" -> (graft.sources.FileOps.q60 _),
     "q70_multimodal_features" -> (Multimodal.q70 _),
     "q80_cube" -> (RelationalExt.q80 _),
@@ -113,6 +116,9 @@ object SparkEntry {
     // q55 compares approx sketches to exact — sketch internals are
     // engine-specific ⇒ rows-only; AnalyticsSpec bounds the error
     "q57_corr_exact" -> Analytics.q57Sql,
+    "q58_hash_split" -> Sampling.q58Sql,
+    // q59 is seeded-RNG sampling — engine-specific ⇒ rows-only + spec
+    "q61_profile" -> Analytics.q61Sql,
     // q42 is approximate by construction — rows-only
     "q80_cube" -> RelationalExt.q80Sql,
     "q81_pivot" -> RelationalExt.q81Sql,

@@ -211,6 +211,58 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  private val ProfNumCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val ProfStrCols = Seq("l_returnflag", "l_linestatus")
+
+  /** q61: column profiling — per-column row/null/distinct counts and
+    * min/max, one independent aggregate PER COLUMN, unioned. On
+    * columnar storage this reads exactly one column's chunks per
+    * aggregate — the same total I/O as a fused multi-distinct pass,
+    * WITHOUT the ×K Expand row blowup Catalyst plans for multiple
+    * `COUNT(DISTINCT)`s in one aggregate (profiled 5× slower at
+    * sf0.1). Each single-distinct aggregate gets clean map-side
+    * partial distinct; the K jobs run back-to-back (or concurrently
+    * from a multi-threaded driver at scale).
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    def prof(c: String, isNum: Boolean): DataFrame = {
+      val src = Tables.spread(Tables(spark, dir, "lineitem").select(col(c)))
+      val (minNum, maxNum, minStr, maxStr) =
+        if (isNum) (min(col(c)).cast("double"), max(col(c)).cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+        else (lit(null).cast("double"), lit(null).cast("double"),
+          min(col(c)), max(col(c)))
+      src.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minStr.as("min_str"), maxStr.as("max_str"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    (ProfNumCols.map(prof(_, isNum = true)) ++
+      ProfStrCols.map(prof(_, isNum = false)))
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"))
+  }
+
+  val q61Sql: String = {
+    val num = ProfNumCols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin)
+    val str = ProfStrCols.map(c =>
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN($c), MAX($c)
+         |FROM lineitem""".stripMargin)
+    (num ++ str).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val q57Sql: String =
     """WITH m AS (
       |  SELECT l_returnflag,

@@ -51,6 +51,42 @@ object EventStreams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exactly-once ingestion dedup — drop replayed events by
+    * id, with state that EXPIRES at the watermark
+    * (`dropDuplicatesWithinWatermark`, not plain `dropDuplicates`,
+    * whose state grows forever on an unbounded stream). This is the
+    * at-least-once → exactly-once repair stage of an ingest pipeline.
+    */
+  def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding 30 minutes (streaming twin of the
+    * q87 range-join shape). Both sides carry watermarks + the time
+    * bound, so join state is provably evictable — Spark drops buffered
+    * rows once the watermark passes the interval.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = source(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = source(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES")
+        && col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of q18. Sessions are
     * emitted when the event-time timeout fires (gap elapsed past the

@@ -23,6 +23,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(want))
   }
 
+  test("streaming dedup-within-watermark keeps every unique event id") {
+    val q = EventStreams.dedupedEvents(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.sql("SELECT event_id FROM dedup_out").collect()
+      .map(_.getLong(0))
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.length === got.toSet.size, "emitted duplicate ids")
+    assert(got.toSet === want)
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val q = EventStreams.purchaseAttribution(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("attr_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.sql(
+      "SELECT purchase_id, click_id FROM attr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables(spark, sf, "events")
+    val want = ev.filter("event_type = 'purchase'")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").as("pts"),
+        org.apache.spark.sql.functions.col("event_id").as("pid"))
+      .join(ev.filter("event_type = 'click'")
+        .selectExpr("user_id AS cu", "ts AS cts", "event_id AS cid"),
+        org.apache.spark.sql.functions.expr(
+          "user_id = cu AND cts >= pts - INTERVAL 30 MINUTES AND cts <= pts"))
+      .select("pid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch twin found no pairs")
+    assert(got === want)
+  }
+
   test("stateful streaming sessionize emits q18's closed sessions") {
     val q = EventStreams.sessionize(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("sess_out")
