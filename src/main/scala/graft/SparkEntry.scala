@@ -59,6 +59,10 @@ object SparkEntry {
     "q58_hash_split" -> (Sampling.q58 _),
     "q59_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.q59(s, d)),
     "q61_profile" -> (Analytics.q61 _),
+    "q62_moving_avg" -> (RelationalMore.q62 _),
+    "q63_basket" -> (RelationalMore.q63 _),
+    "q65_null_semantics" -> (RelationalMore.q65 _),
+    "q66_datetime" -> (RelationalMore.q66 _),
     "q60_file_manifest" -> (graft.sources.FileOps.q60 _),
     "q70_multimodal_features" -> (Multimodal.q70 _),
     "q80_cube" -> (RelationalExt.q80 _),
@@ -119,6 +123,10 @@ object SparkEntry {
     "q58_hash_split" -> Sampling.q58Sql,
     // q59 is seeded-RNG sampling — engine-specific ⇒ rows-only + spec
     "q61_profile" -> Analytics.q61Sql,
+    "q62_moving_avg" -> RelationalMore.q62Sql,
+    "q63_basket" -> RelationalMore.q63Sql,
+    "q65_null_semantics" -> RelationalMore.q65Sql,
+    "q66_datetime" -> RelationalMore.q66Sql,
     // q42 is approximate by construction — rows-only
     "q80_cube" -> RelationalExt.q80Sql,
     "q81_pivot" -> RelationalExt.q81Sql,

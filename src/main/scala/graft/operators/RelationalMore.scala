@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Third relational tranche: sliding window frames, collection
+  * aggregation, three-valued-logic semantics, datetime extraction.
+  * Determinism per SURVEY.md §4 (decimal sums, total orders).
+  */
+object RelationalMore {
+
+  /** q62: sliding-frame moving aggregate — 4-row trailing sum/average
+    * per customer. The frame sum rides through DECIMAL so the oracle
+    * hash-matches; the average is one double division by the frame
+    * row count. One sort per partition, single Window operator.
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("frame_n"))
+      .withColumn("mov_avg", col("mov_sum") / col("frame_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q62Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    AS mov_sum,
+      |  COUNT(*) OVER w AS frame_n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS mov_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q63: order-basket aggregation — per order, the item multiset as a
+    * canonical (numerically sorted, '|'-joined) string plus counts.
+    * `collect_list` arrives in arbitrary shuffle order; `sort_array`
+    * canonicalizes BEFORE the string join, which is what makes the
+    * result deterministic and cross-engine comparable. Baskets stay
+    * bounded (items per order), so the collected state is O(basket).
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          .as("total_qty"),
+        concat_ws("|",
+          expr("transform(sort_array(collect_list(l_partkey)), x -> CAST(x AS STRING))"))
+          .as("basket"))
+      .orderBy(col("l_orderkey"))
+
+  val q63Sql: String =
+    """SELECT l_orderkey,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+      |  array_to_string(list_sort(list(l_partkey)), '|') AS basket
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q65: three-valued-logic semantics — NULLIF-manufactured nulls,
+    * strict vs null-safe equality (`<=>` / IS NOT DISTINCT FROM),
+    * COALESCE recovery. Counts are conditional sums (no extra
+    * shuffle beyond the one aggregate); this op exists to pin down
+    * NULL comparison semantics against a second engine.
+    */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val x = nullif(col("l_discount"), lit(0.0))
+    val y = nullif(col("l_tax"), lit(0.0))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        cnt(x.isNull).as("n_x_null"),
+        cnt(y.isNull).as("n_y_null"),
+        cnt(x === y).as("n_eq_strict"),
+        cnt(x <=> y).as("n_eq_nullsafe"),
+        sum(coalesce(x, lit(0.0)).cast(DecimalType(18, 4))).cast("double")
+          .as("sum_x_coalesced"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q65Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE NULLIF(l_discount, 0.0) IS NULL) AS n_x_null,
+      |  COUNT(*) FILTER (WHERE NULLIF(l_tax, 0.0) IS NULL) AS n_y_null,
+      |  COUNT(*) FILTER (WHERE NULLIF(l_discount, 0.0) = NULLIF(l_tax, 0.0))
+      |    AS n_eq_strict,
+      |  COUNT(*) FILTER (WHERE NULLIF(l_discount, 0.0)
+      |    IS NOT DISTINCT FROM NULLIF(l_tax, 0.0)) AS n_eq_nullsafe,
+      |  CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_x_coalesced
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q66: datetime extraction — year/quarter/month grouping with
+    * weekend counts (Spark's dayofweek is 1=Sunday; DuckDB's is
+    * 0=Sunday, aligned by +1 in the oracle), ISO week and day-of-year
+    * bounds. All pure extraction in codegen; the group-by is the only
+    * shuffle.
+    */
+  def q66(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("wk"))
+      .groupBy(col("y"), col("q"), col("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dow") === 1 || col("dow") === 7, 1L).otherwise(0L))
+          .as("n_weekend"),
+        min(col("doy")).as("min_doy"),
+        max(col("doy")).as("max_doy"),
+        max(col("wk")).as("max_wk"))
+      .orderBy(col("y"), col("q"), col("m"))
+
+  val q66Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE dayofweek(o_orderdate) + 1 IN (1, 7))
+      |    AS n_weekend,
+      |  CAST(MIN(dayofyear(o_orderdate)) AS BIGINT) AS min_doy,
+      |  CAST(MAX(dayofyear(o_orderdate)) AS BIGINT) AS max_doy,
+      |  CAST(MAX(weekofyear(o_orderdate)) AS BIGINT) AS max_wk
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY y, q, m""".stripMargin
+}

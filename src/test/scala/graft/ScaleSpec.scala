@@ -30,6 +30,32 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() === Tables(spark, sf, "lineitem").count())
   }
 
+  test("date-partitioned write prunes partitions at read time") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Tables(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val oneDay = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+    val scan = oneDay.queryExecution.executedPlan.toString
+    // partition pruning is visible as a PartitionFilters entry and the
+    // scan must NOT read every partition directory
+    assert(scan.contains("PartitionFilters"), scan)
+    val allDays = spark.read.parquet(out).select("day").distinct().count()
+    assert(allDays > 1, "partitioned write produced a single partition")
+    val prunedFiles = oneDay.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(prunedFiles === Some(1),
+      s"expected exactly 1 of $allDays partitions after pruning, got $prunedFiles")
+    // correctness of the pruned read
+    val expect = Tables(spark, sf, "events")
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(oneDay.count() === expect)
+  }
+
   test("salted join equals the plain join row-for-row") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
