@@ -71,6 +71,94 @@ object RelationalMore {
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
 
+  /** q64: string kitchen-sink beyond q14 — split_part / lpad /
+    * translate / reverse / left / right, all codegen built-ins,
+    * map-only (no shuffle; the ORDER BY is the verify-canonicalizer).
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("split_part(o_orderpriority, '-', 2)").as("pri_name"),
+        lpad(col("o_orderstatus"), 3, "*").as("status_pad"),
+        translate(col("o_orderpriority"), "-", " ").as("pri_spaced"),
+        reverse(col("o_orderstatus")).as("status_rev"),
+        expr("left(o_orderpriority, 3)").as("pri_left"),
+        expr("right(o_orderpriority, 3)").as("pri_right"))
+      .orderBy(col("o_orderkey"))
+
+  val q64Sql: String =
+    """SELECT o_orderkey,
+      |  split_part(o_orderpriority, '-', 2) AS pri_name,
+      |  lpad(o_orderstatus, 3, '*') AS status_pad,
+      |  translate(o_orderpriority, '-', ' ') AS pri_spaced,
+      |  reverse(o_orderstatus) AS status_rev,
+      |  left(o_orderpriority, 3) AS pri_left,
+      |  right(o_orderpriority, 3) AS pri_right
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q67: UNPIVOT/melt — the wide conditional-count row set folded
+    * back to long form with `Dataset.unpivot` (Spark's melt; an Expand
+    * under the hood, no shuffle beyond the feeding aggregate).
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(p: String) =
+      sum(when(col("o_orderpriority") === p, 1L).otherwise(0L))
+    val wide = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        cnt("1-URGENT").as("n_urgent"),
+        cnt("2-HIGH").as("n_high"),
+        cnt("5-LOW").as("n_low"))
+    wide.unpivot(
+      Array(col("o_orderstatus")),
+      Array(col("n_urgent"), col("n_high"), col("n_low")),
+      "priority_bucket", "n")
+      .orderBy(col("o_orderstatus"), col("priority_bucket"))
+  }
+
+  val q67Sql: String =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |    COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |    COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+      |    COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderstatus, priority_bucket, n
+      |FROM wide UNPIVOT (n FOR priority_bucket IN (n_urgent, n_high, n_low))
+      |ORDER BY o_orderstatus, priority_bucket""".stripMargin
+
+  /** q88: INTERSECT ALL / EXCEPT ALL — multiset semantics (duplicate
+    * counts preserved), complementing q83's distinct set ops. Spark
+    * plans these as count-compare aggregates over a single shuffle.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("nationkey"))
+    val sn = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") > 5000.0)
+      .select(col("s_nationkey").as("nationkey"))
+    cn.intersectAll(sn).withColumn("op", lit("inter_all"))
+      .unionAll(cn.exceptAll(sn).withColumn("op", lit("except_all")))
+      .select(col("op"), col("nationkey"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  val q88Sql: String =
+    """SELECT 'inter_all' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0)
+      |UNION ALL
+      |SELECT 'except_all', nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0)
+      |ORDER BY op, nationkey""".stripMargin
+
   /** q65: three-valued-logic semantics — NULLIF-manufactured nulls,
     * strict vs null-safe equality (`<=>` / IS NOT DISTINCT FROM),
     * COALESCE recovery. Counts are conditional sums (no extra

@@ -37,6 +37,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q05/q24: rank-filter pushes down as partial per-group top-k") {
+    // WindowGroupLimit keeps a k-row heap per group on the map side
+    // instead of sorting whole partitions then filtering — the
+    // difference between shuffling k rows/group and ALL rows at 100 TB
+    val p5 = plan(Relational.q05(spark, sf))
+    assert(p5.contains("WindowGroupLimit"), p5)
+    val p24 = plan(graft.operators.TextAnalysis.q24(spark, sf))
+    assert(p24.contains("WindowGroupLimit"), p24)
+  }
+
   test("q01: aggregation is partial (map-side) before the exchange") {
     val p = plan(Relational.q01(spark, sf))
     // HashAggregate appears twice around the exchange: partial + final
