@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[DotProductD].getName, "dot_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductD(exprs(0), exprs(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HeavyHitters(exprs(0), exprs(1))
+          .toAggregateExpression()))
   }
 }
 

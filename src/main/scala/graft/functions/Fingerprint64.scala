@@ -57,5 +57,8 @@ object GraftFunctions {
       "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", exprs =>
+        HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
   }
 }

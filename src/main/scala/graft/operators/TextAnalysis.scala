@@ -257,6 +257,25 @@ object TextAnalysis {
       |ORDER BY n DESC, w1, w2
       |LIMIT 50""".stripMargin
 
+  /** q27: corpus heavy hitters via graft's native Misra–Gries
+    * `TypedImperativeAggregate` ([[graft.functions.HeavyHitters]]) —
+    * top tokens by frequency with ≤ k counters per task and a k-row
+    * partial per partition through the shuffle (vs the full distinct
+    * token relation for exact count+sort). Sketch counts are lower
+    * bounds ⇒ rows-only; HeavyHittersSpec asserts the MG guarantees
+    * against exact counts.
+    */
+  def q27(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.spread(
+      Tables(spark, dir, "documents").select(col("text")))
+      .select(explode(wsTokens).as("tok"))
+      .agg(expr(s"heavy_hitters(tok, $k)").as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.count_lo").as("count_lo"))
+      .orderBy(col("count_lo").desc, col("item"))
+  }
+
   val q24Sql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
