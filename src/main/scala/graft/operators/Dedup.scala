@@ -367,6 +367,80 @@ object Dedup {
        |WHERE rnk = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** q37: incremental-ingestion dedup — classify a NEW batch of
+    * documents (doc_id ≡ 7 mod 10 stands in for "today's crawl")
+    * against the EXISTING corpus: `exact_dup` (content hash already
+    * present), `near_dup` (Jaccard ≥ 0.8 with some corpus doc), or
+    * `new`. The batch-vs-corpus shape is what runs daily at 100 TB:
+    * shingles join only ACROSS the batch/corpus boundary (never
+    * corpus×corpus), so cost scales with the batch, and the corpus
+    * side of both joins is its pre-computed hash/shingle index in
+    * production.
+    */
+  def q37(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val isBatch = col("doc_id") % 10 === 7
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(isBatch)
+    val exactIds = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(docs.filter(!isBatch).select(md5(col("text")).as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1))
+    val sh = shingleBase(spark, dir)
+    val shB = sh.filter(isBatch)
+      .select(col("doc_id").as("bid"), col("n").as("nb"), col("h"))
+    val shC = sh.filter(!isBatch)
+      .select(col("doc_id").as("cid"), col("n").as("nc"), col("h"))
+    val nearIds = shB.join(shC, Seq("h"))
+      .groupBy(col("bid"), col("nb"), col("cid"), col("nc"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double")
+        / (col("nb") + col("nc") - col("inter")) >= threshold)
+      .select(col("bid").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1))
+    batch.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String =
+    """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+      |c AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      |exact AS (
+      |  SELECT DISTINCT b.doc_id FROM b JOIN c ON md5(b.text) = md5(c.text)),
+      |tb AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM b),
+      |tc AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM c),
+      |sb AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+      |  ELSE [] END AS s FROM tb),
+      |sc AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+      |  ELSE [] END AS s FROM tc),
+      |exb AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sb),
+      |exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sc),
+      |inter AS (
+      |  SELECT a.doc_id AS bid, a.n AS nb, x.doc_id AS cid, x.n AS nc,
+      |    COUNT(*) AS inter
+      |  FROM exb a JOIN exc x ON a.g = x.g
+      |  GROUP BY 1, 2, 3, 4),
+      |near AS (
+      |  SELECT DISTINCT bid AS doc_id FROM inter
+      |  WHERE CAST(inter AS DOUBLE) / (nb + nc - inter) >= 0.8)
+      |SELECT b.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'new' END AS status
+      |FROM b
+      |LEFT JOIN exact e ON e.doc_id = b.doc_id
+      |LEFT JOIN near n ON n.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val q34Sql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -164,31 +164,74 @@ object Similarity {
     * SimilaritySpec measures recall against exact q40.
     */
   def q42(spark: SparkSession, dir: String): DataFrame = {
-    val base = vectors(spark, dir)
-    val centroids = base.orderBy(col("vec_id")).limit(NumCells)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    ivfAssigned(spark, dir).join(broadcast(ivfProbes(spark, dir)), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).orderBy(col("vec_id")).limit(NumCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
         col("nrm").as("cnrm"))
-    val cellCos = expr("dot_d(cv, v)") / (col("nrm") * col("cnrm"))
+
+  /** Corpus with its IVF cell assignment (nearest centroid). */
+  def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell"))
-    val assigned = base.join(broadcast(centroids))
-      .withColumn("ccos", cellCos)
+    vectors(spark, dir).join(broadcast(ivfCentroids(spark, dir)))
+      .withColumn("ccos", expr("dot_d(cv, v)") / (col("nrm") * col("cnrm")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  }
+
+  /** Query probe set: each query's NProbe nearest cells. */
+  def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell"))
-    val probes = base.filter(col("vec_id").isInCollection(QueryIds))
+    vectors(spark, dir).filter(col("vec_id").isInCollection(QueryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-      .join(broadcast(centroids))
+      .join(broadcast(ivfCentroids(spark, dir)))
       .withColumn("ccos", expr("dot_d(cv, qv)") / (col("qnrm") * col("cnrm")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= NProbe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+  }
+
+  /** Materialize the IVF index on disk: the corpus written ONCE,
+    * partitioned by cell — at 100 TB this is the difference between an
+    * ANN query scanning everything and scanning NProbe/NumCells of the
+    * data via plain partition pruning (no serving system needed; any
+    * Spark reader gets the pruning for free).
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    ivfAssigned(spark, dir)
+      .write.partitionBy("cell").mode("overwrite").parquet(indexPath)
+
+  /** Probe the on-disk index: query cells become LITERAL partition
+    * predicates (the probe set is tiny by definition — collecting it
+    * is what turns cell membership into prunable filters), so the scan
+    * touches only the probed cell directories. Same ranking math as
+    * q42 — results are identical to the in-flight form.
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String,
+      indexPath: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val probes = ivfProbes(spark, dir)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isInCollection(probedCells))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))

@@ -35,6 +35,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
+  test("on-disk IVF index: pruned probe reads match in-flight q42 exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(spark, sf, idx)
+    val probed = Similarity.probeIvfIndex(spark, sf, idx)
+    // the scan must touch only the probed cell partitions (pre-AQE
+    // plan: the adaptive wrapper hides scan leaves until execution)
+    val scanned = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f.selectedPartitions.partitionCount
+    }.head
+    val allCells = spark.read.parquet(idx).select("cell").distinct().count()
+    assert(scanned < allCells,
+      s"probe read $scanned of $allCells partitions — no pruning")
+    // identical ranking math ⇒ identical results to the in-flight form
+    val a = probed.collect().map(_.toSeq)
+    val b = Similarity.q42(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("q42 IVF: k results per query, recall better than random cells") {
     val exact = topk(Similarity.q40(spark, sf))
     val ivf = topk(Similarity.q42(spark, sf))
