@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object FileOps {
 
+  /** The reference's error taxonomy (ftp-blueprints exit_codes.py:1-4)
+    * as a typed exception: 3 bad credentials, 200 no matches, 201
+    * invalid path, 202 move error. Library callers pattern-match on
+    * `code`; a CLI wrapper would `sys.exit(code)`.
+    */
+  final case class GraftFsError(code: Int, message: String)
+      extends RuntimeException(message)
+  object ErrorCodes {
+    val IncorrectCredentials = 3
+    val NoMatchesFound = 200
+    val InvalidFilePath = 201
+    val MoveError = 202
+  }
+
+  /** Guard: a matching stage that found nothing is exit-200 in the
+    * reference (upload_file.py / download_file.py main flow).
+    */
+  def requireMatches(matched: Seq[String], pattern: String): Seq[String] =
+    if (matched.isEmpty)
+      throw GraftFsError(ErrorCodes.NoMatchesFound,
+        s"no files found matching '$pattern'")
+    else matched
+
   case class FileEntry(path: String, size: Long, mtime: Long, is_dir: Boolean)
 
   private def fs(uri: String, conf: Configuration): FileSystem = {
@@ -43,6 +66,11 @@ object FileOps {
     val root = fs(rootUri, conf.value)
     val top: Seq[FileStatus] =
       try root.listStatus(new Path(rootUri)).toSeq
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw GraftFsError(ErrorCodes.InvalidFilePath,
+            s"source path does not exist: $rootUri")
+      }
       finally root.close()
     val (dirs, files) = top.partition(_.isDirectory)
     val fileEntries = files.map(st => FileEntry(
@@ -137,14 +165,24 @@ object FileOps {
       }
   }
 
-  /** Single-file move (rename) — move_file.py:96. */
+  /** Single-file move (rename) — move_file.py:96; a failed rename is
+    * the reference's exit-202 condition (move_file.py:102).
+    */
   def move(spark: SparkSession, uri: String, src: String, dst: String): Boolean = {
     val f = fs(uri, hadoopConf(spark))
     try {
       val dstPath = new Path(dst)
       val parent = dstPath.getParent
       if (parent != null && !f.exists(parent)) f.mkdirs(parent)
-      f.rename(new Path(src), dstPath)
+      // some FileSystem impls signal a missing source by exception,
+      // others by returning false — both are the reference's exit-202
+      val renamed =
+        try f.rename(new Path(src), dstPath)
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!renamed)
+        throw GraftFsError(ErrorCodes.MoveError,
+          s"could not move $src -> $dst")
+      true
     } finally f.close()
   }
 

@@ -70,8 +70,20 @@ class FtpClient(host: String, port: Int, user: String, password: String,
   }
 
   private def login(): Unit = {
-    val u = expect(cmd(s"USER $user"), 331, 230)
-    if (u.code == 331) expect(cmd(s"PASS $password"), 230)
+    // 530 = not logged in → the reference's exit-3 bad-credentials
+    // condition (ftp-blueprints exit_codes.py:1)
+    val u = cmd(s"USER $user")
+    if (u.code == 530) throw graft.sources.FileOps.GraftFsError(
+      graft.sources.FileOps.ErrorCodes.IncorrectCredentials,
+      s"FTP rejected user '$user': ${u.text}")
+    expect(u, 331, 230)
+    if (u.code == 331) {
+      val p = cmd(s"PASS $password")
+      if (p.code == 530) throw graft.sources.FileOps.GraftFsError(
+        graft.sources.FileOps.ErrorCodes.IncorrectCredentials,
+        s"FTP rejected credentials for '$user': ${p.text}")
+      expect(p, 230)
+    }
     expect(cmd("TYPE I"), 200)
   }
 

@@ -110,6 +110,28 @@ class FileOpsSpec extends SparkSpec {
     assert(!Files.exists(root.resolve("sub/c.csv")))
   }
 
+  test("reference error taxonomy: 200 no-matches, 201 bad path, 202 move error") {
+    val root = mkTree()
+    // 200: a matching stage with zero hits
+    val hits = FileOps.matchBasename(
+      FileOps.listRecursive(spark, s"file:$root"), "\\.nope$")
+      .select("path").collect().map(_.getString(0)).toSeq
+    val e200 = intercept[FileOps.GraftFsError] {
+      FileOps.requireMatches(hits, "\\.nope$")
+    }
+    assert(e200.code === FileOps.ErrorCodes.NoMatchesFound)
+    // 201: listing a source folder that does not exist
+    val e201 = intercept[FileOps.GraftFsError] {
+      FileOps.listRecursive(spark, s"file:$root/definitely/missing")
+    }
+    assert(e201.code === FileOps.ErrorCodes.InvalidFilePath)
+    // 202: renaming a file that is not there
+    val e202 = intercept[FileOps.GraftFsError] {
+      FileOps.move(spark, s"file:$root", s"$root/ghost.txt", s"$root/out.txt")
+    }
+    assert(e202.code === FileOps.ErrorCodes.MoveError)
+  }
+
   test("q60 manifest lists the scale dir") {
     val rows = FileOps.q60(spark, sf).collect()
     assert(rows.length === 10) // the ten tables

@@ -28,6 +28,21 @@ class FtpSpec extends SparkSpec {
       "true")
   }
 
+  test("bad FTP credentials surface as the reference's exit-3 error") {
+    val authRoot = Files.createTempDirectory("graft_ftp_auth")
+    val authServer = new graft.ftp.MiniFtpServer(authRoot,
+      requiredPassword = Some("secret"))
+    try {
+      val e = intercept[FileOps.GraftFsError] {
+        new FtpClient("127.0.0.1", authServer.port, "u", "wrong")
+      }
+      assert(e.code === FileOps.ErrorCodes.IncorrectCredentials)
+      // and the right password still logs in
+      val ok = new FtpClient("127.0.0.1", authServer.port, "u", "secret")
+      ok.close()
+    } finally authServer.stop()
+  }
+
   test("FtpClient speaks the protocol: list, size, retr, stor, rename, dele") {
     val c = new FtpClient("127.0.0.1", server.port, "u", "p")
     try {

@@ -12,7 +12,7 @@ import scala.util.control.NonFatal
   * RFC 959 + MLSD, passive mode only, loopback only. Protocol support
   * mirrors exactly what [[graft.sources.ftp.FtpClient]] speaks.
   */
-class MiniFtpServer(root: Path) {
+class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(true)
   val port: Int = server.getLocalPort
@@ -73,7 +73,9 @@ class MiniFtpServer(root: Path) {
           else (line.take(sp).toUpperCase, line.drop(sp + 1))
         c match {
           case "USER" => reply("331 password required")
-          case "PASS" => reply("230 logged in")
+          case "PASS" =>
+            if (requiredPassword.forall(_ == arg)) reply("230 logged in")
+            else reply("530 Login incorrect")
           case "SYST" => reply("215 UNIX Type: L8")
           case "FEAT" => reply("211-Features:"); reply(" MLSD"); reply("211 End")
           case "TYPE" => reply("200 ok")
