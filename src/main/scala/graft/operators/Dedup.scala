@@ -407,6 +407,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q38: the end-to-end dedup verdict — what the pipeline actually
+    * ships. Every document classified `exact_dup` (not the min-id of
+    * its content-hash group), `near_dup` (in a q35 cluster but not its
+    * q36 representative), or `kept`. One md5 window + the CC labels +
+    * a rep window; the corpus outside any cluster passes through
+    * untouched (null-preserving left joins, no explode of clean docs).
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wHash = Window.partitionBy(col("content_hash"))
+    val exact = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("content_hash"))
+      .withColumn("keep_id", min(col("doc_id")).over(wHash))
+    val labels = q35(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val wRep = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val reps = labels
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("rnk", row_number().over(wRep))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"))
+    exact
+      .join(labels, Seq("doc_id"), "left")
+      .join(reps, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("cluster_id").isNotNull && col("rep_id") =!= col("doc_id"),
+            "near_dup")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String =
+    s"""$ccCtes,
+       |reps AS (
+       |  SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT c.cluster_id, c.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |        ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+       |    FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+       |  WHERE rnk = 1),
+       |exact AS (
+       |  SELECT doc_id,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |  FROM documents)
+       |SELECT e.doc_id,
+       |  CASE WHEN e.doc_id <> e.keep_id THEN 'exact_dup'
+       |       WHEN c.cluster_id IS NOT NULL AND r.rep_id <> e.doc_id
+       |         THEN 'near_dup'
+       |       ELSE 'kept' END AS status
+       |FROM exact e
+       |LEFT JOIN comp c ON c.doc_id = e.doc_id
+       |LEFT JOIN reps r ON r.cluster_id = c.cluster_id
+       |ORDER BY e.doc_id""".stripMargin
+
   val q37Sql: String =
     """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
       |c AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
