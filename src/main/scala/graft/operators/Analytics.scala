@@ -211,6 +211,50 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q56: hourly resample with gap fill — the time grid is generated
+    * (`sequence` over the global hour bounds, exploded per event
+    * type), then LEFT-joined against the actual hourly aggregate so
+    * silent hours surface as explicit zero rows. The grid side is
+    * (types × hours) — tiny — and broadcasts; the fact side shuffles
+    * once for the aggregate. This is the missing-bucket repair every
+    * downstream window/trend computation needs.
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q56Sql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+      |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |g AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS h FROM t, b),
+      |a AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT g.event_type, g.h,
+      |  COALESCE(a.n, 0) AS n,
+      |  COALESCE(a.total_value, 0.0) AS total_value
+      |FROM g LEFT JOIN a ON a.event_type = g.event_type AND a.h = g.h
+      |ORDER BY g.event_type, g.h""".stripMargin
+
   private val ProfNumCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   private val ProfStrCols = Seq("l_returnflag", "l_linestatus")
 

@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), p)
   }
 
+  test("map-only operators plan zero exchanges") {
+    // redaction (q25) and the hash split (q58) must pipeline scan →
+    // project → filter with no shuffle: at 100 TB a stray Exchange
+    // here would move the whole corpus for nothing
+    val p25 = plan(graft.operators.TextAnalysis.q25(spark, sf))
+    val p58 = plan(graft.operators.Sampling.q58(spark, sf))
+    // each ends in a global sort for the verify canonicalizer — strip
+    // the top-level sort's exchange from consideration by checking
+    // the count: exactly one (the sort), nothing from the op itself
+    assert("Exchange".r.findAllIn(p25).size <= 1, p25)
+    assert("Exchange".r.findAllIn(p58).size <= 1, p58)
+  }
+
   test("fingerprint64 and dot_d work via SQL through GraftExtensions") {
     val s2 = GraftSession.builder("local[2]", 2).getOrCreate()
     val r = s2.sql(
