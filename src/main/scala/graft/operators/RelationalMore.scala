@@ -159,6 +159,45 @@ object RelationalMore {
       |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0)
       |ORDER BY op, nationkey""".stripMargin
 
+  /** q68: array algebra over collected baskets — intersect / except /
+    * contains / slice against a reference set, all codegen array
+    * built-ins evaluated AFTER the aggregate (so the per-row work
+    * scales with basket size, not table size).
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val probe = array((1 to 50).map(i => lit(i.toLong)): _*)
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("basket"))
+      .select(col("l_orderkey"),
+        size(col("basket")).cast("long").as("n_items"),
+        size(array_distinct(array_intersect(col("basket"), probe)))
+          .cast("long").as("n_in_probe"),
+        size(array_except(col("basket"), probe)).cast("long")
+          .as("n_outside_probe"),
+        array_contains(col("basket"), 42L).as("has_42"),
+        concat_ws("|", expr(
+          "transform(slice(basket, 1, 2), x -> CAST(x AS STRING))"))
+          .as("first2"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q68Sql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey, list_sort(list(l_partkey)) AS basket
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |  len(basket) AS n_items,
+      |  CAST(len(list_distinct(list_filter(basket,
+      |    x -> list_contains(range(1, 51), x)))) AS BIGINT) AS n_in_probe,
+      |  CAST(len(list_distinct(list_filter(basket,
+      |    x -> NOT list_contains(range(1, 51), x)))) AS BIGINT)
+      |    AS n_outside_probe,
+      |  list_contains(basket, 42) AS has_42,
+      |  array_to_string(basket[1:2], '|') AS first2
+      |FROM b
+      |ORDER BY l_orderkey""".stripMargin
+
   /** q65: three-valued-logic semantics — NULLIF-manufactured nulls,
     * strict vs null-safe equality (`<=>` / IS NOT DISTINCT FROM),
     * COALESCE recovery. Counts are conditional sums (no extra
