@@ -175,6 +175,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q44: per-label embedding statistics — count plus min/max of the
+    * L2 norm and of the cosine against a fixed probe vector. Min/max
+    * are exactly associative (unlike float sums), so this aggregate
+    * hash-matches the oracle with plain double math: one scan, one
+    * narrow shuffle of (label, norm, cos) triples.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir)
+    val probe = base.filter(col("vec_id") === QueryIds.head)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    base.join(broadcast(probe))
+      .withColumn("cos", expr("dot_d(qv, v)") / (col("nrm") * col("qnrm")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q44Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, nrm AS qnrm FROM e
+       |      WHERE vec_id = ${QueryIds.head})
+       |SELECT label, COUNT(*) AS n,
+       |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       |  MIN(list_dot_product(qv, v) / (nrm * qnrm)) AS min_cos,
+       |  MAX(list_dot_product(qv, v) / (nrm * qnrm)) AS max_cos
+       |FROM e CROSS JOIN q
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir).orderBy(col("vec_id")).limit(NumCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
