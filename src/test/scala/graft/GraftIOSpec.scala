@@ -10,7 +10,7 @@ class GraftIOSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
     val dir = Files.createTempDirectory("graft_io")
-    for (fmt <- Seq("csv", "json", "parquet")) {
+    for (fmt <- Seq("csv", "json", "parquet", "orc")) {
       GraftIO.write(df, fmt, s"file:$dir/$fmt")
       val back = GraftIO.read(spark, fmt, s"file:$dir/$fmt")
       assert(back.count() === 2, fmt)

@@ -71,6 +71,32 @@ class ScaleSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("runtime bloom filter injects on a selectively-filtered shuffle join") {
+    // the build side's selective predicate becomes a bloom filter
+    // probed on the fact side BEFORE the shuffle — at 100 TB this
+    // drops most fact rows at the scan instead of shuffling them
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(spark, sf, "lineitem")
+      val o = Tables(spark, sf, "orders").filter(col("o_totalprice") > 400000.0)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("keyHistogram surfaces the heaviest keys in order") {
     val h = Skew.keyHistogram(Tables(spark, sf, "lineitem"), "l_suppkey", 5)
       .collect()
