@@ -1,5 +1,9 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,6 +15,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle/spill telemetry: wall time says WHETHER a query got
+    // slower, bytes-through-the-shuffle says WHY
+    val shuffleBytes = new AtomicLong
+    val spilledBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spilledBytes.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
     // warm-up at the smallest SF: JIT, codegen cache, parquet reader,
     // shuffle machinery — so timed runs below measure steady state
     val warmDir = "/root/testdata/sf0.001"
@@ -23,6 +40,7 @@ object Bench {
       // load spikes showed up as multi-second stalls on trivial
       // queries), and min-of-N is the standard steady-state estimator
       // under external noise
+      val sh0 = shuffleBytes.get(); val sp0 = spilledBytes.get()
       val times = (1 to 2).map { _ =>
         // Spark's ContextCleaner is GC-driven: with a large pinned
         // heap the JVM never collects, so shuffle registrations /
@@ -34,12 +52,19 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      // metric deltas cover both runs → report the per-run average
+      val shMb = (shuffleBytes.get() - sh0) / 2.0 / 1e6
+      val spMb = (spilledBytes.get() - sp0) / 2.0 / 1e6
+      (name, times.min, shMb, spMb)
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, _, s, _) =>
+      s"\"" + k + "\":" + f"$s%.1f" }.mkString("{", ",", "}")
+    val totalSpill = results.map(_._4).sum
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
