@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HeavyHitters(exprs(0), exprs(1))
           .toAggregateExpression()))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NfcNormalize(exprs.head)))
   }
 }
 

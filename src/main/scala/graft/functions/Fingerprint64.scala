@@ -60,5 +60,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs =>
         HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
   }
 }

@@ -276,6 +276,37 @@ object TextAnalysis {
       .orderBy(col("count_lo").desc, col("item"))
   }
 
+  /** q28: canonical text cleaning — NFC unicode normalization (native
+    * [[graft.functions.NfcNormalize]] codegen expression), lowercase,
+    * control-char strip, whitespace collapse, trim; plus the md5 of
+    * the cleaned form (what dedup should actually hash: é composed
+    * and é decomposed must collide). Map-only, no shuffle.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(expr("nfc_normalize(text)")),
+        "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), cleaned.as("clean_text"))
+      .select(col("doc_id"),
+        md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(
+      |    lower(nfc_normalize(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS clean_md5,
+      |  CAST(len(trim(regexp_replace(regexp_replace(
+      |    lower(nfc_normalize(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val q24Sql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term

@@ -20,6 +20,22 @@ class FingerprintSpec extends SparkSpec {
     assert(fps(0) === ref("hello world"))
   }
 
+  test("nfc_normalize: composed and decomposed forms collide after cleaning") {
+    functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // "é" composed (U+00E9) vs decomposed (e + U+0301) — byte-different,
+    // canonically equal; already-NFC ASCII passes through untouched
+    val df = Seq("caf\u00e9", "cafe\u0301", "plain ascii")
+      .toDF("text")
+      .select(col("text"), expr("nfc_normalize(text)").as("n"),
+        md5(expr("nfc_normalize(text)")).as("h"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) === rows(1).getString(1))
+    assert(rows(0).getString(2) === rows(1).getString(2))
+    assert(rows(0).getString(0) !== rows(1).getString(0))
+    assert(rows(2).getString(1) === "plain ascii")
+  }
+
   test("fingerprint64 null propagates") {
     functions.GraftFunctions.register(spark)
     val row = spark.sql("SELECT fingerprint64(CAST(NULL AS STRING)) AS fp")
