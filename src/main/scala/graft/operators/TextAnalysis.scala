@@ -307,6 +307,47 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** q29: stopword filtering — per-doc token counts before/after
+    * dropping the stopword set, plus the filtered text re-joined.
+    * Pure array ops in codegen (`filter` + `array_contains` against a
+    * literal array — no join against a stopword table needed at this
+    * list size; at a 10⁵-word blocklist, broadcast-join the exploded
+    * tokens instead). Map-only, no shuffle.
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), t => !array_contains(stopArr, t)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_stopped"),
+        concat_ws(" ", col("kept")).as("filtered_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String = {
+    val list = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    list_filter(toks, x -> NOT list_contains($list, x)) AS kept
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(n_tokens - len(kept) AS BIGINT) AS n_stopped,
+       |  array_to_string(kept, ' ') AS filtered_text
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val q24Sql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
