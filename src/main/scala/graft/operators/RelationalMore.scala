@@ -198,6 +198,35 @@ object RelationalMore {
       |FROM b
       |ORDER BY l_orderkey""".stripMargin
 
+  /** q89: correlated scalar subquery — each order compared against
+    * its OWN customer's average (decimal-exact, so the threshold is
+    * bit-identical cross-engine). Not expressible in the DataFrame
+    * DSL; goes through graft's SQL surface and exercises Catalyst's
+    * decorrelation: the optimizer rewrites the per-row subquery into
+    * one aggregate + join (one shuffle), not a nested loop — verify
+    * with `.explain`: no per-row subplan survives.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_g")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders_g o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / COUNT(*)
+        |  FROM orders_g o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val q89Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |         / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** q65: three-valued-logic semantics — NULLIF-manufactured nulls,
     * strict vs null-safe equality (`<=>` / IS NOT DISTINCT FROM),
     * COALESCE recovery. Counts are conditional sums (no extra
