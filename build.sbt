@@ -23,14 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[N] pushes N concurrent task threads through shuffle +
+// localCheckpoint block storage — an undersized heap turns the bench
+// into a GC lottery (observed 3.8s → 24.5s swings on q35 at 8g).
+// Size the default from the machine (40% of physical RAM, clamped to
+// [8g, 48g]) instead of pinning this box's 48g; SPARK_DRIVER_MEM
+// still overrides explicitly.
+val defaultHeapGb: Long = {
+  val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  val physGb = bean.getTotalMemorySize / (1L << 30)
+  math.min(48L, math.max(8L, (physGb * 2) / 5))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] pushes 32 concurrent task threads through shuffle +
-  // localCheckpoint block storage — an undersized heap turns the bench
-  // into a GC lottery (observed 3.8s → 24.5s swings on q35 at 8g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
   // pin the committed heap — G1 heap-resize cycles showed up as
   // multi-second jitter on the allocation-heavy text pipelines
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

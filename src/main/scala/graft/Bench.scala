@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,6 +42,8 @@ object Bench {
       // queries), and min-of-N is the standard steady-state estimator
       // under external noise
       val sh0 = shuffleBytes.get(); val sp0 = spilledBytes.get()
+      // a failing query must surface as err, never as a bogus timing
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         // Spark's ContextCleaner is GC-driven: with a large pinned
         // heap the JVM never collects, so shuffle registrations /
@@ -49,22 +52,32 @@ object Bench {
         System.gc()
         Thread.sleep(200) // let the async cleaner drain before timing
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // metric deltas cover both runs → report the per-run average
       val shMb = (shuffleBytes.get() - sh0) / 2.0 / 1e6
       val spMb = (spilledBytes.get() - sp0) / 2.0 / 1e6
-      (name, times.min, shMb, spMb)
+      (name, times.min, shMb, spMb, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._5.isEmpty)
+    val qs = ok.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s, _) =>
+    val sh = ok.map { case (k, _, s, _, _) =>
       s"\"" + k + "\":" + f"$s%.1f" }.mkString("{", ",", "}")
-    val totalSpill = results.map(_._4).sum
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, _, _, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val totalSpill = ok.map(_._4).sum
+    val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},"sf":"$sfDir"}""")
+      s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
+      s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

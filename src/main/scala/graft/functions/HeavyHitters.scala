@@ -42,7 +42,13 @@ case class HeavyHitters(
         s"heavy_hitters needs STRING input, got ${child.dataType}")
     else if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("k must be a literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match {
+      // fail at analysis time, not inside the lazy val mid-aggregate:
+      // k=0 would make shrink() evict every counter on every update
+      case n: Number if n.intValue() >= 1 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"k must be an integer >= 1, got $other")
+    }
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty

@@ -298,6 +298,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // a component with diameter > the round cap would return a silently
+    // partial clustering (and q36/q38 would inherit it) — make it loud
+    if (!converged)
+      throw new IllegalStateException(
+        s"q35 label propagation did not converge within $rounds rounds; " +
+          "raise the cap or switch to large-star/small-star")
     val wComp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
     labels

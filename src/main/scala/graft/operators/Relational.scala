@@ -434,14 +434,15 @@ object Relational {
       |  FROM lagged),
       |sess AS (
       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id_raw
       |  FROM flagged)
-      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |SELECT user_id, CAST(session_id_raw AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM sess
-      |GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |GROUP BY user_id, session_id_raw
+      |ORDER BY user_id, session_id_raw""".stripMargin
 
   /** q19: as-of join — for every purchase event, the most recent
     * prior-or-equal view event of the same user. Spark has no native

@@ -215,7 +215,7 @@ object RelationalExt {
 
   val q86Sql: String =
     """SELECT event_type,
-      |  COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
       |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
       |FROM (
       |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
