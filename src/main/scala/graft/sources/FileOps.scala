@@ -56,9 +56,12 @@ object FileOps {
 
   /** Recursive listing as a DataFrame — the Spark-shaped twin of the
     * reference's `find_files_in_directory` walk (download_file.py:138).
-    * First level is listed on the driver, each child subtree is then
-    * walked in parallel on the executors (driver never holds more than
-    * the manifest).
+    * Only the root's direct children are listed on the driver (bounded
+    * by the root's fan-out); each child subtree is walked in parallel
+    * on the executors, and the result STAYS distributed — the manifest
+    * is a DataFrame over the walk's RDD, never `.collect()`ed. At
+    * 10⁷–10⁸ files the manifest feeds bulkCopy partition-by-partition
+    * without ever materializing on the driver.
     */
   def listRecursive(spark: SparkSession, rootUri: String): DataFrame = {
     import spark.implicits._
@@ -73,11 +76,14 @@ object FileOps {
       }
       finally root.close()
     val (dirs, files) = top.partition(_.isDirectory)
-    val fileEntries = files.map(st => FileEntry(
+    val topEntries = files.map(st => FileEntry(
       st.getPath.toUri.getPath, st.getLen,
-      st.getModificationTime, is_dir = false))
-    val subtreeEntries: Seq[FileEntry] =
-      if (dirs.isEmpty) Seq.empty
+      st.getModificationTime, is_dir = false)) ++
+      dirs.map(st => FileEntry(st.getPath.toUri.getPath,
+        0L, st.getModificationTime, is_dir = true))
+    val topDF = topEntries.toDF()
+    val subtreeDF =
+      if (dirs.isEmpty) spark.emptyDataset[FileEntry].toDF()
       else spark.sparkContext
         .parallelize(dirs.map(_.getPath.toString), math.min(dirs.size, 64))
         .mapPartitions { paths =>
@@ -86,10 +92,8 @@ object FileOps {
             try walk(f, new Path(p))
             finally f.close()
           }
-        }.collect().toSeq
-    (fileEntries ++ dirs.map(st => FileEntry(st.getPath.toUri.getPath,
-      0L, st.getModificationTime, is_dir = true)) ++ subtreeEntries)
-      .toDF().orderBy(col("path"))
+        }.toDF()
+    topDF.unionAll(subtreeDF).orderBy(col("path"))
   }
 
   private def walk(f: FileSystem, p: Path): Seq[FileEntry] =

@@ -132,6 +132,34 @@ class FileOpsSpec extends SparkSpec {
     assert(e202.code === FileOps.ErrorCodes.MoveError)
   }
 
+  test("listRecursive stays distributed: 1e5-file tree, subtree walk " +
+      "is an RDD scan, not a driver-collected LocalRelation") {
+    val root = Files.createTempDirectory("graft_big")
+    (0 until 100).foreach { d =>
+      val dir = root.resolve(f"d$d%03d")
+      Files.createDirectories(dir)
+      (0 until 1000).foreach(i => Files.createFile(dir.resolve(f"f$i%04d")))
+    }
+    val df = FileOps.listRecursive(spark, s"file:$root")
+    // the subtree side of the union must be a distributed RDD scan;
+    // only the root's direct children (100 dirs) may be local
+    val locals = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.nonEmpty && locals.forall(_.data.length <= 100),
+      "driver-side relation bigger than the root's direct fan-out")
+    val rdds = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.ExternalRDD[_] => r
+    }
+    assert(rdds.nonEmpty, "subtree walk did not stay an RDD")
+    assert(df.filter("not is_dir").count() === 100000L)
+    assert(df.filter("is_dir").count() === 100L)
+    // clean up: 100k inodes is real temp-dir pressure
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
+
   test("q60 manifest lists the scale dir") {
     val rows = FileOps.q60(spark, sf).collect()
     assert(rows.length === 10) // the ten tables
