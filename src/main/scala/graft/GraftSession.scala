@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HeavyHitters(exprs(0), exprs(1))
           .toAggregateExpression()))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("collect_capped"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CollectCapped].getName, "collect_capped"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CollectCapped(exprs(0), exprs(1))
+          .toAggregateExpression()))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),

@@ -62,5 +62,8 @@ object GraftFunctions {
         HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_capped", exprs =>
+        CollectCapped(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
   }
 }

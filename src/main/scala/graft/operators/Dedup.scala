@@ -74,22 +74,43 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY content_hash""".stripMargin
 
+  /** Default posting-list cap: a shingle shared by more docs than
+    * this is boilerplate (headers, licenses) — its C(df,2) pair
+    * fan-out is quadratic while its Jaccard evidence is near zero.
+    * At df=10⁶ one posting list alone would emit 5×10¹¹ pairs; at
+    * the cap the worst list emits C(1000,2) ≈ 5×10⁵. Docs whose
+    * overlap lives only in dropped stop-shingles are q32's job
+    * (MinHash signatures are df-insensitive).
+    */
+  val DefaultDfCap = 1000
+
   /** q31: exact n-gram Jaccard near-dup pairs via inverted shingle
     * index: explode → self-join on shingle → pair intersection counts
     * → |A∪B| from per-doc sizes. No all-pairs product anywhere.
+    *
+    * Posting lists are capped at `dfCap` (stop-shingle filter, on by
+    * default): shingles with document frequency above the cap are
+    * dropped before pair emission, so the computed `jaccard` is a
+    * lower bound when a pair's overlap includes stop-shingles.
+    * DedupSpec quantifies the recall loss at an aggressive cap; at
+    * the default the sf0.01 oracle is bit-identical (max df 25).
     */
-  def q31(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def q31(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     // inverted index: one pass over the shingle pipeline, grouped on
     // the 64-bit hash; each posting list emits its C(df,2) doc pairs
     // in codegen (sorted, so ia < ib by construction). No self-join,
     // no sizes join — (n_a, n_b) ride inside the posting structs.
-    // At 100 TB add a df-cap on posting lists (stop-shingle filter) —
-    // max df here is 25, so the exact form is the right default.
+    // collect_capped (graft.functions.CollectCapped) bounds every
+    // aggregation buffer at cap+1 entries and tombstones hot shingles
+    // map-side — a boilerplate shingle never materializes its posting
+    // list anywhere in the plan, not even pre-shuffle.
     val postings = shingleBase(spark, dir)
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
-        col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .agg(expr(s"collect_capped(struct(doc_id AS id, n), $dfCap)").as("dsr"))
+      .filter(col("dsr").isNotNull && size(col("dsr")) > 1)
+      .select(col("h"), sort_array(col("dsr")).as("ds"))
     val pairs = postings.select(explode(expr(
       """flatten(transform(ds, (x, i) ->
         |  transform(slice(ds, i + 2, size(ds)),
@@ -239,20 +260,92 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** q34: embedding-cosine near-duplicate pairs (exact, double math).
-    * The tiny side is broadcast; each pair's dot product runs inside
-    * codegen via zip_with/aggregate. Scale path: swap the broadcast
-    * nested-loop for the q41 LSH bucketing at >10⁶ vectors.
+  /** Corpus size above which q34 refuses the exact all-pairs plan and
+    * routes through hyperplane-LSH bucketing instead.
+    */
+  val ExactPairsLimit = 100000L
+
+  /** q34: embedding-cosine near-duplicate pairs. Dispatches on corpus
+    * size: up to [[ExactPairsLimit]] vectors the result is exact
+    * (small side broadcast, every pair's dot product in codegen) and
+    * carries the DuckDB oracle; above it the plan switches to
+    * [[q34Lsh]] — hyperplane-bucket candidate generation with exact
+    * cosine inside buckets, no broadcast of the corpus and no O(n²)
+    * compare anywhere. DedupSpec measures the LSH path's recall
+    * against the exact path on the same data.
     */
   def q34(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
+    val n = Tables(spark, dir, "embeddings").count()
+    if (n <= ExactPairsLimit) q34Exact(spark, dir, tau)
+    else q34Lsh(spark, dir, tau)
+  }
+
+  /** Exact small-corpus path (the oracle twin). */
+  def q34Exact(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+    val e = embeddingVectors(spark, dir)
     val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("ia") < col("ib"))
+      .withColumn("cosine",
+        expr("dot_d(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("ia"), col("ib"), col("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  private def embeddingVectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+  }
+
+  /** Scale path for q34: multi-table random-hyperplane LSH. Every
+    * vector gets `tables` bucket ids (one `bits`-bit sign pattern
+    * each); candidate pairs are vectors sharing any (table, bucket) —
+    * a shuffle join on the bucket key, bounded per-bucket fan-out
+    * (~n/2^bits docs per bucket), then exact cosine re-ranks and
+    * filters. The corpus is never broadcast and never compared
+    * all-pairs; recall for high-cosine pairs is (1-(1-p^bits)^tables),
+    * p = 1 - acos(cos)/π — e.g. ≥0.9-cosine pairs at 8×8 ⇒ ~93%.
+    * Raise `bits` with corpus size to keep buckets bounded.
+    */
+  def q34Lsh(spark: SparkSession, dir: String, tau: Double = 0.42,
+      tables: Int = 8, bits: Int = 8): DataFrame = {
+    val e = embeddingVectors(spark, dir).localCheckpoint()
+    val dims = 64
+    val rng = new scala.util.Random(4242)
+    val planes: IndexedSeq[Column] = (0 until tables * bits).map { _ =>
+      array((0 until dims).map(_ =>
+        lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*)
+    }
+    val withPlanes = planes.zipWithIndex.foldLeft(e) { case (d, (p, i)) =>
+      d.withColumn(s"plane_$i", p)
+    }
+    val buckets = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        when(expr(s"dot_d(v, plane_${t * bits + j})") > 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    // narrow (vec_id, table, bucket) relation: the join key side never
+    // carries the vectors
+    val hashed = withPlanes
+      .withColumn("buckets", array(buckets: _*))
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val cand = hashed.as("x").join(hashed.as("y"),
+        col("x.table") === col("y.table")
+          && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+      .distinct() // union of per-table candidate sets, 16-byte keys
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"),
+        col("nrm").as("na")), Seq("ia"))
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("ib"))
       .withColumn("cosine",
         expr("dot_d(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= tau)

@@ -28,6 +28,28 @@ class DedupSpec extends SparkSpec {
     assert(tight.subsetOf(sh), s"missed ${tight.diff(sh)}")
   }
 
+  test("q31 df-cap: default cap is lossless here; an aggressive cap " +
+      "quantifies its recall loss") {
+    // default cap (1000) cannot drop anything at this sf (max df ~25):
+    // the oracle path must be bit-identical to uncapped
+    val uncapped = pairs(Dedup.q31(spark, sf, 0.8, dfCap = Int.MaxValue))
+    val default_ = pairs(Dedup.q31(spark, sf, 0.8))
+    assert(default_ === uncapped)
+    // an aggressive cap drops hot shingles — computed jaccard becomes
+    // a lower bound, so the capped pair set can only shrink (never
+    // emit a pair uncapped lacks), and the recall loss is quantified
+    for (cap <- Seq(2, 5, 10, 20)) {
+      val capped = pairs(Dedup.q31(spark, sf, 0.8, dfCap = cap))
+      assert(capped.subsetOf(uncapped),
+        s"cap=$cap emitted non-pairs: ${capped.diff(uncapped)}")
+      val recall = capped.size.toDouble / uncapped.size
+      info(f"df-cap=$cap%d recall vs uncapped: ${capped.size}/${uncapped.size} = $recall%.2f")
+    }
+    // at a cap that keeps this corpus's real near-dup shingles
+    // (df <= 20) recall must be total
+    assert(pairs(Dedup.q31(spark, sf, 0.8, dfCap = 25)) === uncapped)
+  }
+
   test("q30 exact dedup keeps one id per content hash") {
     val df = Dedup.q30(spark, sf)
     assert(df.count() === df.select("content_hash").distinct().count())
@@ -45,6 +67,26 @@ class DedupSpec extends SparkSpec {
     labels.groupBy(_._2).foreach { case (cid, members) =>
       assert(cid === members.keys.min)
     }
+  }
+
+  test("q34 LSH scale path: subset of exact, high recall on high-cosine pairs") {
+    def cpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus's planted near-dups sit at cosine 0.42-0.48 (hard
+    // LSH regime: p_bit ≈ 0.66) — operate at 4 bits × 8 tables, the
+    // point where expected recall ≈ 1-(1-0.66⁴)⁸ ≈ 0.81. The 8×8
+    // default targets the ≥0.9-cosine near-dup regime of real
+    // embedding dedup.
+    val exactP = cpairs(Dedup.q34Exact(spark, sf, 0.42))
+    assert(exactP.nonEmpty)
+    val lshP = cpairs(Dedup.q34Lsh(spark, sf, 0.42, tables = 8, bits = 4))
+    // candidates go through the same exact-cosine filter, so LSH can
+    // only miss, never invent
+    assert(lshP.subsetOf(exactP), s"invented: ${lshP.diff(exactP)}")
+    val recall = lshP.size.toDouble / exactP.size
+    info(f"q34 LSH recall vs exact at cosine>=0.42: ${lshP.size}/${exactP.size} = $recall%.2f")
+    assert(recall >= 0.7, f"recall $recall%.2f below 0.7")
   }
 
   test("q34 cosine pairs are symmetric-free and above threshold") {
