@@ -1,0 +1,249 @@
+package graft.blueprints
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.sources.{FileOps, PathUtils}
+import graft.sources.FileOps.{ErrorCodes, GraftFsError, Transfer}
+
+/** The reference blueprints' unit of use is a CLI job — these four
+  * mains mirror them flag for flag (upload_file.py:11-48 argparse),
+  * exit with the reference's code taxonomy (exit_codes.py:1-4), and
+  * run the transfer itself distributed through [[FileOps]]:
+  *
+  * {{{
+  * graft.blueprints.Upload \
+  *   --source-file-name-match-type regex_match \
+  *   --source-file-name '\.csv$' --source-folder-name /data \
+  *   --destination-folder-name in --host ftp.example --port 21 \
+  *   --username u --password p
+  * }}}
+  *
+  * Credentials come from `--username`/`--password` or, when the flags
+  * are omitted, the `FTP_USERNAME`/`FTP_PASSWORD` environment
+  * variables. Match semantics follow the reference exactly: upload /
+  * move / delete regex-match the FULL path (upload_file.py:147
+  * find_all_file_matches), download matches the BASENAME
+  * (download_file.py:174 find_matching_files); upload and download
+  * enumerate an explicit destination name `name_N.ext` on every
+  * regex match (upload_file.py:242-253), move only when more than
+  * one file matched (move_file.py:168-173).
+  */
+object Blueprints {
+
+  final case class Args(
+      matchType: String,
+      sourceFileName: String,
+      sourceFolderName: String,
+      destinationFolderName: String,
+      destinationFolderRaw: String,
+      destinationFileName: Option[String],
+      host: String,
+      port: Int,
+      username: String,
+      password: String)
+
+  /** argparse twin: `--flag value` pairs only, reference flag names.
+    * Delete uses `--file-name-match-type` (delete_file.py:29); the
+    * other three use `--source-file-name-match-type`.
+    */
+  def parse(argv: Array[String]): Args = {
+    val m = argv.grouped(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    def req(k: String): String = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required flag $k"))
+    val matchType = m.getOrElse("--source-file-name-match-type",
+      m.getOrElse("--file-name-match-type",
+        throw new IllegalArgumentException(
+          "missing required flag --source-file-name-match-type")))
+    require(matchType == "exact_match" || matchType == "regex_match",
+      s"match type must be exact_match|regex_match, got $matchType")
+    Args(
+      matchType = matchType,
+      sourceFileName = req("--source-file-name"),
+      sourceFolderName = m.getOrElse("--source-folder-name", ""),
+      destinationFolderName =
+        PathUtils.cleanFolderName(m.getOrElse("--destination-folder-name", "")),
+      destinationFolderRaw = m.getOrElse("--destination-folder-name", ""),
+      destinationFileName = m.get("--destination-file-name"),
+      host = req("--host"),
+      port = m.getOrElse("--port", "21").toInt,
+      username = m.get("--username")
+        .orElse(sys.env.get("FTP_USERNAME")).getOrElse("anonymous"),
+      password = m.get("--password")
+        .orElse(sys.env.get("FTP_PASSWORD")).getOrElse(""))
+  }
+
+  /** Configure the session's gftp connector for this job's server;
+    * credentials ride in the Hadoop conf (no URI-encoding pitfalls).
+    */
+  def ftpUri(spark: SparkSession, a: Args): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.gftp.impl", "graft.sources.ftp.GraftFtpFileSystem")
+    conf.set("fs.gftp.impl.disable.cache", "true")
+    conf.set("fs.gftp.user", a.username)
+    conf.set("fs.gftp.password", a.password)
+    s"gftp://${a.host}:${a.port}"
+  }
+
+  /** Shared driver shell: run the blueprint body, map the reference's
+    * typed errors to their exit codes, anything else to 1.
+    */
+  def exitCode(body: => Unit): Int =
+    try { body; 0 }
+    catch {
+      case e: GraftFsError =>
+        System.err.println(e.getMessage); e.code
+      // a typed error thrown inside a Spark job surfaces wrapped
+      case e: Exception =>
+        val cause = Iterator.iterate(e.getCause)(_.getCause)
+          .takeWhile(_ != null).collectFirst { case g: GraftFsError => g }
+        cause match {
+          case Some(g) => System.err.println(g.getMessage); g.code
+          case None => System.err.println(e.toString); 1
+        }
+    }
+
+  private[blueprints] def session(): SparkSession =
+    GraftSession.builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .getOrCreate()
+
+  /** Upload/download regex semantics: explicit destination names are
+    * enumerated `name_N.ext` for every match (upload_file.py:242-253).
+    */
+  private[blueprints] def planEnumerated(
+      matched: Seq[String], destFolder: String,
+      destName: Option[String]): Seq[Transfer] =
+    matched.zipWithIndex.map { case (src, i) =>
+      Transfer(src, PathUtils.determineDestinationFullPath(
+        destFolder, destName, src,
+        if (destName.isDefined) Some(i + 1) else None))
+    }
+}
+
+/** local → FTP (upload_file.py). */
+object Upload {
+  import Blueprints._
+
+  def run(spark: SparkSession, argv: Array[String]): Int = exitCode {
+    val a = parse(argv)
+    val dst = ftpUri(spark, a)
+    val srcBase =
+      if (a.sourceFolderName.startsWith("/")) a.sourceFolderName
+      else PathUtils.combine(System.getProperty("user.dir"), a.sourceFolderName)
+    val transfers =
+      if (a.matchType == "regex_match") {
+        val manifest = FileOps.listRecursive(spark, s"file:$srcBase")
+        val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+        FileOps.requireMatches(matched, a.sourceFileName)
+        planEnumerated(matched, a.destinationFolderName, a.destinationFileName)
+      } else {
+        val src = PathUtils.combine(srcBase, a.sourceFileName)
+        Seq(Transfer(src, PathUtils.determineDestinationFullPath(
+          a.destinationFolderName, a.destinationFileName, src)))
+      }
+    FileOps.bulkCopy(spark, transfers, "file:///", dst)
+  }
+
+  def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
+}
+
+/** FTP → local (download_file.py). Regex matches the basename. */
+object Download {
+  import Blueprints._
+
+  def run(spark: SparkSession, argv: Array[String]): Int = exitCode {
+    val a = parse(argv)
+    val src = ftpUri(spark, a)
+    val srcFolder = PathUtils.cleanFolderName(a.sourceFolderName)
+    // the reference downloads relative to the CWD (download_file.py:
+    // 242 os.makedirs of the cleaned relative folder); an absolute
+    // --destination-folder-name anchors at the filesystem root instead
+    val localBase =
+      if (a.destinationFolderRaw.startsWith("/")) PathUtils.normPath(a.destinationFolderRaw)
+      else PathUtils.combine(System.getProperty("user.dir"), a.destinationFolderName)
+    val transfers =
+      if (a.matchType == "regex_match") {
+        val manifest = FileOps.listRecursive(spark,
+          if (srcFolder.isEmpty) src else s"$src/$srcFolder")
+        val matched = FileOps.matchBasename(manifest, a.sourceFileName)
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+        FileOps.requireMatches(matched, a.sourceFileName)
+        planEnumerated(matched, localBase, a.destinationFileName)
+      } else {
+        val p = PathUtils.combine(srcFolder, a.sourceFileName)
+        // the reference maps a failed single download to exit 200
+        // (download_file.py:296)
+        if (!FileOps.exists(spark, src, s"/$p"))
+          throw GraftFsError(ErrorCodes.NoMatchesFound,
+            s"no file at $p on ${a.host}")
+        Seq(Transfer(s"/$p", PathUtils.determineDestinationFullPath(
+          localBase, a.destinationFileName, p)))
+      }
+    FileOps.bulkCopy(spark, transfers, src, "file:")
+  }
+
+  def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
+}
+
+/** FTP-internal rename (move_file.py). */
+object Move {
+  import Blueprints._
+
+  def run(spark: SparkSession, argv: Array[String]): Int = exitCode {
+    val a = parse(argv)
+    val uri = ftpUri(spark, a)
+    val srcFolder = PathUtils.cleanFolderName(a.sourceFolderName)
+    if (a.matchType == "regex_match") {
+      val manifest = FileOps.listRecursive(spark,
+        if (srcFolder.isEmpty) uri else s"$uri/$srcFolder")
+      val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
+        .select("path").collect().map(_.getString(0)).toSeq.sorted
+      FileOps.requireMatches(matched, a.sourceFileName)
+      // move enumerates only on multi-match (move_file.py:168-173)
+      FileOps.planTransfers(matched, a.destinationFolderName,
+        a.destinationFileName).foreach { t =>
+        FileOps.move(spark, uri, t.src, s"/${t.dst}")
+      }
+    } else {
+      val src = "/" + PathUtils.combine(srcFolder, a.sourceFileName)
+      val dst = "/" + PathUtils.determineDestinationFullPath(
+        a.destinationFolderName, a.destinationFileName, src)
+      FileOps.move(spark, uri, src, dst)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
+}
+
+/** FTP delete (delete_file.py). */
+object Delete {
+  import Blueprints._
+
+  def run(spark: SparkSession, argv: Array[String]): Int = exitCode {
+    val a = parse(argv)
+    val uri = ftpUri(spark, a)
+    val srcFolder = PathUtils.cleanFolderName(a.sourceFolderName)
+    val targets =
+      if (a.matchType == "regex_match") {
+        val manifest = FileOps.listRecursive(spark,
+          if (srcFolder.isEmpty) uri else s"$uri/$srcFolder")
+        val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+        FileOps.requireMatches(matched, a.sourceFileName)
+      } else {
+        val p = "/" + PathUtils.combine(srcFolder, a.sourceFileName)
+        // the reference maps a failed single delete to exit 200
+        // (delete_file.py:151)
+        if (!FileOps.exists(spark, uri, p))
+          throw GraftFsError(ErrorCodes.NoMatchesFound,
+            s"no file at $p on ${a.host}")
+        Seq(p)
+      }
+    FileOps.bulkDelete(spark, uri, targets)
+  }
+
+  def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
+}

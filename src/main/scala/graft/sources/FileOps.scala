@@ -151,12 +151,17 @@ object FileOps {
     spark.sparkContext
       .parallelize(transfers, math.min(transfers.size, parallelism))
       .foreachPartition { it: Iterator[Transfer] =>
-        val sfs = FileSystem.newInstance(new URI(srcUriPrefix), conf.value)
-        val dfs = FileSystem.newInstance(new URI(dstUriPrefix), conf.value)
+        // a bare-scheme prefix ("file:") needs a root path to be a URI
+        def asUri(p: String) = new URI(if (p.endsWith(":")) p + "/" else p)
+        val sfs = FileSystem.newInstance(asUri(srcUriPrefix), conf.value)
+        val dfs = FileSystem.newInstance(asUri(dstUriPrefix), conf.value)
         sfs.setVerifyChecksum(false)
         dfs.setWriteChecksum(false)
         try it.foreach { t =>
-          val dst = new Path(s"$dstUriPrefix/${t.dst}".replaceAll("(?<!:)//+", "/"))
+          // absolute destinations append directly to the scheme/root
+          val joined = if (t.dst.startsWith("/")) s"$dstUriPrefix${t.dst}"
+            else s"$dstUriPrefix/${t.dst}"
+          val dst = new Path(joined.replaceAll("(?<!:)//+", "/"))
           val parent = dst.getParent
           if (parent != null && !dfs.exists(parent)) dfs.mkdirs(parent)
           val in = sfs.open(new Path(t.src))
@@ -167,6 +172,14 @@ object FileOps {
           } finally in.close()
         } finally { sfs.close(); dfs.close() }
       }
+  }
+
+  /** Existence probe through any registered FS (driver-side, one
+    * metadata call — the CLI twins' pre-check for single-file ops).
+    */
+  def exists(spark: SparkSession, uri: String, path: String): Boolean = {
+    val f = fs(uri, hadoopConf(spark))
+    try f.exists(new Path(path)) finally f.close()
   }
 
   /** Single-file move (rename) — move_file.py:96; a failed rename is
