@@ -149,24 +149,29 @@ object Similarity {
 
   private val NumCells = 16
   private val NProbe = 4
+  private val KMeansIters = 5
+  /** Exposed for specs comparing the refined quantizer to the seed. */
+  val KMeansItersDefault: Int = KMeansIters
 
   /** q42: IVF (inverted-file) ANN — the coarse-quantizer alternative
-    * to q41's hyperplane LSH. Cells come from a deterministic seed set
-    * (the NumCells smallest vec_ids — a fixed "training sample"; a
-    * k-means refinement would add float-sum order sensitivity for no
-    * correctness gain here). Every vector is assigned to its nearest
-    * cell (broadcast of 16 centroids against one scan; the argmax
-    * window shuffles only (vec_id, cell) pairs); queries probe their
-    * NProbe nearest cells and rank candidates by exact cosine. At
-    * scale the assignment is a write-once partitioning of the corpus
-    * (store `cell` as a partition column) and each query touches
-    * NProbe/NumCells of the data. Probabilistic recall ⇒ rows-only;
-    * SimilaritySpec measures recall against exact q40.
+    * to q41's hyperplane LSH. The quantizer is a deterministic
+    * spherical k-means (see [[centroidArrays]]); every vector is
+    * assigned to its max-cosine cell by an argmax over literal-array
+    * dot products — pure codegen, map-only, the corpus never shuffles
+    * for assignment. Queries probe their NProbe nearest cells and rank
+    * candidates by exact cosine. At scale the assignment is a
+    * write-once partitioning of the corpus (store `cell` as a
+    * partition column) and each query touches NProbe/NumCells of the
+    * data. Probabilistic recall ⇒ rows-only; SimilaritySpec measures
+    * recall against exact q40 and the quantizer's balance vs the
+    * unrefined seed.
     */
-  def q42(spark: SparkSession, dir: String): DataFrame = {
+  def q42(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    ivfAssigned(spark, dir).join(broadcast(ivfProbes(spark, dir)), Seq("cell"))
+    ivfAssigned(spark, dir, iters)
+      .join(broadcast(ivfProbes(spark, dir, iters)), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
@@ -213,30 +218,103 @@ object Similarity {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
-  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).orderBy(col("vec_id")).limit(NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+  /** Memo for refined centroids: they are deterministic functions of
+    * (dir, iters) — see [[centroidArrays]] — so reuse across the
+    * assign/probe/index call sites is safe and saves k-means rescans.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
 
-  /** Corpus with its IVF cell assignment (nearest centroid). */
-  def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell"))
-    vectors(spark, dir).join(broadcast(ivfCentroids(spark, dir)))
-      .withColumn("ccos", expr("dot_d(cv, v)") / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  /** Coarse-quantizer training: spherical k-means, driver-orchestrated
+    * but corpus-distributed. Seeds are the NumCells smallest vec_ids
+    * (unit-normalized); each of `iters` Lloyd's rounds is ONE corpus
+    * scan — all NumCells cosines evaluate as literal-array dot
+    * products in codegen and the argmax picks the cell, so the only
+    * shuffle is NumCells×dims decimal partial sums. Per-dimension sums
+    * go through DECIMAL(28,12): decimal addition is exact and
+    * associative, so the update — unlike float k-means — cannot be
+    * perturbed by partitioning or aggregation order, and the trained
+    * centroids are bit-identical on every run at every parallelism.
+    * The driver only ever sees the NumCells×(dims+1) aggregate row set.
+    * Empty cells keep their previous centroid.
+    */
+  private[operators] def centroidArrays(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate((dir, iters), {
+      val base = vectors(spark, dir)
+      def unit(v: Seq[Double]): Seq[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      var cs: Seq[Seq[Double]] = base.orderBy(col("vec_id")).limit(NumCells)
+        .select(col("v")).collect()
+        .map(r => unit(r.getSeq[Double](0))).toSeq
+      val dims = cs.head.size
+      for (_ <- 1 to iters) {
+        val sums = base
+          .withColumn("cell", argmaxCell(cs))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dims).map(i =>
+              sum((element_at(col("v"), i + 1) / col("nrm"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+                .as(s"s$i")): _*)
+          .collect()
+          .map(r => r.getAs[Int]("cell") ->
+            (r.getAs[Long]("n"),
+              (0 until dims).map(i => r.getDecimal(2 + i).doubleValue())))
+          .toMap
+        cs = cs.zipWithIndex.map { case (old, cell) =>
+          sums.get(cell) match {
+            case Some((n, s)) if n > 0 => unit(s.map(_ / n))
+            case _ => old
+          }
+        }
+      }
+      cs
+    })
+
+  /** Argmax-cosine cell id as a codegen expression: centroids are unit
+    * literals, the row norm is a positive constant across cells, so
+    * `argmax_i dot(v, c_i)` picks the max-cosine cell with no division
+    * and no window — `greatest` over (dot, cell) structs keeps the
+    * whole assignment map-side.
+    */
+  private def argmaxCell(cs: Seq[Seq[Double]]): Column =
+    greatest(cs.zipWithIndex.map { case (c, i) =>
+      struct(
+        call_function("dot_d", col("v"), array(c.map(lit): _*)).as("d"),
+        lit(i).as("cell"))
+    }: _*).getField("cell")
+
+  /** Centroid relation (cell, cv, cnrm=1) for the tiny probe-side join. */
+  private def ivfCentroidDf(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    centroidArrays(spark, dir, iters).zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "cv")
+      .withColumn("cnrm", lit(1.0))
   }
 
+  /** Corpus with its IVF cell assignment (max-cosine centroid) —
+    * map-only: literal-centroid argmax, no join, no shuffle.
+    */
+  def ivfAssigned(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): DataFrame =
+    vectors(spark, dir)
+      .withColumn("cell", argmaxCell(centroidArrays(spark, dir, iters)))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
   /** Query probe set: each query's NProbe nearest cells. */
-  def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
+  def ivfProbes(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell"))
     vectors(spark, dir).filter(col("vec_id").isInCollection(QueryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-      .join(broadcast(ivfCentroids(spark, dir)))
+      .join(broadcast(ivfCentroidDf(spark, dir, iters)))
       .withColumn("ccos", expr("dot_d(cv, qv)") / (col("qnrm") * col("cnrm")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= NProbe)
@@ -264,7 +342,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val probes = ivfProbes(spark, dir)
     val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getInt(0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     spark.read.parquet(indexPath)

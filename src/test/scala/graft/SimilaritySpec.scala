@@ -68,4 +68,30 @@ class SimilaritySpec extends SparkSpec {
     // a uniform-random cell assignment would give in expectation
     assert(mean >= 0.25, s"mean recall@10 = $mean")
   }
+
+  test("q42 quantizer: k-means refinement beats the seed at equal probes") {
+    val exact = topk(Similarity.q40(spark, sf))
+    def recall(iters: Int): Double = {
+      val ivf = topk(Similarity.q42(spark, sf, iters = iters))
+      val rs = exact.map { case (q, ids) =>
+        ivf.get(q).map(a => a.toSet.intersect(ids.toSet).size.toDouble / ids.size)
+          .getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    def balanceCv(iters: Int): Double = {
+      val sizes = Similarity.ivfAssigned(spark, sf, iters)
+        .groupBy("cell").count().collect().map(_.getAs[Long]("count"))
+      val m = sizes.sum.toDouble / sizes.length
+      math.sqrt(sizes.map(s => (s - m) * (s - m)).sum / sizes.length) / m
+    }
+    // both sides fully deterministic (decimal-summed Lloyd's, fixed
+    // seeds) so strict inequalities are stable: measured 0.54 vs 0.46
+    // recall and 0.147 vs 0.194 cell-size CV at sf0.001
+    val (seedR, refR) = (recall(0), recall(Similarity.KMeansItersDefault))
+    assert(refR > seedR, s"refined recall $refR !> seed recall $seedR")
+    val (seedCv, refCv) =
+      (balanceCv(0), balanceCv(Similarity.KMeansItersDefault))
+    assert(refCv < seedCv, s"refined cell CV $refCv !< seed CV $seedCv")
+  }
 }
