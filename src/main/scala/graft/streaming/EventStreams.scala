@@ -27,12 +27,24 @@ object EventStreams {
   /** Streaming source over the events table (nanos → micros like the
     * batch path).
     */
-  def source(spark: SparkSession, dir: String): DataFrame = {
+  def source(spark: SparkSession, dir: String): DataFrame =
+    sourceFrom(spark, s"$dir/events.parquet", s"$dir/events*.parquet")
+
+  /** Streaming source over an arbitrary events-shaped parquet glob —
+    * `schemaPath` pins the schema (streaming sources cannot infer).
+    * Restart/recovery specs point this at a directory they append
+    * files to between runs; the checkpointed FileStreamSource log
+    * ensures each file is processed exactly once across restarts.
+    */
+  def sourceFrom(spark: SparkSession, schemaPath: String,
+      glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.parquet(schemaPath).schema
     // glob, not bare file: FileStreamSource requires a directory/glob
-    spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    spark.readStream.schema(schema).parquet(glob)
+      .withColumn("ts",
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts DIV 1000")) else col("ts"))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
@@ -58,7 +70,11 @@ object EventStreams {
     * at-least-once → exactly-once repair stage of an ingest pipeline.
     */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
-    source(spark, dir)
+    dedupOn(source(spark, dir))
+
+  /** Same dedup over any events-shaped streaming source. */
+  def dedupOn(src: DataFrame): DataFrame =
+    src
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -92,10 +108,14 @@ object EventStreams {
     * emitted when the event-time timeout fires (gap elapsed past the
     * watermark); per-user state is one (count, start, last) triple.
     */
-  def sessionize(spark: SparkSession, dir: String): Dataset[Session] = {
+  def sessionize(spark: SparkSession, dir: String): Dataset[Session] =
+    sessionizeOn(spark, source(spark, dir))
+
+  /** Same sessionizer over any events-shaped streaming source. */
+  def sessionizeOn(spark: SparkSession, src: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
-    source(spark, dir)
+    src
       .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("event_id"), col("ts"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"))
