@@ -607,4 +607,177 @@ object Dedup {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
       |ORDER BY ia, ib""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q39: long-common-substring dedup (winnowing fingerprints)
+  // ---------------------------------------------------------------
+
+  /** Character k-gram length for winnowing. */
+  val LcsK = 16
+  /** Winnowing window (in grams): every window of LcsW consecutive
+    * grams contributes its minimum hash.
+    */
+  val LcsW = 8
+
+  /** The winnowing guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * any common substring of at least `LcsW + LcsK - 1` characters
+    * spans one full gram window in both documents, and the shared
+    * window selects the same minimum hash — so every such pair shares
+    * a fingerprint. Above this length the candidate stage has recall 1
+    * and the exact verify stage makes q39 EXACT, not approximate.
+    */
+  val LcsGuarantee: Int = LcsW + LcsK - 1
+
+  /** Winnowed fingerprint set of one document: XXH64 over each k-char
+    * gram, minimum per window of LcsW grams (rightmost on ties),
+    * deduplicated. ~2/(w+1) of gram hashes survive, so the exploded
+    * relation is ~4× smaller than the gram relation. The window scan
+    * is O(m·w) with w constant; a deque would make it O(m) if w ever
+    * grows.
+    */
+  private[graft] def winnowFingerprints(text: String, k: Int = LcsK,
+      w: Int = LcsW): Array[Long] = {
+    val m = text.length - k + 1
+    if (m <= 0) return Array.empty
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b = text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 97L)
+      i += 1
+    }
+    val sel = new java.util.HashSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = hs(0); var j = 1
+      while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      sel.add(mn)
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var bi = start; var j = start + 1
+        while (j < start + w) { if (hs(j) <= hs(bi)) bi = j; j += 1 }
+        sel.add(hs(bi))
+        start += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  /** Exact longest-common-substring length (in chars) via a suffix
+    * automaton built over the shorter string and walked by the longer
+    * — O(|a| + |b|) per pair instead of the O(|a|·|b|) DP, which is
+    * what keeps the verify stage linear in candidate text volume.
+    */
+  private[graft] def lcsLen(a0: String, b0: String): Int = {
+    if (a0.isEmpty || b0.isEmpty) return 0
+    val (a, b) = if (a0.length <= b0.length) (a0, b0) else (b0, a0)
+    val cap = 2 * a.length + 5
+    val next = new Array[scala.collection.mutable.LongMap[Int]](cap)
+    val link = new Array[Int](cap)
+    val len = new Array[Int](cap)
+    next(0) = scala.collection.mutable.LongMap.empty
+    link(0) = -1
+    var last = 0
+    var sz = 1
+    var ai = 0
+    while (ai < a.length) {
+      val c = a.charAt(ai).toLong
+      val cur = sz; sz += 1
+      next(cur) = scala.collection.mutable.LongMap.empty
+      len(cur) = len(last) + 1
+      var p = last
+      while (p != -1 && !next(p).contains(c)) {
+        next(p)(c) = cur; p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = next(p)(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val cl = sz; sz += 1
+          next(cl) = next(q).clone()
+          len(cl) = len(p) + 1
+          link(cl) = link(q)
+          while (p != -1 && next(p).get(c).contains(q)) {
+            next(p)(c) = cl; p = link(p)
+          }
+          link(q) = cl
+          link(cur) = cl
+        }
+      }
+      last = cur
+      ai += 1
+    }
+    var v = 0; var l = 0; var best = 0
+    var bi = 0
+    while (bi < b.length) {
+      val c = b.charAt(bi).toLong
+      while (v != 0 && !next(v).contains(c)) { v = link(v); l = len(v) }
+      next(v).get(c) match {
+        case Some(nv) =>
+          v = nv; l += 1; if (l > best) best = l
+        case None => // v == 0 and no edge: stay at root, l already 0
+      }
+      bi += 1
+    }
+    best
+  }
+
+  /** q39: long-common-substring near-dup pairs — the dedup family
+    * (verbatim boilerplate runs, quoted passages, template reuse) that
+    * token-set Jaccard (q31/q32) is blind to when the rest of the
+    * documents differ. Three stages, all candidate-bounded:
+    *
+    *  1. fingerprint: winnowed k-gram hashes per doc (map-only,
+    *     ~len/4 8-byte rows per doc through the shuffle);
+    *  2. candidates: inverted index on fingerprint, capped posting
+    *     lists (the q31 stop-shingle logic — boilerplate fingerprints
+    *     shared by > dfCap docs are dropped map-side), pairs dedup'd
+    *     as 8-byte id pairs;
+    *  3. verify: texts re-attach to surviving pairs only, exact LCS
+    *     by suffix automaton, keep pairs with lcs_len >= minLen.
+    *
+    * For minLen >= [[LcsGuarantee]] and df < dfCap the result is
+    * EXACT (candidate recall 1 by the winnowing theorem + exact
+    * verify); LCS itself is not DuckDB-expressible ⇒ rows-only, with
+    * DedupSpec asserting bit-equality against an in-driver brute-force
+    * at sf0.001.
+    */
+  def q39(spark: SparkSession, dir: String, minLen: Int = 40,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val fps = Tables.spread(docs).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        winnowFingerprints(t).iterator.map(h => (id, h))
+      }
+      .toDF("doc_id", "h")
+    val postings = fps.groupBy(col("h"))
+      .agg(expr(s"collect_capped(doc_id, $dfCap)").as("dsr"))
+      .filter(col("dsr").isNotNull && size(col("dsr")) > 1)
+      .select(sort_array(col("dsr")).as("ds"))
+    val cands = postings.select(explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds)),
+        |    y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("ia"), col("text").as("ta")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("text").as("tb")), "ib")
+      .select(col("ia"), col("ib"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .map { case (ia, ib, ta, tb) => (ia, ib, lcsLen(ta, tb).toLong) }
+      .toDF("ia", "ib", "lcs_len")
+      .filter(col("lcs_len") >= minLen)
+      .orderBy(col("ia"), col("ib"))
+  }
 }

@@ -96,4 +96,45 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.3)
     }
   }
+
+  test("q39 LCS dedup is bit-equal to all-pairs brute force (winnowing guarantee)") {
+    val minLen = 40
+    assert(minLen >= Dedup.LcsGuarantee,
+      "spec threshold must sit inside the exactness regime")
+    val got = Dedup.q39(spark, sf, minLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // in-driver brute force over every pair — O(n²) pairs but linear
+    // suffix-automaton LCS per pair keeps sf0.001 tractable
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      l = Dedup.lcsLen(docs(i)._2, docs(j)._2)
+      if l >= minLen
+    } yield (docs(i)._1, docs(j)._1, l.toLong)).toSet
+    assert(want.nonEmpty, "corpus has no long-common-substring pairs")
+    assert(got === want,
+      s"missed: ${want.diff(got).take(3)}; spurious: ${got.diff(want).take(3)}")
+  }
+
+  test("q39 suffix-automaton LCS agrees with the DP definition") {
+    val rnd = new scala.util.Random(7)
+    def dpLcs(a: String, b: String): Int = {
+      var best = 0
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    for (_ <- 1 to 200) {
+      val a = (1 to rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val b = (1 to rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      assert(Dedup.lcsLen(a, b) === dpLcs(a, b), s"a=$a b=$b")
+    }
+  }
 }
