@@ -612,31 +612,34 @@ object Dedup {
   // q39: long-common-substring dedup (winnowing fingerprints)
   // ---------------------------------------------------------------
 
-  /** Character k-gram length for winnowing. */
-  val LcsK = 16
-  /** Winnowing window (in grams): every window of LcsW consecutive
-    * grams contributes its minimum hash.
+  /** Character k-gram length for winnowing; also the smallest legal
+    * q39 threshold (below k a substring has no full gram).
     */
-  val LcsW = 8
+  val LcsK = 16
 
   /** The winnowing guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03):
-    * any common substring of at least `LcsW + LcsK - 1` characters
-    * spans one full gram window in both documents, and the shared
-    * window selects the same minimum hash — so every such pair shares
-    * a fingerprint. Above this length the candidate stage has recall 1
-    * and the exact verify stage makes q39 EXACT, not approximate.
+    * any common substring of at least `w + k - 1` characters spans one
+    * full gram window in both documents, and identical windows select
+    * the same minimum hash — so every such pair shares a fingerprint.
+    * q39 therefore derives `w = minLen - k + 1`, putting the guarantee
+    * exactly on the threshold: candidate recall is 1 at `minLen` and
+    * the exact verify stage makes q39 EXACT, not approximate. A wider
+    * window also means sparser fingerprints (~2/(w+1) of grams
+    * selected), which is what bounds incidental candidates from short
+    * shared phrases: ~3× fewer candidate pairs than w=8 at sf0.1.
     */
-  val LcsGuarantee: Int = LcsW + LcsK - 1
+  def lcsWindow(minLen: Int): Int = {
+    require(minLen >= LcsK, s"minLen must be >= $LcsK (gram length)")
+    minLen - LcsK + 1
+  }
 
   /** Winnowed fingerprint set of one document: XXH64 over each k-char
-    * gram, minimum per window of LcsW grams (rightmost on ties),
-    * deduplicated. ~2/(w+1) of gram hashes survive, so the exploded
-    * relation is ~4× smaller than the gram relation. The window scan
-    * is O(m·w) with w constant; a deque would make it O(m) if w ever
-    * grows.
+    * gram, minimum per window of w grams (rightmost on ties),
+    * deduplicated — ~2/(w+1) of gram hashes survive. The sliding
+    * minimum is O(m) via a monotone index deque.
     */
-  private[graft] def winnowFingerprints(text: String, k: Int = LcsK,
-      w: Int = LcsW): Array[Long] = {
+  private[graft] def winnowFingerprints(text: String, k: Int,
+      w: Int): Array[Long] = {
     val m = text.length - k + 1
     if (m <= 0) return Array.empty
     val hs = new Array[Long](m)
@@ -654,12 +657,17 @@ object Dedup {
       while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }
       sel.add(mn)
     } else {
-      var start = 0
-      while (start + w <= m) {
-        var bi = start; var j = start + 1
-        while (j < start + w) { if (hs(j) <= hs(bi)) bi = j; j += 1 }
-        sel.add(hs(bi))
-        start += 1
+      // monotone deque of candidate indices, increasing hash; `<=` on
+      // eviction keeps the RIGHTMOST minimum (robust-winnowing ties)
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      var j = 0
+      while (j < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - w) head += 1
+        if (j >= w - 1) sel.add(hs(dq(head)))
+        j += 1
       }
     }
     val out = new Array[Long](sel.size)
@@ -669,64 +677,80 @@ object Dedup {
     out
   }
 
-  /** Exact longest-common-substring length (in chars) via a suffix
-    * automaton built over the shorter string and walked by the longer
-    * — O(|a| + |b|) per pair instead of the O(|a|·|b|) DP, which is
-    * what keeps the verify stage linear in candidate text volume.
+  /** Suffix automaton over one document, reusable across its
+    * candidate partners — [[q39]] builds it ONCE per left doc and
+    * walks every partner through it, so verify cost is O(|a|) +
+    * Σ O(|b|) per group instead of O(|a| + |b|) per pair.
+    */
+  private[graft] final class SuffixAutomaton(a: String) {
+    private val cap = 2 * math.max(a.length, 1) + 5
+    private val next = new Array[scala.collection.mutable.LongMap[Int]](cap)
+    private val link = new Array[Int](cap)
+    private val len = new Array[Int](cap)
+    locally {
+      next(0) = scala.collection.mutable.LongMap.empty
+      link(0) = -1
+      var last = 0
+      var sz = 1
+      var ai = 0
+      while (ai < a.length) {
+        val c = a.charAt(ai).toLong
+        val cur = sz; sz += 1
+        next(cur) = scala.collection.mutable.LongMap.empty
+        len(cur) = len(last) + 1
+        var p = last
+        while (p != -1 && !next(p).contains(c)) {
+          next(p)(c) = cur; p = link(p)
+        }
+        if (p == -1) link(cur) = 0
+        else {
+          val q = next(p)(c)
+          if (len(p) + 1 == len(q)) link(cur) = q
+          else {
+            val cl = sz; sz += 1
+            next(cl) = next(q).clone()
+            len(cl) = len(p) + 1
+            link(cl) = link(q)
+            while (p != -1 && next(p).get(c).contains(q)) {
+              next(p)(c) = cl; p = link(p)
+            }
+            link(q) = cl
+            link(cur) = cl
+          }
+        }
+        last = cur
+        ai += 1
+      }
+    }
+
+    /** Length of the longest substring of `b` that is also a
+      * substring of the automaton's document.
+      */
+    def longestMatch(b: String): Int = {
+      var v = 0; var l = 0; var best = 0
+      var bi = 0
+      while (bi < b.length) {
+        val c = b.charAt(bi).toLong
+        while (v != 0 && !next(v).contains(c)) { v = link(v); l = len(v) }
+        next(v).get(c) match {
+          case Some(nv) =>
+            v = nv; l += 1; if (l > best) best = l
+          case None => // v == 0 and no edge: stay at root, l already 0
+        }
+        bi += 1
+      }
+      best
+    }
+  }
+
+  /** Exact longest-common-substring length (in chars): automaton over
+    * the shorter string, walked by the longer — O(|a| + |b|) instead
+    * of the O(|a|·|b|) DP.
     */
   private[graft] def lcsLen(a0: String, b0: String): Int = {
     if (a0.isEmpty || b0.isEmpty) return 0
     val (a, b) = if (a0.length <= b0.length) (a0, b0) else (b0, a0)
-    val cap = 2 * a.length + 5
-    val next = new Array[scala.collection.mutable.LongMap[Int]](cap)
-    val link = new Array[Int](cap)
-    val len = new Array[Int](cap)
-    next(0) = scala.collection.mutable.LongMap.empty
-    link(0) = -1
-    var last = 0
-    var sz = 1
-    var ai = 0
-    while (ai < a.length) {
-      val c = a.charAt(ai).toLong
-      val cur = sz; sz += 1
-      next(cur) = scala.collection.mutable.LongMap.empty
-      len(cur) = len(last) + 1
-      var p = last
-      while (p != -1 && !next(p).contains(c)) {
-        next(p)(c) = cur; p = link(p)
-      }
-      if (p == -1) link(cur) = 0
-      else {
-        val q = next(p)(c)
-        if (len(p) + 1 == len(q)) link(cur) = q
-        else {
-          val cl = sz; sz += 1
-          next(cl) = next(q).clone()
-          len(cl) = len(p) + 1
-          link(cl) = link(q)
-          while (p != -1 && next(p).get(c).contains(q)) {
-            next(p)(c) = cl; p = link(p)
-          }
-          link(q) = cl
-          link(cur) = cl
-        }
-      }
-      last = cur
-      ai += 1
-    }
-    var v = 0; var l = 0; var best = 0
-    var bi = 0
-    while (bi < b.length) {
-      val c = b.charAt(bi).toLong
-      while (v != 0 && !next(v).contains(c)) { v = link(v); l = len(v) }
-      next(v).get(c) match {
-        case Some(nv) =>
-          v = nv; l += 1; if (l > best) best = l
-        case None => // v == 0 and no edge: stay at root, l already 0
-      }
-      bi += 1
-    }
-    best
+    new SuffixAutomaton(a).longestMatch(b)
   }
 
   /** q39: long-common-substring near-dup pairs — the dedup family
@@ -734,30 +758,33 @@ object Dedup {
     * token-set Jaccard (q31/q32) is blind to when the rest of the
     * documents differ. Three stages, all candidate-bounded:
     *
-    *  1. fingerprint: winnowed k-gram hashes per doc (map-only,
-    *     ~len/4 8-byte rows per doc through the shuffle);
+    *  1. fingerprint: winnowed k-gram hashes per doc with
+    *     w = minLen−k+1 (map-only, ~2·len/minLen 8-byte rows per doc
+    *     through the shuffle);
     *  2. candidates: inverted index on fingerprint, capped posting
     *     lists (the q31 stop-shingle logic — boilerplate fingerprints
     *     shared by > dfCap docs are dropped map-side), pairs dedup'd
     *     as 8-byte id pairs;
-    *  3. verify: texts re-attach to surviving pairs only, exact LCS
-    *     by suffix automaton, keep pairs with lcs_len >= minLen.
+    *  3. verify: texts re-attach to surviving pairs only, grouped by
+    *     the left doc so its suffix automaton is built once and every
+    *     partner just walks it; keep pairs with lcs_len >= minLen.
     *
-    * For minLen >= [[LcsGuarantee]] and df < dfCap the result is
-    * EXACT (candidate recall 1 by the winnowing theorem + exact
-    * verify); LCS itself is not DuckDB-expressible ⇒ rows-only, with
-    * DedupSpec asserting bit-equality against an in-driver brute-force
-    * at sf0.001.
+    * For minLen >= [[LcsK]] and df < dfCap the result is EXACT
+    * (candidate recall 1 by the winnowing theorem with the derived
+    * window — see [[lcsWindow]] — plus exact verify); LCS itself is
+    * not DuckDB-expressible ⇒ rows-only, with DedupSpec asserting
+    * bit-equality against an in-driver brute-force at sf0.001.
     */
   def q39(spark: SparkSession, dir: String, minLen: Int = 40,
       dfCap: Int = DefaultDfCap): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
+    val w = lcsWindow(minLen)
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val fps = Tables.spread(docs).as[(Long, String)]
       .flatMap { case (id, t) =>
-        winnowFingerprints(t).iterator.map(h => (id, h))
+        winnowFingerprints(t, LcsK, w).iterator.map(h => (id, h))
       }
       .toDF("doc_id", "h")
     val postings = fps.groupBy(col("h"))
@@ -775,7 +802,14 @@ object Dedup {
       .join(docs.select(col("doc_id").as("ib"), col("text").as("tb")), "ib")
       .select(col("ia"), col("ib"), col("ta"), col("tb"))
       .as[(Long, Long, String, String)]
-      .map { case (ia, ib, ta, tb) => (ia, ib, lcsLen(ta, tb).toLong) }
+      .groupByKey(_._1)
+      .flatMapGroups { (ia, rows) =>
+        var auto: SuffixAutomaton = null // same ta on every row of the group
+        rows.map { case (_, ib, ta, tb) =>
+          if (auto == null) auto = new SuffixAutomaton(ta)
+          (ia, ib, auto.longestMatch(tb).toLong)
+        }
+      }
       .toDF("ia", "ib", "lcs_len")
       .filter(col("lcs_len") >= minLen)
       .orderBy(col("ia"), col("ib"))

@@ -99,7 +99,7 @@ class DedupSpec extends SparkSpec {
 
   test("q39 LCS dedup is bit-equal to all-pairs brute force (winnowing guarantee)") {
     val minLen = 40
-    assert(minLen >= Dedup.LcsGuarantee,
+    assert(minLen >= Dedup.LcsK,
       "spec threshold must sit inside the exactness regime")
     val got = Dedup.q39(spark, sf, minLen).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
