@@ -321,6 +321,165 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
   }
 
+  // ---------------------------------------------------------------
+  // q43: IVF + product-quantization re-rank
+  // ---------------------------------------------------------------
+
+  private val PqM = 8 // subspaces
+  private val PqKsub = 16 // centroids per subspace (4-bit codes)
+  private val PqRerank = 50 // exact re-rank depth per query
+
+  /** Memo for PQ sub-quantizers, deterministic per (dir, iters). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int),
+      Seq[Seq[Seq[Double]]]]
+
+  /** PQ training (Jégou/Douze/Schmid, TPAMI'11): an independent
+    * k-means per 8-dim subspace over the unit-normalized corpus.
+    * Same determinism contract as [[centroidArrays]]: seeds are the
+    * PqKsub smallest vec_ids' subvectors, each Lloyd's round is one
+    * corpus scan whose per-dimension sums go through exact decimal,
+    * so the trained codebooks are bit-identical at any parallelism.
+    * All M subspaces train in the SAME scan: the exploded (m, code,
+    * subvector) relation is 8 narrow rows per vector, aggregated to
+    * M×Ksub×(8+1) cells.
+    */
+  private[operators] def pqCodebooks(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): Seq[Seq[Seq[Double]]] =
+    pqCache.getOrElseUpdate((dir, iters), {
+      val dsub = 64 / PqM
+      val base = vectors(spark, dir)
+        .withColumn("u", expr("transform(v, (x, i) -> x / nrm)"))
+      var books: Seq[Seq[Seq[Double]]] =
+        base.orderBy(col("vec_id")).limit(PqKsub)
+          .select(col("u")).collect()
+          .map(_.getSeq[Double](0)).toSeq
+          .map(u => (0 until PqM).map(m =>
+            u.slice(m * dsub, (m + 1) * dsub)))
+          .transpose // → [m][k][dsub]
+      for (_ <- 1 to iters) {
+        val assignCols = (0 until PqM).map { m =>
+          struct(
+            lit(m).as("m"),
+            pqArgmin(books(m), expr(s"slice(u, ${m * dsub + 1}, $dsub)"))
+              .as("code"),
+            expr(s"slice(u, ${m * dsub + 1}, $dsub)").as("sub"))
+        }
+        val sums = base
+          .select(explode(array(assignCols: _*)).as("a"))
+          .select(col("a.m").as("m"), col("a.code").as("code"),
+            col("a.sub").as("sub"))
+          .groupBy(col("m"), col("code"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dsub).map(i =>
+              sum(element_at(col("sub"), i + 1)
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+                .as(s"s$i")): _*)
+          .collect()
+          .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
+            (r.getAs[Long]("n"),
+              (0 until dsub).map(i => r.getDecimal(3 + i).doubleValue())))
+          .toMap
+        books = books.zipWithIndex.map { case (cb, m) =>
+          cb.zipWithIndex.map { case (old, j) =>
+            sums.get((m, j)) match {
+              case Some((n, s)) if n > 0 => s.map(_ / n)
+              case _ => old
+            }
+          }
+        }
+      }
+      books
+    })
+
+  /** Nearest-centroid code for one subspace as a codegen expression:
+    * argmin_j ||x − c_j||² = argmax_j (2x·c_j − ||c_j||²) over literal
+    * centroids — ties to the smallest j via struct ordering.
+    */
+  private def pqArgmin(cb: Seq[Seq[Double]], sub: Column): Column =
+    greatest(cb.zipWithIndex.map { case (c, j) =>
+      val cn = c.map(x => x * x).sum
+      struct(
+        (call_function("dot_d", sub, array(c.map(lit): _*)) * 2 - cn).as("s"),
+        lit(-j).as("nj"))
+    }: _*).getField("nj") * -1
+
+  /** Corpus PQ codes: (vec_id, cell, code[M]) — 8 bytes of code per
+    * vector instead of 256 bytes of floats. At 100 TB this relation
+    * IS the serving index: candidate ranking scans codes only (32×
+    * less IO than the embeddings) and full vectors are fetched for
+    * the top-[[PqRerank]] per query alone.
+    */
+  private[operators] def pqEncoded(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): DataFrame = {
+    val dsub = 64 / PqM
+    val books = pqCodebooks(spark, dir, iters)
+    val codeCols = (0 until PqM).map { m =>
+      pqArgmin(books(m), expr(s"slice(u, ${m * dsub + 1}, $dsub)"))
+    }
+    ivfAssigned(spark, dir, iters)
+      .withColumn("u", expr("transform(v, (x, i) -> x / nrm)"))
+      .select(col("vec_id"), col("cell"),
+        array(codeCols: _*).as("code"))
+  }
+
+  /** q43: IVF + PQ asymmetric-distance re-rank — the full 100 TB ANN
+    * serving shape. Queries probe NProbe IVF cells (as q42); inside
+    * the probed cells candidates are ranked by the PQ lookup-table
+    * approximation of cosine (per-query LUT = dot of each query
+    * subvector with each codebook centroid, evaluated as literal
+    * arrays in codegen on the tiny broadcast side; candidate score =
+    * Σ_m LUT[m][code_m], touching only the 8-byte code); the top
+    * [[PqRerank]] per query re-rank EXACTLY against their true
+    * vectors. Approximate ⇒ rows-only; SimilaritySpec measures
+    * recall@10 vs exact q40 and asserts the PQ stage beats
+    * approximation-free truncation at equal depth.
+    */
+  def q43(spark: SparkSession, dir: String,
+      iters: Int = KMeansIters): DataFrame = {
+    val dsub = 64 / PqM
+    val books = pqCodebooks(spark, dir, iters)
+    // per-query LUT: lut[m][j] = q̂_m · c_{m,j} (M×Ksub doubles on the
+    // broadcast side only)
+    val lutCol = array((0 until PqM).map { m =>
+      array(books(m).map(c =>
+        call_function("dot_d",
+          expr(s"slice(qu, ${m * dsub + 1}, $dsub)"),
+          array(c.map(lit): _*))): _*)
+    }: _*)
+    val probes = ivfProbes(spark, dir, iters)
+      .withColumn("qu", expr("transform(qv, (x, i) -> x / qnrm)"))
+      .withColumn("lut", lutCol)
+      .select(col("query_id"), col("cell"), col("lut"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = pqEncoded(spark, dir, iters)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, m) -> acc + lut[m][code[m]])""".stripMargin))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: true vectors are read for shortlist rows only
+    val qset = vectors(spark, dir)
+      .filter(col("vec_id").isInCollection(QueryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(vectors(spark, dir).select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(qset), Seq("query_id"))
+      .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Materialize the IVF index on disk: the corpus written ONCE,
     * partitioned by cell — at 100 TB this is the difference between an
     * ANN query scanning everything and scanning NProbe/NumCells of the

@@ -69,6 +69,35 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.25, s"mean recall@10 = $mean")
   }
 
+  test("q43 IVF+PQ: k exact-ranked results, recall comparable to full-vector q42") {
+    val exact = topk(Similarity.q40(spark, sf))
+    val pq = topk(Similarity.q43(spark, sf))
+    pq.foreach { case (_, ids) => assert(ids.size === Similarity.K) }
+    def recall(m: Map[Long, Seq[Long]]): Double = {
+      val rs = exact.map { case (q, ids) =>
+        m.get(q).map(a => a.toSet.intersect(ids.toSet).size.toDouble / ids.size)
+          .getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val rPq = recall(pq)
+    val rIvf = recall(topk(Similarity.q42(spark, sf)))
+    // PQ ranks candidates from 8-byte codes (32× less IO than the
+    // vectors) and re-ranks only the top-50 exactly — the price is
+    // bounded recall loss vs the full-vector IVF scan
+    assert(rPq >= rIvf - 0.15, s"PQ recall $rPq collapsed vs IVF $rIvf")
+    assert(rPq >= 0.2, s"PQ recall $rPq")
+    // every emitted cosine must be the TRUE cosine (re-rank is exact):
+    // q43's scores for ids also found by q40 match q40's bit-for-bit
+    val exactScores = Similarity.q40(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.q43(spark, sf).collect().foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2))).foreach { want =>
+        assert(r.getDouble(3) === want)
+      }
+    }
+  }
+
   test("q42 quantizer: k-means refinement beats the seed at equal probes") {
     val exact = topk(Similarity.q40(spark, sf))
     def recall(iters: Int): Double = {
