@@ -181,4 +181,43 @@ class StreamingRecoverySpec extends SparkSpec {
       assert(ids1 ++ ids2 === want, "union of runs != unique event ids")
     }
   }
+
+  test("rate-source soak: sustained windowed agg keeps state bounded by the watermark") {
+    // the built-in rate source generates rowsPerSecond forever — the
+    // soak asserts the watermarked agg keeps up AND its state stays
+    // O(windows-in-flight × keys), i.e. eviction works under load
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", 5000).load()
+      .withColumn("user_id", col("value") % 100)
+      .withWatermark("timestamp", "4 seconds")
+      .groupBy(window(col("timestamp"), "2 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = events.writeStream
+      .outputMode("append").format("memory").queryName("soak_out").start()
+    try {
+      // run until ≥5 fed batches AND the watermark has sealed at least
+      // one window into the sink (or the 40 s deadline)
+      val deadline = System.nanoTime + 40L * 1000 * 1000 * 1000
+      while (System.nanoTime < deadline &&
+        (q.recentProgress.count(_.numInputRows > 0) < 5 ||
+          spark.sql("SELECT 1 FROM soak_out LIMIT 1").isEmpty))
+        Thread.sleep(500)
+    } finally q.stop()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 5, s"only ${progress.length} non-empty batches")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val in = progress.map(_.numInputRows).sum
+    assert(in > 10000, s"soak processed only $in rows")
+    // state rows ≤ keys × windows alive inside watermark+window span
+    // (100 users × ~4 windows, with slack) — without eviction 20 s of
+    // 2 s windows × 100 users would exceed this
+    val lastState = progress.last.stateOperators.head.numRowsTotal
+    assert(lastState < 1500, s"state grew to $lastState rows — not evicting")
+    // emitted (sealed) windows are complete: every (window,user) row
+    // carries the full count for that slot, so no count exceeds the
+    // slot's theoretical max of rowsPerSecond × 2 s / 100 users + slack
+    val emitted = spark.sql("SELECT n FROM soak_out").collect()
+    assert(emitted.nonEmpty, "watermark sealed no windows during soak")
+    emitted.foreach(r => assert(r.getLong(0) <= 150))
+  }
 }
