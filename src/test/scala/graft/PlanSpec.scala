@@ -75,4 +75,24 @@ class PlanSpec extends SparkSpec {
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[Long]("fp") !== 0L)
   }
+
+  test("q45: repetition signals are map-only — grams never shuffle") {
+    // per-doc gram analysis must stay inside the row: the only
+    // exchanges are the verify-canonicalizer sort (range) and the
+    // deliberate Tables.spread fan-out (round-robin) — never a hash
+    // shuffle, which would mean grams left their document
+    val p = plan(graft.operators.Curation.q45(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), s"grams exploded out of the row:\n$p")
+  }
+
+  test("q43: PQ candidate stage ranks on codes, vectors join only the shortlist") {
+    val p = plan(Similarity.q43(spark, sf))
+    // the corpus side reaches the approx ranking via broadcast probe
+    // join (cell) — no shuffle join of the full corpus anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the approx window ranks PqRerank rows per query map-side
+    assert(p.contains("WindowGroupLimit"),
+      s"approx top-R not pushed into a group limit:\n$p")
+  }
 }
