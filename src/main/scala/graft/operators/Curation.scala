@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -119,6 +120,36 @@ object Curation {
     */
   private val ContamN = 4
 
+  /** (doc_id, ng, gram) distinct word [[ContamN]]-gram relation via
+    * one typed flatMap. Originally a regexp/transform/slice/concat_ws
+    * HOF pipeline — higher-order functions evaluate INTERPRETED inside
+    * codegen (no doGenCode), and the megamorphic `Expression.eval`
+    * hot path degraded 3-5× as the session accumulated expression
+    * classes (profiled: identical q46 runs went 12s → 56s CPU at
+    * sf0.1). Same justified-mapPartitions call as Dedup's shingler:
+    * per-doc imperative gramming, compiled once, evaluated once.
+    */
+  private def gramRel(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.as[(Long, String)].flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < ContamN) Iterator.empty
+      else {
+        val set = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= toks.length - ContamN) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < ContamN) { sb.append(' ').append(toks(i + j)); j += 1 }
+          set.add(sb.toString); i += 1
+        }
+        val n = set.size.toLong
+        import scala.jdk.CollectionConverters._
+        set.iterator().asScala.map(g => (id, n, g))
+      }
+    }.toDF("doc_id", "ng", "gram")
+  }
+
   /** q46: benchmark decontamination — for every train document, how
     * many of its distinct word [[ContamN]]-grams also occur anywhere
     * in the eval set, and the contaminated fraction. This is the
@@ -127,23 +158,17 @@ object Curation {
     * Scale shape: the eval side of the join is tiny by construction
     * (benchmarks are KBs, corpora are TBs), so the distinct eval-gram
     * relation is BROADCAST and the train side never shuffles — one
-    * scan, map-side explode, broadcast semi-ish join, per-doc
-    * re-aggregate on doc_id (AQE-coalesced). Only contaminated docs
-    * survive the final filter.
+    * gram pass over the corpus (the eval/train doc_id filters run
+    * BEFORE the flatMap, so no doc is grammed twice), broadcast
+    * semi-ish join, per-doc re-aggregate on doc_id (AQE-coalesced).
+    * Only contaminated docs survive the final filter.
     */
   def q46(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables(spark, dir, "documents")
+    val base = Tables.spread(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
-      .withColumn("w", wsTokens)
-      .filter(size(col("w")) >= ContamN) // guard before sequence()
-      .withColumn("g", expr(
-        s"""array_distinct(transform(sequence(0, size(w) - $ContamN),
-           |  i -> concat_ws(' ', slice(w, i + 1, $ContamN))))""".stripMargin))
-      .withColumn("ng", size(col("g")).cast("long"))
-    val evalGrams = docs.filter(col("doc_id") % EvalMod === 0)
-      .select(explode(col("g")).as("gram")).distinct()
-    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
-      .select(col("doc_id"), col("ng"), explode(col("g")).as("gram"))
+    val evalGrams = gramRel(spark, base.filter(col("doc_id") % EvalMod === 0))
+      .select(col("gram")).distinct()
+    val train = gramRel(spark, base.filter(col("doc_id") % EvalMod =!= 0))
     train.join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"), col("ng"))
       .agg(count(lit(1)).as("contaminated"))
@@ -211,6 +236,125 @@ object Curation {
         (col("weight") * sampleSize).as("expected_docs"))
       .orderBy(col("lang"))
   }
+
+  /** Per-source document cap: at most this many docs survive from any
+    * one source. 15 of the 25 docs/source at sf0.01 → both branches
+    * of the verdict are exercised.
+    */
+  private val SourceCap = 15
+
+  /** q48: per-source (per-domain) document cap — the RefinedWeb-style
+    * curation rule that stops any single domain from dominating the
+    * training mix. Docs are ranked within their source by a quality
+    * proxy (longest first; doc_id breaks ties, so the order is total
+    * and engine-independent) and only the top [[SourceCap]] survive,
+    * annotated with their rank and the source's pre-cap size.
+    *
+    * Scale shape: the rank-then-filter compiles to Spark's
+    * `WindowGroupLimit` — each map partition forwards at most
+    * [[SourceCap]] rows per source into the shuffle, so the exchange
+    * carries O(sources × cap) rows, not the corpus. The pre-cap
+    * source sizes come from a separately-aggregated one-row-per-source
+    * relation (map-side partial counts) that re-attaches by broadcast.
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = docs
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= SourceCap)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"))
+    kept.join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"), col("src_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q48Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY n_chars DESC, doc_id)
+       |      AS BIGINT) AS src_rank
+       |  FROM documents),
+       |c AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source)
+       |SELECT r.doc_id, r.source, r.n_chars, r.src_rank, c.src_docs
+       |FROM r JOIN c USING (source)
+       |WHERE r.src_rank <= $SourceCap
+       |ORDER BY r.doc_id""".stripMargin
+
+  /** q49: corpus vocabulary / Zipf profile — every distinct token with
+    * its corpus frequency, global frequency rank, and cumulative
+    * share of all token occurrences (the curve quality reports read
+    * "top 100 tokens cover X% of the corpus" off of).
+    *
+    * The ranking is DISTRIBUTED, not a single-partition window: the
+    * vocab relation is range-partitioned on the total order
+    * (freq desc, token), per-partition row/frequency subtotals (one
+    * row per partition — the same tiny-collect shape as the IVF probe
+    * cells) become broadcast prefix offsets, and each partition ranks
+    * its own slice with a partition-local window. global rank =
+    * offset + local row_number, exactly — because every partition
+    * holds a contiguous slice of the total order, any boundary choice
+    * yields the same answer. At a 10⁸-token web vocabulary this is
+    * the shape that works; a naive `Window.orderBy` would funnel the
+    * whole vocabulary through one task.
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.spread(Tables(spark, dir, "documents")
+        .select(col("text")))
+      .select(explode(wsTokens).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    val parts = freq
+      .repartitionByRange(col("freq").desc, col("token"))
+      .sortWithinPartitions(col("freq").desc, col("token"))
+      .withColumn("pid", spark_partition_id())
+    val partStats = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("rows"), sum(col("freq")).as("fsum"))
+      .collect().sortBy(_.getInt(0))
+    var rowOff = 0L
+    var freqOff = 0L
+    val offsets = partStats.map { r =>
+      val o = (r.getInt(0), rowOff, freqOff)
+      rowOff += r.getLong(1); freqOff += r.getLong(2); o
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets)
+      .toDF("pid", "row_off", "freq_off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("freq").desc, col("token"))
+    parts.join(broadcast(offDf), Seq("pid"))
+      .withColumn("rank",
+        row_number().over(w).cast("long") + col("row_off"))
+      .withColumn("cum_freq",
+        sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("freq_off"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("freq"), col("rank"), col("cum_freq"),
+        (col("cum_freq").cast("double") / col("total").cast("double"))
+          .as("cum_frac"))
+      .orderBy(col("rank"))
+  }
+
+  val q49Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+      |t AS (SELECT SUM(freq) AS total FROM f)
+      |SELECT token, freq,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+      |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+      |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE)
+      |    AS cum_frac
+      |FROM f CROSS JOIN t
+      |ORDER BY rank""".stripMargin
 
   val q47Sql: String =
     """WITH c AS (

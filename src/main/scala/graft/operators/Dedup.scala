@@ -406,6 +406,89 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) — the 10⁹-edge-scale alternative to [[q35]]'s
+    * min-label propagation. Propagation needs diameter-many rounds; a
+    * deep chain (rare but real in transitive near-dup graphs) blows
+    * through any fixed cap. Star rounds contract components in
+    * O(log n) rounds regardless of diameter: large-star points every
+    * higher-numbered neighbor at the neighborhood minimum, small-star
+    * does the same for the lower side, and the fixpoint is a star
+    * centered at each component's minimum node.
+    *
+    * Each round is groupBy-min + a same-key join over the canonical
+    * edge relation (two 16-byte-row shuffles; AQE reuses the
+    * exchange), `localCheckpoint` truncates lineage, and the driver
+    * reads one checksum row per round — never data. Labels are
+    * identical to q35's (comp = min node id), spec'd both against
+    * q35 on the real near-dup graph and on a 300-node chain whose
+    * diameter no propagation cap would survive.
+    */
+  def ccLargeSmallStar(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame =
+    ccStarWithRounds(edgesIn, maxRounds)._1
+
+  /** [[ccLargeSmallStar]] plus the number of rounds taken (spec hook). */
+  def ccStarWithRounds(edgesIn: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    // canonical undirected form: (u > v), self-loops dropped
+    var edges = edgesIn.toDF("x", "y")
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val allNodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().localCheckpoint()
+    // fixpoint detection: the edge set is canonical and distinct, so
+    // (count, XOR of xxhash64(u,v)) is a set checksum — bit_xor is
+    // associative/commutative with no overflow under ANSI mode, and a
+    // 2⁻⁶⁴-odds collision would only make convergence detection run
+    // one extra identical round, never corrupt labels
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star: for every node, all strictly-larger neighbors
+      // re-point at min(neighborhood ∪ self)
+      val sym = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(lMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // small-star: every lower neighbor (and the node itself)
+      // re-points at the minimum lower neighbor
+      val sMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(sMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      edges = small
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star CC did not converge within $rounds rounds")
+    val labels = allNodes
+      .join(edges.select(col("u").as("node"), col("v").as("comp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (labels, rounds)
+  }
+
   /** Shared oracle prefix: transitive closure over the q31 pair graph
     * as a recursive CTE, `comp` = (doc_id, cluster_id = min reachable).
     */

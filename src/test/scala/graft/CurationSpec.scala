@@ -48,6 +48,55 @@ class CurationSpec extends SparkSpec {
       s"eval grams not broadcast:\n$plan")
   }
 
+  test("q48 caps every source, ranks are contiguous, and the plan group-limits before the shuffle") {
+    val rows = Curation.q48(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, docs) =>
+      assert(docs.length <= 15, s"source $src over the cap")
+      // ranks within a source are exactly 1..n with no gaps
+      assert(docs.map(_.getAs[Long]("src_rank")).sorted.toSeq ===
+        (1L to docs.length).toSeq, s"ranks not contiguous for $src")
+      // kept docs are the longest ones: every kept doc is >= the
+      // source's (cap+1)-th longest, by construction of the rank order
+      docs.foreach(d => assert(d.getAs[Long]("src_docs") >= docs.length))
+    }
+    // the rank-filter must compile to a partial group limit so each
+    // map partition forwards at most cap rows per source into the
+    // shuffle — the property that makes the cap corpus-scale-safe
+    val plan = Curation.q48(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
+  test("q49 distributed ranking equals a single-partition window and covers the corpus") {
+    val got = Curation.q49(spark, sf).collect()
+    assert(got.nonEmpty)
+    // reference: the same ranking through one global window
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val exp = freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("rank").collect()
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getAs[String]("token") === e.getAs[String]("token"))
+      assert(g.getAs[Long]("rank") === e.getAs[Long]("rank"))
+      assert(g.getAs[Long]("cum_freq") === e.getAs[Long]("cum_freq"))
+    }
+    // the Zipf curve ends at exactly 100% of token occurrences
+    assert(math.abs(got.last.getAs[Double]("cum_frac") - 1.0) < 1e-12)
+    // and it is monotone in rank
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_freq") < b.getAs[Long]("cum_freq"))
+      assert(a.getAs[Long]("freq") >= b.getAs[Long]("freq"))
+    }
+  }
+
   test("q47 weights are a proper tempered distribution") {
     val rows = Curation.q47(spark, sf).collect()
     assert(rows.length > 1)

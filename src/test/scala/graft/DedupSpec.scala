@@ -69,6 +69,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star CC matches q35's labels and conquers a deep chain in log rounds") {
+    // identical labels on the real near-dup graph
+    val edges = Dedup.q31(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ia"),
+        org.apache.spark.sql.functions.col("ib"))
+    val star = Dedup.ccLargeSmallStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.q35(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(star === prop)
+    // a 300-node chain has diameter 299: q35's propagation would need
+    // 299 rounds (its cap throws at 20); star rounds are logarithmic
+    val chain = spark.range(299).selectExpr("id AS x", "id + 1 AS y")
+    val (lab, rounds) = Dedup.ccStarWithRounds(chain)
+    assert(rounds <= 15, s"expected O(log n) rounds, took $rounds")
+    val labs = lab.collect()
+    assert(labs.length === 300)
+    assert(labs.forall(_.getLong(1) === 0L), "chain must collapse to component 0")
+  }
+
   test("q34 LSH scale path: subset of exact, high recall on high-cosine pairs") {
     def cpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("ia", "ib").collect()
