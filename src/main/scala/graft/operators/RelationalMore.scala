@@ -304,4 +304,93 @@ object RelationalMore {
       |FROM orders
       |GROUP BY 1, 2, 3
       |ORDER BY y, q, m""".stripMargin
+
+  /** q92: latest-wins CDC merge — fold a change batch (updates +
+    * inserts, each row versioned) into a keyed snapshot and classify
+    * every surviving key as unchanged / updated / inserted. The change
+    * batch is derived deterministically from `orders` (key%10=3 →
+    * v1 reprice, key%20=3 → v2 status flip, key%37=5 → new-key
+    * insert), standing in for a day's CDC feed.
+    *
+    * Scale shape: ONE hash shuffle on the merge key, and no sort
+    * anywhere. Latest-wins is a typed `reduceGroups` argmax (per-key
+    * versions are distinct, so the reduction is associative and
+    * commutative) carrying running min/max version for the verdict.
+    * `max(struct(version, …))` would express the same thing
+    * declaratively, but struct aggregation buffers are not
+    * hash-aggregable and Spark silently plans a per-partition
+    * SortAggregate; the typed reduction plans as ObjectHashAggregate —
+    * hash-based, map-side partial combine (one candidate row per key
+    * per partition crosses the shuffle, not the feed). No window, no
+    * join back. This shape is what survives a 10⁹-row snapshot with a
+    * 10⁶-row daily batch.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val snap = orders.withColumn("version", lit(0L))
+    val upd1 = orders.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit("P").as("o_orderstatus"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"),
+        lit(1L).as("version"))
+    val upd2 = orders.filter(col("o_orderkey") % 20 === 3)
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("o_totalprice") * 1.10).as("o_totalprice"),
+        lit(2L).as("version"))
+    val ins = orders.filter(col("o_orderkey") % 37 === 5)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("version"))
+    snap.unionAll(upd1).unionAll(upd2).unionAll(ins)
+      .as[(Long, String, Double, Long)]
+      .map { case (k, st, pr, v) => (k, st, pr, v, v, v) }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val w = if (a._4 > b._4) a else b
+        (w._1, w._2, w._3, w._4,
+          math.min(a._5, b._5), math.max(a._6, b._6))
+      }
+      .map(_._2)
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "version",
+        "minv", "maxv")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("version"),
+        when(col("minv") > 0, lit("inserted"))
+          .when(col("maxv") > 0, lit("updated"))
+          .otherwise(lit("unchanged")).as("op"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q92Sql: String =
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(0 AS BIGINT) AS version
+      |  FROM orders),
+      |u1 AS (
+      |  SELECT o_orderkey, 'P' AS o_orderstatus,
+      |    o_totalprice * 1.05 AS o_totalprice, CAST(1 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 10 = 3),
+      |u2 AS (
+      |  SELECT o_orderkey, 'F', o_totalprice * 1.10, CAST(2 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 20 = 3),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, CAST(1 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 37 = 5),
+      |feed AS (
+      |  SELECT * FROM snap UNION ALL SELECT * FROM u1
+      |  UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM ins),
+      |ranked AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, version,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |      ORDER BY version DESC) AS rn,
+      |    MIN(version) OVER (PARTITION BY o_orderkey) AS minv,
+      |    MAX(version) OVER (PARTITION BY o_orderkey) AS maxv
+      |  FROM feed)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, version,
+      |  CASE WHEN minv > 0 THEN 'inserted'
+      |       WHEN maxv > 0 THEN 'updated'
+      |       ELSE 'unchanged' END AS op
+      |FROM ranked WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin
 }

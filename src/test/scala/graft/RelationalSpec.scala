@@ -23,6 +23,40 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q92 CDC merge: latest version wins, verdicts partition the keys, no window in the plan") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.RelationalMore.q92(spark, sf)
+    val rows = df.collect()
+    val snapKeys = Tables(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet.size === rows.length)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val v = r.getAs[Long]("version")
+      val op = r.getAs[String]("op")
+      if (k >= 10000000L) { // derived insert keys
+        assert(op === "inserted" && v === 1L && r.getAs[String]("o_orderstatus") === "N")
+      } else if (k % 20 === 3) {
+        assert(op === "updated" && v === 2L && r.getAs[String]("o_orderstatus") === "F")
+      } else if (k % 10 === 3) {
+        assert(op === "updated" && v === 1L && r.getAs[String]("o_orderstatus") === "P")
+      } else {
+        assert(op === "unchanged" && v === 0L)
+        assert(snapKeys.contains(k))
+      }
+    }
+    // every snapshot key survives the merge
+    assert(snapKeys.subsetOf(rows.map(_.getAs[Long]("o_orderkey")).toSet))
+    // latest-wins is an argmax AGGREGATE: hash-based with map-side
+    // partial combine — no window and no per-partition SortAggregate
+    // (struct-max would silently plan one); the only sort is the final
+    // presentation orderBy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"merge must not need a window:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"merge must not sort-aggregate:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), "expected object-hash-aggregate merge")
+  }
+
   test("all declared queries run at sf0.001 and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
