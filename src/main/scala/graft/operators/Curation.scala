@@ -309,36 +309,72 @@ object Curation {
       .select(explode(wsTokens).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).as("total"))
-    val parts = freq
-      .repartitionByRange(col("freq").desc, col("token"))
-      .sortWithinPartitions(col("freq").desc, col("token"))
-      .withColumn("pid", spark_partition_id())
-    val partStats = parts.groupBy(col("pid"))
-      .agg(count(lit(1)).as("rows"), sum(col("freq")).as("fsum"))
-      .collect().sortBy(_.getInt(0))
-    var rowOff = 0L
-    var freqOff = 0L
-    val offsets = partStats.map { r =>
-      val o = (r.getInt(0), rowOff, freqOff)
-      rowOff += r.getLong(1); freqOff += r.getLong(2); o
-    }.toSeq
-    val offDf = spark.createDataFrame(offsets)
-      .toDF("pid", "row_off", "freq_off")
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("freq").desc, col("token"))
-    parts.join(broadcast(offDf), Seq("pid"))
-      .withColumn("rank",
-        row_number().over(w).cast("long") + col("row_off"))
-      .withColumn("cum_freq",
-        sum(col("freq")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          + col("freq_off"))
+    Distributed.orderedPrefix(freq,
+        Seq(col("freq").desc, col("token")), col("freq"))
       .crossJoin(broadcast(total))
-      .select(col("token"), col("freq"), col("rank"), col("cum_freq"),
-        (col("cum_freq").cast("double") / col("total").cast("double"))
+      .select(col("token"), col("freq"), col("rank"),
+        col("cum_w").as("cum_freq"),
+        (col("cum_w").cast("double") / col("total").cast("double"))
           .as("cum_frac"))
       .orderBy(col("rank"))
   }
+
+  /** Training context-window length for q93 (tokens). Small enough
+    * that most docs straddle a boundary at the synthetic ~50-token
+    * doc length when packed end-to-end — both verdict branches fire.
+    */
+  private val PackWindow = 512L
+
+  /** q93: sequence packing — GPT-style chunked concatenation. The
+    * corpus is conceptually concatenated in doc_id order and split
+    * into fixed [[PackWindow]]-token training windows; each document
+    * reports its global token offset, the first/last window it lands
+    * in, and how many windows it spans (the packing map a training
+    * dataloader shards by).
+    *
+    * The global token offset is an exclusive prefix sum over a total
+    * order — [[Distributed.orderedPrefix]], so no single-partition
+    * window anywhere: at 10⁹ documents the offsets come from one
+    * numPartitions-row collect, and everything else is partition-local.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(wsTokens).cast("long").as("n_tokens"))
+    Distributed.orderedPrefix(docs, Seq(col("doc_id")), col("n_tokens"))
+      .withColumn("start_tok", col("cum_w") - col("n_tokens"))
+      .withColumn("first_win", expr(s"start_tok DIV $PackWindow"))
+      .withColumn("last_win",
+        when(col("n_tokens") > 0,
+          expr(s"(start_tok + n_tokens - 1) DIV $PackWindow"))
+          .otherwise(expr(s"start_tok DIV $PackWindow")))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("first_win"), col("last_win"),
+        (col("last_win") - col("first_win") + 1L).as("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q93Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+       |  FROM t),
+       |w AS (
+       |  SELECT doc_id, n_tokens, start_tok,
+       |    start_tok // $PackWindow AS first_win,
+       |    CASE WHEN n_tokens > 0
+       |      THEN (start_tok + n_tokens - 1) // $PackWindow
+       |      ELSE start_tok // $PackWindow END AS last_win
+       |  FROM c)
+       |SELECT doc_id, n_tokens, start_tok, first_win, last_win,
+       |  last_win - first_win + 1 AS n_windows
+       |FROM w
+       |ORDER BY doc_id""".stripMargin
 
   val q49Sql: String =
     """WITH tok AS (

@@ -97,6 +97,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q93 packing offsets are a contiguous exclusive prefix sum and window spans are exact") {
+    val rows = Curation.q93(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // offsets reproduce a driver-side cumulative sum in doc_id order
+    var expectedStart = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_tok") === expectedStart,
+        s"doc ${r.getAs[Long]("doc_id")} offset out of sequence")
+      expectedStart += r.getAs[Long]("n_tokens")
+      // window arithmetic: span covers exactly the doc's token range
+      val s = r.getAs[Long]("start_tok"); val n = r.getAs[Long]("n_tokens")
+      val fw = r.getAs[Long]("first_win"); val lw = r.getAs[Long]("last_win")
+      assert(fw === s / 512)
+      assert(lw === (if (n > 0) (s + n - 1) / 512 else s / 512))
+      assert(r.getAs[Long]("n_windows") === lw - fw + 1)
+    }
+    // some docs must straddle a window boundary at these lengths
+    assert(rows.exists(_.getAs[Long]("n_windows") > 1))
+    assert(rows.exists(_.getAs[Long]("n_windows") === 1))
+  }
+
   test("q47 weights are a proper tempered distribution") {
     val rows = Curation.q47(spark, sf).collect()
     assert(rows.length > 1)
