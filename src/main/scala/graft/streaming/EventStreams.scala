@@ -103,6 +103,33 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static broadcast enrichment: the live event stream joined
+    * to a STATIC dimension (per-user lifetime purchase stats computed
+    * from the batch table) — the dimension-lookup stage every event
+    * pipeline has. The static side is re-resolved per micro-batch and
+    * BROADCAST, so the stream side never shuffles and the join keeps
+    * no state at all (nothing to watermark or evict, unlike
+    * stream-stream joins); at scale the dimension is the small side
+    * by construction. Left join: events from users with no purchase
+    * history pass through with zeroed stats.
+    */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val userDim = graft.Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("lifetime_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("lifetime_value"))
+    source(spark, dir)
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        coalesce(col("lifetime_purchases"), lit(0L))
+          .as("lifetime_purchases"),
+        coalesce(col("lifetime_value"), lit(0.0)).as("lifetime_value"))
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of q18. Sessions are
     * emitted when the event-time timeout fires (gap elapsed past the

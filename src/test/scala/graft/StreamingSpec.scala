@@ -57,6 +57,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet === want)
   }
 
+  test("stream-static enrichment matches the batch join, broadcasts, and keeps no state") {
+    val q = EventStreams.enrichedEvents(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      // the micro-batch plan must broadcast the dimension — a
+      // shuffled stream side would be the wrong shape at scale
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"dimension not broadcast:\n$plan")
+      // stateless: no stateful operator rows in progress
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "enrichment join must keep no state")
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT event_id, lifetime_purchases, lifetime_value FROM enrich_out")
+      .collect().map(_.toSeq).toSet
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val events = Tables(spark, sf, "events")
+    val dim = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("lp"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("lv"))
+    val want = events.join(dim, Seq("user_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("lp"), lit(0L)), coalesce(col("lv"), lit(0.0)))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventStreams.purchaseAttribution(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("attr_out").start()
