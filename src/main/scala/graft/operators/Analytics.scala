@@ -329,4 +329,40 @@ object Analytics {
       |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_disc
       |FROM m
       |ORDER BY l_returnflag""".stripMargin
+
+  /** q94: incremental sketch rollup — the production pattern for
+    * distinct-count analytics that never re-scans history: per-day
+    * Datasketches HLL sketches of active users are built ONCE (in
+    * production: persisted as a binary column in a daily "sketch
+    * table"), and any coarser rollup — here monthly — MERGES the
+    * daily sketches instead of touching raw events again. HLL union
+    * is exact over sketch state (insertion-order independent), so the
+    * merged estimate is identical to sketching the month directly —
+    * asserted by the spec, along with the error bound vs exact
+    * distinct counts. Estimates are engine-specific ⇒ rows-only.
+    *
+    * Scale shape: raw events are read once; the daily relation is
+    * O(days) rows of O(KB) sketches; every further rollup
+    * (month/quarter/year/all-time) is an aggregation over sketches
+    * only. countDistinct here is spec ballast, not the operator.
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        date_trunc("month", col("ts")).cast("date").as("month"),
+        col("user_id"))
+    val daily = events.groupBy(col("month"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val monthly = daily.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = events.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    monthly.join(exact, Seq("month"))
+      .select(col("month"), col("n_days"), col("approx_users"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users").cast("double")).as("rel_err"))
+      .orderBy(col("month"))
+  }
 }

@@ -108,4 +108,115 @@ object Multimodal {
         size(col("features")).as("dim"))
       .orderBy(col("doc_id"))
   }
+
+  // --- real image decode path (no stub): the JDK ships PNG/BMP/GIF
+  // codecs in javax.imageio, so the encode→decode→feature pipeline
+  // below is the production shape end to end — only the IMAGE
+  // CONTENT is synthetic (no image files exist in the test data).
+
+  /** One encoded image: PNG payload + the metadata a real ingest
+    * pipeline would carry alongside the binary column.
+    */
+  case class ImageItem(doc_id: Long, width: Int, height: Int,
+    payload: Array[Byte])
+
+  /** Deterministic RGB for pixel (x, y) of image `id` — a 64-bit mix
+    * so every image differs and every pixel is reproducible anywhere
+    * (the property the round-trip spec leans on).
+    */
+  private[graft] def pixel(id: Long, x: Int, y: Int): Int = {
+    var h = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL + y
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (h & 0xFFFFFF).toInt
+  }
+
+  /** Synthetic-but-REAL image table: per document a deterministic RGB
+    * image (sizes vary 16–32 px so resize paths can't assume a fixed
+    * shape), encoded to actual PNG bytes with the JDK's ImageIO —
+    * one encoder per partition, batch loop inside, the same
+    * `mapPartitions` contract as a production media ingest.
+    */
+  def imageTable(spark: SparkSession, dir: String): Dataset[ImageItem] = {
+    import spark.implicits._
+    Tables.spread(Tables(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { ids =>
+        // [codec init happens here — once per partition]
+        ids.map { id =>
+          val w = 16 + (id % 3).toInt * 8
+          val h = 16 + (id % 5).toInt * 4
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, pixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          ImageItem(id, w, h, baos.toByteArray)
+        }
+      }
+  }
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+    n_bytes: Long, features: Array[Float])
+
+  val GridDim = 4
+
+  /** REAL decode + resize + feature extraction: ImageIO-decode the
+    * PNG payload (lossless, so pixels are bit-identical to what was
+    * encoded), grid-resize to [[GridDim]]×[[GridDim]] by cell
+    * averaging, one mean-luminance float per cell. Pixel sums are
+    * integer-exact; the only float op is the final per-cell divide —
+    * deterministic across runs, partitionings, and engines.
+    */
+  def decodeImageFeatures(images: Dataset[ImageItem]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { items =>
+      // [decoder init happens here — once per partition]
+      items.map { im =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(im.payload))
+        require(img.getWidth == im.width && img.getHeight == im.height,
+          s"decoded dims ${img.getWidth}x${img.getHeight} != metadata")
+        val sums = new Array[Long](GridDim * GridDim)
+        val counts = new Array[Long](GridDim * GridDim)
+        var y = 0
+        while (y < im.height) {
+          val cy = y * GridDim / im.height
+          var x = 0
+          while (x < im.width) {
+            val cx = x * GridDim / im.width
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            sums(cy * GridDim + cx) += lum
+            counts(cy * GridDim + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = Array.tabulate(GridDim * GridDim) { i =>
+          (sums(i).toDouble / (3.0 * counts(i))).toFloat
+        }
+        ImageFeatures(im.doc_id, im.width, im.height,
+          im.payload.length.toLong, feats)
+      }
+    }
+  }
+
+  /** q71: real image decode/resize/feature summary — encode→decode is
+    * lossless PNG, features are integer-sum-exact, so the rows-only
+    * gate is bit-stable across runs and partitionings.
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeImageFeatures(imageTable(spark, dir))
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        size(col("features")).as("dim"),
+        round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4)
+          .as("feat_l1"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -17,6 +17,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q94 sketch rollup: merging daily sketches equals sketching the month directly") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.q94(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 1L)
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"month ${r.getAs[java.sql.Date]("month")} error ${r.getAs[Double]("rel_err")}")
+    }
+    // HLL union is exact over sketch state: merged-daily estimate must
+    // EQUAL the estimate of one sketch built over the whole month —
+    // the property that makes incremental sketch tables sound
+    val events = Tables(spark, sf, "events")
+      .select(date_trunc("month", col("ts")).cast("date").as("month"),
+        col("user_id"))
+    val direct = events.groupBy(col("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("direct_users"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("month") -> r.getAs[Long]("direct_users"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("approx_users") ===
+        direct(r.getAs[java.sql.Date]("month")),
+        "merged-daily sketch estimate drifted from the direct sketch")
+    }
+  }
+
   test("q51 funnel stages are monotonically non-increasing") {
     val stages = Analytics.q51(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("users")).toMap

@@ -116,6 +116,12 @@ class CurationSpec extends SparkSpec {
     // some docs must straddle a window boundary at these lengths
     assert(rows.exists(_.getAs[Long]("n_windows") > 1))
     assert(rows.exists(_.getAs[Long]("n_windows") === 1))
+    // the prefix sum must not funnel through one task: no
+    // single-partition exchange anywhere in the plan (the final
+    // presentation orderBy is a range exchange, which is fine)
+    val plan = Curation.q93(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"orderedPrefix degenerated to a single partition:\n$plan")
   }
 
   test("q47 weights are a proper tempered distribution") {
