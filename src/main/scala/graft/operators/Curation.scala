@@ -308,13 +308,13 @@ object Curation {
         .select(col("text")))
       .select(explode(wsTokens).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val total = freq.agg(sum(col("freq")).as("total"))
+    // total token count rides out of orderedPrefix's offsets pass as
+    // `total_w` — no second scan of the corpus for the denominator
     Distributed.orderedPrefix(freq,
         Seq(col("freq").desc, col("token")), col("freq"))
-      .crossJoin(broadcast(total))
       .select(col("token"), col("freq"), col("rank"),
         col("cum_w").as("cum_freq"),
-        (col("cum_w").cast("double") / col("total").cast("double"))
+        (col("cum_w").cast("double") / col("total_w").cast("double"))
           .as("cum_frac"))
       .orderBy(col("rank"))
   }

@@ -25,19 +25,33 @@ object Distributed {
     * Exact for any partition boundaries because the order is total —
     * a naive `Window.orderBy` computes the same thing through one
     * task holding the whole relation. Adds columns `rank` (1-based,
-    * long) and `cum_w` (inclusive running sum of `weight`, long).
+    * long), `cum_w` (inclusive running sum of `weight`, long) and
+    * `total_w` (grand total, long — free from the offsets pass, so
+    * callers needing a share-of-total never rescan the input).
     *
     * `order` must be a total order (include a tiebreaker column);
-    * `weight` must be a non-null integral column.
+    * `weight` must be a non-null integral column; the input must not
+    * already contain `rank`/`cum_w`/`total_w` or `_`-prefixed working
+    * columns.
     */
   def orderedPrefix(df: DataFrame, order: Seq[Column],
       weight: Column): DataFrame = {
+    val reserved = Seq("rank", "cum_w", "total_w", "_w", "_pid",
+      "_row_off", "_w_off")
+    require(!df.columns.exists(reserved.contains),
+      s"orderedPrefix reserves columns ${reserved.mkString(", ")}")
     val spark = df.sparkSession
+    // localCheckpoint pins the partition layout: the offsets collect
+    // below and the ranking query must see the SAME partitioning —
+    // an unpinned plan re-executes the range shuffle per job, and
+    // RangePartitioner's sampled boundaries are not stable across
+    // executions, which would silently misalign the offsets
     val parts = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_w", weight.cast("long"))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val partStats = parts.groupBy(col("_pid"))
       .agg(count(lit(1)).as("rows"), sum(col("_w")).as("wsum"))
       .collect().sortBy(_.getInt(0))
@@ -57,6 +71,7 @@ object Distributed {
         sum(col("_w")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           + col("_w_off"))
+      .withColumn("total_w", lit(wOff))
       .drop("_pid", "_row_off", "_w_off", "_w")
   }
 }

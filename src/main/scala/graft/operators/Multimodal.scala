@@ -141,7 +141,12 @@ object Multimodal {
     Tables.spread(Tables(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions { ids =>
-        // [codec init happens here — once per partition]
+        // codec init once per partition: the PNG ImageWriter is looked
+        // up in the IIORegistry here and reused for every image (a
+        // per-row ImageIO.write would repeat the registry scan +
+        // writer allocation per image)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
         ids.map { id =>
           val w = 16 + (id % 3).toInt * 8
           val h = 16 + (id % 5).toInt * 4
@@ -154,7 +159,10 @@ object Multimodal {
             y += 1
           }
           val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           ImageItem(id, w, h, baos.toByteArray)
         }
       }
@@ -175,10 +183,23 @@ object Multimodal {
   def decodeImageFeatures(images: Dataset[ImageItem]): Dataset[ImageFeatures] = {
     import images.sparkSession.implicits._
     images.mapPartitions { items =>
-      // [decoder init happens here — once per partition]
+      // decoder init once per partition: one PNG ImageReader from the
+      // IIORegistry, reset via setInput per image (ImageIO.read would
+      // redo the registry lookup per row, and returns null instead of
+      // throwing on undecodable bytes)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
       items.map { im =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(im.payload))
+        val img =
+          try {
+            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(im.payload)), true, true)
+            reader.read(0)
+          } catch {
+            case e: java.io.IOException =>
+              throw new IllegalArgumentException(
+                s"doc ${im.doc_id}: undecodable image payload", e)
+          }
         require(img.getWidth == im.width && img.getHeight == im.height,
           s"decoded dims ${img.getWidth}x${img.getHeight} != metadata")
         val sums = new Array[Long](GridDim * GridDim)

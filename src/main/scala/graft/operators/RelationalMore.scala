@@ -312,18 +312,24 @@ object RelationalMore {
     * v1 reprice, key%20=3 → v2 status flip, key%37=5 → new-key
     * insert), standing in for a day's CDC feed.
     *
-    * Scale shape: ONE hash shuffle on the merge key, and no sort
-    * anywhere. Latest-wins is a typed `reduceGroups` argmax (per-key
-    * versions are distinct, so the reduction is associative and
-    * commutative) carrying running min/max version for the verdict.
-    * `max(struct(version, …))` would express the same thing
-    * declaratively, but struct aggregation buffers are not
-    * hash-aggregable and Spark silently plans a per-partition
-    * SortAggregate; the typed reduction plans as ObjectHashAggregate —
-    * hash-based, map-side partial combine (one candidate row per key
-    * per partition crosses the shuffle, not the feed). No window, no
-    * join back. This shape is what survives a 10⁹-row snapshot with a
-    * 10⁶-row daily batch.
+    * Scale shape: ONE hash shuffle on the merge key. Latest-wins is a
+    * typed `reduceGroups` argmax (per-key versions are distinct, so
+    * the reduction is associative and commutative) carrying running
+    * min/max version for the verdict. `max(struct(version, …))` would
+    * express the same thing declaratively, but struct aggregation
+    * buffers are not hash-aggregable and Spark silently plans a
+    * per-partition SortAggregate; the typed reduction plans as
+    * ObjectHashAggregate. The load-bearing property is the MAP-SIDE
+    * PARTIAL COMBINE: at most one candidate row per key per partition
+    * crosses the shuffle, never the feed — that holds even when the
+    * object agg's in-memory map exceeds
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 groups) and it degrades to a sorted merge within
+    * the partition. No window over the raw feed, no join back.
+    *
+    * Insert keys are the NEGATIVE mirror `-(k+1)` — disjoint from
+    * the snapshot's positive keys at any scale factor (an additive
+    * offset would collide once max(o_orderkey) crossed it).
     */
   def q92(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -339,7 +345,7 @@ object RelationalMore {
         (col("o_totalprice") * 1.10).as("o_totalprice"),
         lit(2L).as("version"))
     val ins = orders.filter(col("o_orderkey") % 37 === 5)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .select((-(col("o_orderkey") + 1L)).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"),
         lit(1L).as("version"))
     snap.unionAll(upd1).unionAll(upd2).unionAll(ins)
@@ -375,7 +381,7 @@ object RelationalMore {
       |  SELECT o_orderkey, 'F', o_totalprice * 1.10, CAST(2 AS BIGINT)
       |  FROM orders WHERE o_orderkey % 20 = 3),
       |ins AS (
-      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, CAST(1 AS BIGINT)
+      |  SELECT -(o_orderkey + 1), 'N', o_totalprice, CAST(1 AS BIGINT)
       |  FROM orders WHERE o_orderkey % 37 = 5),
       |feed AS (
       |  SELECT * FROM snap UNION ALL SELECT * FROM u1

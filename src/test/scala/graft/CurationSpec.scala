@@ -52,14 +52,26 @@ class CurationSpec extends SparkSpec {
     val rows = Curation.q48(spark, sf).collect()
     assert(rows.nonEmpty)
     val bySource = rows.groupBy(_.getAs[String]("source"))
+    // independent ground truth: all docs per source from the table
+    val all = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .groupBy(_.getAs[String]("source"))
     bySource.foreach { case (src, docs) =>
       assert(docs.length <= 15, s"source $src over the cap")
       // ranks within a source are exactly 1..n with no gaps
       assert(docs.map(_.getAs[Long]("src_rank")).sorted.toSeq ===
         (1L to docs.length).toSeq, s"ranks not contiguous for $src")
-      // kept docs are the longest ones: every kept doc is >= the
-      // source's (cap+1)-th longest, by construction of the rank order
-      docs.foreach(d => assert(d.getAs[Long]("src_docs") >= docs.length))
+      docs.foreach(d => assert(d.getAs[Long]("src_docs") === all(src).length))
+      // kept docs ARE the longest ones: every kept doc's length >=
+      // every dropped doc's length (ties broken by doc_id, so compare
+      // on the (n_chars desc, doc_id asc) order key)
+      val keptKeys = docs.map(d =>
+        (-d.getAs[Long]("n_chars"), d.getAs[Long]("doc_id"))).toSet
+      val ordered = all(src).map(d =>
+        (-d.getAs[Long]("n_chars"), d.getAs[Long]("doc_id")))
+        .sorted.take(docs.length).toSet
+      assert(keptKeys === ordered,
+        s"source $src kept docs are not the top-${docs.length} by length")
     }
     // the rank-filter must compile to a partial group limit so each
     // map partition forwards at most cap rows per source into the

@@ -34,8 +34,9 @@ class RelationalSpec extends SparkSpec {
       val k = r.getAs[Long]("o_orderkey")
       val v = r.getAs[Long]("version")
       val op = r.getAs[String]("op")
-      if (k >= 10000000L) { // derived insert keys
+      if (k < 0L) { // derived insert keys (negative mirror space)
         assert(op === "inserted" && v === 1L && r.getAs[String]("o_orderstatus") === "N")
+        assert((-k - 1L) % 37 === 5L)
       } else if (k % 20 === 3) {
         assert(op === "updated" && v === 2L && r.getAs[String]("o_orderstatus") === "F")
       } else if (k % 10 === 3) {
@@ -47,10 +48,11 @@ class RelationalSpec extends SparkSpec {
     }
     // every snapshot key survives the merge
     assert(snapKeys.subsetOf(rows.map(_.getAs[Long]("o_orderkey")).toSet))
-    // latest-wins is an argmax AGGREGATE: hash-based with map-side
-    // partial combine — no window and no per-partition SortAggregate
-    // (struct-max would silently plan one); the only sort is the final
-    // presentation orderBy
+    // latest-wins is an argmax AGGREGATE with map-side partial
+    // combine — no window and no SortAggregate PLAN (struct-max would
+    // silently plan one; past the object-agg fallback threshold the
+    // runtime may still merge sorted WITHIN a partition, which is
+    // fine — the shuffle stays bounded either way)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"merge must not need a window:\n$plan")
     assert(!plan.contains("SortAggregate"), s"merge must not sort-aggregate:\n$plan")
