@@ -33,7 +33,10 @@ val defaultHeapGb: Long = {
   val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
   val physGb = bean.getTotalMemorySize / (1L << 30)
-  math.min(48L, math.max(8L, (physGb * 2) / 5))
+  // floor at 8g but never above physical-minus-margin: a hard 8g
+  // floor with pinned Xms would commit the whole RAM of an 8 GB box
+  val floor = math.max(2L, math.min(8L, physGb - 2))
+  math.min(48L, math.max(floor, (physGb * 2) / 5))
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -70,8 +70,11 @@ object Bench {
     val sh = ok.map { case (k, _, s, _, _) =>
       s"\"" + k + "\":" + f"$s%.1f" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, Some(e)) =>
+      // exception text can carry ANY control char (Netty/Hadoop
+      // messages embed NULs and ESC) — strip the whole C0 range, not
+      // just \n\r\t, or the one-line bench JSON stops parsing
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     val totalSpill = ok.map(_._4).sum
     val total = ok.map(_._2).sum

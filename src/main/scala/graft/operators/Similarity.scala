@@ -277,15 +277,19 @@ object Similarity {
   /** Argmax-cosine cell id as a codegen expression: centroids are unit
     * literals, the row norm is a positive constant across cells, so
     * `argmax_i dot(v, c_i)` picks the max-cosine cell with no division
-    * and no window — `greatest` over (dot, cell) structs keeps the
-    * whole assignment map-side.
+    * and no window — `greatest` over (dot, -cell) structs keeps the
+    * whole assignment map-side. The negated cell makes ties resolve
+    * to the SMALLEST cell id, matching the probe ranking's
+    * (cosine desc, cell asc) order — an asymmetric tie-break would
+    * let a duplicated centroid send vectors to the cell the probe
+    * ranks last.
     */
   private def argmaxCell(cs: Seq[Seq[Double]]): Column =
-    greatest(cs.zipWithIndex.map { case (c, i) =>
+    -greatest(cs.zipWithIndex.map { case (c, i) =>
       struct(
         call_function("dot_d", col("v"), array(c.map(lit): _*)).as("d"),
-        lit(i).as("cell"))
-    }: _*).getField("cell")
+        lit(-i).as("ncell"))
+    }: _*).getField("ncell")
 
   /** Centroid relation (cell, cv, cnrm=1) for the tiny probe-side join. */
   private def ivfCentroidDf(spark: SparkSession, dir: String,

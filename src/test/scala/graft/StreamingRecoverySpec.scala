@@ -56,7 +56,8 @@ class StreamingRecoverySpec extends SparkSpec {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    if (Files.list(Paths.get(out)).toArray.isEmpty) Set.empty
+    if (!Files.exists(Paths.get(out)) ||
+        Files.list(Paths.get(out)).toArray.isEmpty) Set.empty
     else spark.read.parquet(out).select(cols.head, cols.tail: _*)
       .collect().map(_.toSeq).toSet
   }
