@@ -37,9 +37,13 @@ object Tables {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    // spec-written events tables carry a real TIMESTAMP already —
+    // only the driver-generated TIMESTAMP(NANOS) arrives as long
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
   }
 }

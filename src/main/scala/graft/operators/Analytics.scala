@@ -346,6 +346,89 @@ object Analytics {
     * (month/quarter/year/all-time) is an aggregation over sketches
     * only. countDistinct here is spec ballast, not the operator.
     */
+  /** q95: trailing-window anomaly detection — per event type, each
+    * hour's event count z-scored against the trailing 24 hours
+    * (frame excludes the current row, so an anomaly can't mask
+    * itself), flagged at |z| > 3 after a 12-hour warm-up. The
+    * monitoring query every event pipeline runs against its own
+    * volume.
+    *
+    * Determinism: the windowed sums (Σn, Σn²) are exact BIGINTs;
+    * mean/variance/z are recomposed from them with the SAME double
+    * expression tree in Spark and DuckDB, so results are bit-equal —
+    * built-in windowed STDDEV would differ in the last ulp between
+    * engines (order-sensitive streaming algorithms). One shuffle on
+    * event_type for the hourly rollup; the window sorts only the
+    * tiny per-type hourly relation, never raw events.
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-24, -1)
+    val withStats = hourly
+      .withColumn("win_cnt", count(col("n_events")).over(w))
+      .withColumn("s", sum(col("n_events")).over(w))
+      .withColumn("sq", sum(col("n_events") * col("n_events")).over(w))
+    val cntD = col("win_cnt").cast("double")
+    val mean = col("s").cast("double") / cntD
+    val variance = ((col("sq").cast("double")
+      - col("s").cast("double") * col("s").cast("double") / cntD)
+      / (cntD - 1.0))
+    withStats
+      .withColumn("trailing_mean",
+        when(col("win_cnt") >= 12, mean).otherwise(lit(null)))
+      .withColumn("z",
+        when(col("win_cnt") >= 12 && variance > 0.0,
+          (col("n_events").cast("double") - mean) / sqrt(variance))
+          .otherwise(lit(null)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > 3.0, lit(false)))
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("win_cnt"), col("trailing_mean"), col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  val q95Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, hour_start, n_events,
+      |    CAST(COUNT(n_events) OVER w AS BIGINT) AS win_cnt,
+      |    CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+      |    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS sq
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour_start, n_events, win_cnt,
+      |  CASE WHEN win_cnt >= 12
+      |    THEN CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE)
+      |    ELSE NULL END AS trailing_mean,
+      |  CASE WHEN win_cnt >= 12 AND
+      |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0) > 0.0
+      |    THEN (CAST(n_events AS DOUBLE)
+      |        - CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE))
+      |      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |          / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0))
+      |    ELSE NULL END AS z,
+      |  COALESCE(CASE WHEN win_cnt >= 12 AND
+      |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0) > 0.0
+      |    THEN abs((CAST(n_events AS DOUBLE)
+      |        - CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE))
+      |      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |          / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0)))
+      |      > 3.0
+      |    ELSE NULL END, FALSE) AS is_anomaly
+      |FROM st
+      |ORDER BY event_type, hour_start""".stripMargin
+
   def q94(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir, "events")
       .select(to_date(col("ts")).as("day"),

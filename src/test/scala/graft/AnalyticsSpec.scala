@@ -17,6 +17,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q95 anomaly detection flags exactly a planted spike, nulls the warm-up") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // jittered 55-65 events/hour for 60 hours (a flat series would
+    // have zero trailing variance and z undefined), hour 50 spikes 6x
+    val base = 1700000000L / 3600 * 3600 // hour-aligned
+    val rows = for {
+      h <- 0 until 60
+      m <- 0 until (if (h == 50) 360 else 55 + h % 11)
+    } yield (base + h * 3600L + (m % 60) * 60L + (m / 60), "a")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q95").toString
+    rows.toDF("epoch", "event_type")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val got = Analytics.q95(spark, tmp).collect()
+    assert(got.length === 60)
+    got.foreach { r =>
+      val h = (r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000 - base) / 3600
+      if (r.getAs[Long]("win_cnt") < 12) {
+        assert(r.isNullAt(r.fieldIndex("z")), s"hour $h should be warm-up")
+        assert(!r.getAs[Boolean]("is_anomaly"))
+      }
+    }
+    val anomalies = got.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000 - base) / 3600)
+    assert(anomalies.toSeq === Seq(50L), s"flagged $anomalies")
+    // and on the real events table it runs with sane shape
+    val sfRows = Analytics.q95(spark, sf).collect()
+    assert(sfRows.nonEmpty)
+    sfRows.filter(_.getAs[Long]("win_cnt") >= 12).foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("z")))
+        assert(!r.getAs[Double]("z").isNaN)
+    }
+  }
+
   test("q94 sketch rollup: merging daily sketches equals sketching the month directly") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.q94(spark, sf).collect()
