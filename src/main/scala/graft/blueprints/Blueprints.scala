@@ -141,10 +141,11 @@ object Upload {
         planEnumerated(matched, a.destinationFolderName, a.destinationFileName)
       } else {
         val src = PathUtils.combine(srcBase, a.sourceFileName)
-        // missing single source is exit 200 like Download/Delete —
-        // without the pre-check the executor-side FileNotFound
-        // surfaces as a generic exit 1 outside the reference taxonomy
-        if (!FileOps.exists(spark, "file:///", src))
+        // missing (or non-regular-file) single source is exit 200
+        // like Download/Delete — without the pre-check the
+        // executor-side FileNotFound surfaces as a generic exit 1
+        // outside the reference taxonomy
+        if (!FileOps.isFile(spark, "file:///", src))
           throw GraftFsError(ErrorCodes.NoMatchesFound,
             s"no local file at $src")
         Seq(Transfer(src, PathUtils.determineDestinationFullPath(

@@ -347,11 +347,15 @@ object Analytics {
     * only. countDistinct here is spec ballast, not the operator.
     */
   /** q95: trailing-window anomaly detection — per event type, each
-    * hour's event count z-scored against the trailing 24 hours
-    * (frame excludes the current row, so an anomaly can't mask
-    * itself), flagged at |z| > 3 after a 12-hour warm-up. The
-    * monitoring query every event pipeline runs against its own
-    * volume.
+    * hour's event count z-scored against the trailing 24 WALL-CLOCK
+    * hours (a RANGE frame over epoch-hours that excludes the current
+    * row, so an anomaly can't mask itself and gap hours don't
+    * stretch the baseline back in time the way a rows-frame would),
+    * flagged at |z| > 3 once ≥12 of the trailing hours are observed.
+    * The monitoring query every event pipeline runs against its own
+    * volume. Hours with ZERO events produce no row — to flag total
+    * outages, gap-fill first (q56) so empty hours exist as count-0
+    * rows.
     *
     * Determinism: the windowed sums (Σn, Σn²) are exact BIGINTs;
     * mean/variance/z are recomposed from them with the SAME double
@@ -367,8 +371,9 @@ object Analytics {
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour_start"))
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
-      .rowsBetween(-24, -1)
+      .withColumn("hour_epoch", expr("unix_timestamp(hour_start) DIV 3600"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rangeBetween(-24, -1)
     val withStats = hourly
       .withColumn("win_cnt", count(col("n_events")).over(w))
       .withColumn("s", sum(col("n_events")).over(w))
@@ -395,7 +400,8 @@ object Analytics {
   val q95Sql: String =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-      |    COUNT(*) AS n_events
+      |    COUNT(*) AS n_events,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_epoch
       |  FROM events GROUP BY 1, 2),
       |st AS (
       |  SELECT event_type, hour_start, n_events,
@@ -403,30 +409,24 @@ object Analytics {
       |    CAST(SUM(n_events) OVER w AS BIGINT) AS s,
       |    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS sq
       |  FROM hourly
-      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
-      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-      |SELECT event_type, hour_start, n_events, win_cnt,
-      |  CASE WHEN win_cnt >= 12
-      |    THEN CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE)
-      |    ELSE NULL END AS trailing_mean,
-      |  CASE WHEN win_cnt >= 12 AND
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+      |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |mv AS (
+      |  SELECT event_type, hour_start, n_events, win_cnt,
+      |    CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE) AS mean,
       |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-      |      / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0) > 0.0
-      |    THEN (CAST(n_events AS DOUBLE)
-      |        - CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE))
-      |      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-      |          / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0))
-      |    ELSE NULL END AS z,
-      |  COALESCE(CASE WHEN win_cnt >= 12 AND
-      |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-      |      / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0) > 0.0
-      |    THEN abs((CAST(n_events AS DOUBLE)
-      |        - CAST(s AS DOUBLE) / CAST(win_cnt AS DOUBLE))
-      |      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-      |          / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0)))
-      |      > 3.0
-      |    ELSE NULL END, FALSE) AS is_anomaly
-      |FROM st
+      |      / CAST(win_cnt AS DOUBLE)) / (CAST(win_cnt AS DOUBLE) - 1.0) AS var
+      |  FROM st),
+      |zz AS (
+      |  SELECT event_type, hour_start, n_events, win_cnt,
+      |    CASE WHEN win_cnt >= 12 THEN mean ELSE NULL END AS trailing_mean,
+      |    CASE WHEN win_cnt >= 12 AND var > 0.0
+      |      THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(var)
+      |      ELSE NULL END AS z
+      |  FROM mv)
+      |SELECT event_type, hour_start, n_events, win_cnt, trailing_mean, z,
+      |  COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+      |FROM zz
       |ORDER BY event_type, hour_start""".stripMargin
 
   def q94(spark: SparkSession, dir: String): DataFrame = {

@@ -283,9 +283,17 @@ object Dedup {
   /** Corpus sizes already counted this JVM — the dispatch below needs
     * one number per dataset, not a fresh scan job every time the
     * DataFrame is merely constructed (Bench builds each query twice).
+    * The cache is a per-JVM snapshot: if the data under a dir is
+    * REPLACED in a long-lived session, call [[invalidateCorpusCounts]]
+    * or the exact/LSH dispatch keeps using the stale size.
     */
   private val corpusCount =
     new scala.collection.concurrent.TrieMap[String, Long]
+
+  /** Drop cached corpus sizes (data under a previously-seen dir
+    * changed).
+    */
+  def invalidateCorpusCounts(): Unit = corpusCount.clear()
 
   def q34(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
     val n = corpusCount.getOrElseUpdate(dir,

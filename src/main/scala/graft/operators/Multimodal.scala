@@ -147,7 +147,7 @@ object Multimodal {
         // writer allocation per image)
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("png").next()
-        ids.map { id =>
+        val out = ids.map { id =>
           val w = 16 + (id % 3).toInt * 8
           val h = 16 + (id % 5).toInt * 4
           val img = new java.awt.image.BufferedImage(
@@ -165,6 +165,9 @@ object Multimodal {
           ios.close()
           ImageItem(id, w, h, baos.toByteArray)
         }
+        // ++ is by-name: the dispose runs when the data iterator is
+        // exhausted, i.e. at end-of-partition
+        out ++ { writer.dispose(); Iterator.empty }
       }
   }
 
@@ -189,17 +192,20 @@ object Multimodal {
       // throwing on undecodable bytes)
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
-      items.map { im =>
+      val out = items.map { im =>
+        // ImageInputStream documents close() as required — its cache
+        // blocks are not GC-driven
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(im.payload))
         val img =
           try {
-            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(im.payload)), true, true)
+            reader.setInput(iis, true, true)
             reader.read(0)
           } catch {
             case e: java.io.IOException =>
               throw new IllegalArgumentException(
                 s"doc ${im.doc_id}: undecodable image payload", e)
-          }
+          } finally iis.close()
         require(img.getWidth == im.width && img.getHeight == im.height,
           s"decoded dims ${img.getWidth}x${img.getHeight} != metadata")
         val sums = new Array[Long](GridDim * GridDim)
@@ -224,6 +230,7 @@ object Multimodal {
         ImageFeatures(im.doc_id, im.width, im.height,
           im.payload.length.toLong, feats)
       }
+      out ++ { reader.dispose(); Iterator.empty }
     }
   }
 

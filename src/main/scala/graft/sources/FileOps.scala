@@ -182,6 +182,17 @@ object FileOps {
     try f.exists(new Path(path)) finally f.close()
   }
 
+  /** True only for an existing REGULAR FILE — the pre-check for
+    * single-file transfers, where a directory passing a bare exists()
+    * probe would still fail downstream with a non-taxonomy error.
+    */
+  def isFile(spark: SparkSession, uri: String, path: String): Boolean = {
+    val f = fs(uri, hadoopConf(spark))
+    try f.getFileStatus(new Path(path)).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+    finally f.close()
+  }
+
   /** Single-file move (rename) — move_file.py:96; a failed rename is
     * the reference's exit-202 condition (move_file.py:102).
     */
