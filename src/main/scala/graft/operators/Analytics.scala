@@ -365,16 +365,22 @@ object Analytics {
     * event_type for the hourly rollup; the window sorts only the
     * tiny per-type hourly relation, never raw events.
     */
-  def q95(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = Tables(spark, dir, "events")
+  def q95(spark: SparkSession, dir: String): DataFrame =
+    zScoreHourly(Tables(spark, dir, "events")
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour_start"))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("hour_epoch", expr("unix_timestamp(hour_start) DIV 3600"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** Shared z-score stage over an (event_type, hour_start, n_events)
+    * hourly relation — q95 feeds it the raw rollup, q96 the
+    * gap-filled grid.
+    */
+  private def zScoreHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
       .rangeBetween(-24, -1)
     val withStats = hourly
+      .withColumn("hour_epoch", expr("unix_timestamp(hour_start) DIV 3600"))
       .withColumn("win_cnt", count(col("n_events")).over(w))
       .withColumn("s", sum(col("n_events")).over(w))
       .withColumn("sq", sum(col("n_events") * col("n_events")).over(w))
@@ -397,12 +403,38 @@ object Analytics {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
-  val q95Sql: String =
-    """WITH hourly AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-      |    COUNT(*) AS n_events,
-      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_epoch
-      |  FROM events GROUP BY 1, 2),
+  /** q96: gap-filled anomaly detection — the q56 ∘ q95 composition.
+    * The hourly grid is generated per event type and LEFT-joined
+    * against the rollup so silent hours exist as count-0 rows, then
+    * the same trailing-24h z-score runs over the filled series. This
+    * closes q95's documented blind spot: a TOTAL OUTAGE hour now
+    * z-scores hard negative and is flagged, and with a contiguous
+    * grid the warm-up gate counts real wall-clock hours. Grid side is
+    * (types × hours) — tiny, broadcast; facts shuffle once.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+    val agg = ev.groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = ev.agg(min(col("hour_start")).as("h0"),
+      max(col("hour_start")).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_start"))
+    val filled = grid.join(agg, Seq("event_type", "hour_start"), "left")
+      .select(col("event_type"), col("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    zScoreHourly(filled)
+  }
+
+  /** Shared z-score SQL suffix over a `hourly` CTE producing
+    * (event_type, hour_start, n_events, hour_epoch) — mirrors
+    * [[zScoreHourly]] exactly so q95/q96 stay bit-equal.
+    */
+  private def zScoreSql(hourlyCte: String): String =
+    s"""WITH $hourlyCte,
       |st AS (
       |  SELECT event_type, hour_start, n_events,
       |    CAST(COUNT(n_events) OVER w AS BIGINT) AS win_cnt,
@@ -428,6 +460,32 @@ object Analytics {
       |  COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
       |FROM zz
       |ORDER BY event_type, hour_start""".stripMargin
+
+  val q95Sql: String = zScoreSql(
+    """hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+      |    COUNT(*) AS n_events,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_epoch
+      |  FROM events GROUP BY 1, 2)""".stripMargin)
+
+  val q96Sql: String = zScoreSql(
+    """b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+      |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |g AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS hour_start FROM t, b),
+      |a AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |hourly AS (
+      |  SELECT g.event_type, g.hour_start,
+      |    COALESCE(a.n_events, 0) AS n_events,
+      |    CAST(epoch(g.hour_start) AS BIGINT) // 3600 AS hour_epoch
+      |  FROM g LEFT JOIN a
+      |    ON a.event_type = g.event_type AND a.hour_start = g.hour_start)""".stripMargin)
 
   def q94(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir, "events")

@@ -52,6 +52,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q96 gap-filled anomaly detection flags a total-outage hour q95 cannot see") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // jittered traffic for 60 hours, hour 30 is a TOTAL outage
+    val base = 1700000000L / 3600 * 3600
+    val rows = for {
+      h <- (0 until 60) if h != 30
+      m <- 0 until (55 + h % 11)
+    } yield (base + h * 3600L + (m % 60) * 60L + (m / 60), "a")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q96").toString
+    rows.toDF("epoch", "event_type")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val got = Analytics.q96(spark, tmp).collect()
+    assert(got.length === 60, "grid must fill the outage hour")
+    val byHour = got.map { r =>
+      ((r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000 - base) / 3600, r)
+    }.toMap
+    assert(byHour(30L).getAs[Long]("n_events") === 0L)
+    assert(byHour(30L).getAs[Boolean]("is_anomaly"),
+      "outage hour must be flagged")
+    assert(byHour(30L).getAs[Double]("z") < -3.0)
+    // q95 on the same data has NO row for the outage hour — the blind
+    // spot q96 exists to close
+    val q95Hours = Analytics.q95(spark, tmp).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000 - base) / 3600)
+    assert(!q95Hours.contains(30L))
+    // no false positives outside the planted outage
+    val anomalies = got.filter(_.getAs[Boolean]("is_anomaly")).map { r =>
+      (r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000 - base) / 3600
+    }
+    assert(anomalies.toSeq === Seq(30L), s"flagged $anomalies")
+  }
+
   test("q94 sketch rollup: merging daily sketches equals sketching the month directly") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.q94(spark, sf).collect()
