@@ -312,13 +312,20 @@ object Similarity {
 
   /** Query probe set: each query's NProbe nearest cells. */
   def ivfProbes(spark: SparkSession, dir: String,
-      iters: Int = KMeansIters): DataFrame = {
+      iters: Int = KMeansIters): DataFrame =
+    ivfProbesWith(spark, dir, ivfCentroidDf(spark, dir, iters))
+
+  /** Probe ranking against an explicit centroid relation (cell, cv,
+    * cnrm) — the stored-quantizer path for on-disk indexes.
+    */
+  def ivfProbesWith(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell"))
     vectors(spark, dir).filter(col("vec_id").isInCollection(QueryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-      .join(broadcast(ivfCentroidDf(spark, dir, iters)))
+      .join(broadcast(cents))
       .withColumn("ccos", expr("dot_d(cv, qv)") / (col("qnrm") * col("cnrm")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= NProbe)
@@ -490,9 +497,50 @@ object Similarity {
     * data via plain partition pruning (no serving system needed; any
     * Spark reader gets the pruning for free).
     */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     ivfAssigned(spark, dir)
       .write.partitionBy("cell").mode("overwrite").parquet(indexPath)
+    // persist the coarse quantizer WITH the index (the underscore
+    // prefix hides it from data-file discovery): probes and appends
+    // must use the exact centroids the index was built with — a
+    // recompute from a since-changed corpus would silently re-route
+    // cells and break partition pruning's correctness
+    ivfCentroidDf(spark, dir, KMeansIters)
+      .write.mode("overwrite").parquet(s"$indexPath/_quantizer")
+  }
+
+  /** Incremental index maintenance — §7b: append a batch of new
+    * vectors WITHOUT retraining the quantizer. Assign-only: the
+    * stored centroids become literals, the batch gets its argmax cell
+    * map-side and appends into the existing cell partitions (no
+    * rewrite of standing data — daily cost scales with the batch).
+    * Returns a per-cell drift report (n_appended, avg cosine of the
+    * appended vectors to their centroid): when drift sags below the
+    * build-time assignment quality, it is time to re-run Lloyd's and
+    * rebuild.
+    */
+  def appendIvfIndex(spark: SparkSession, indexPath: String,
+      newVectors: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cs = spark.read.parquet(s"$indexPath/_quantizer")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    val assigned = newVectors
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+      .withColumn("cell", argmaxCell(cs))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .localCheckpoint() // pin: written below AND reported on
+    assigned.write.partitionBy("cell").mode("append").parquet(indexPath)
+    val centDf = spark.read.parquet(s"$indexPath/_quantizer")
+    assigned.join(broadcast(centDf), Seq("cell"))
+      .withColumn("cos", expr("dot_d(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_appended"), avg(col("cos")).as("avg_cos"))
+      .orderBy(col("cell"))
+  }
 
   /** Probe the on-disk index: query cells become LITERAL partition
     * predicates (the probe set is tiny by definition — collecting it
@@ -503,7 +551,11 @@ object Similarity {
   def probeIvfIndex(spark: SparkSession, dir: String,
       indexPath: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val probes = ivfProbes(spark, dir)
+    // rank probe cells against the STORED quantizer, not a recompute —
+    // the index's partitioning is defined by the centroids it was
+    // built (and appended) with
+    val probes = ivfProbesWith(spark, dir,
+      spark.read.parquet(s"$indexPath/_quantizer"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val w = Window.partitionBy(col("query_id"))

@@ -35,6 +35,40 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
+  test("IVF index append: assign-only batch is probe-visible at rank 1, pruning survives") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.buildIvfIndex(spark, sf, idx)
+    // batch = exact clones of the query vectors under new ids: each
+    // clone must land in its source's best cell and probe back at
+    // rank 1 with cosine 1
+    val clones = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id").isInCollection(Similarity.QueryIds))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val report = Similarity.appendIvfIndex(spark, idx, clones).collect()
+    assert(report.map(_.getAs[Long]("n_appended")).sum ===
+      Similarity.QueryIds.size)
+    report.foreach(r => assert(r.getAs[Double]("avg_cos") > 0.0))
+    val probed = Similarity.probeIvfIndex(spark, sf, idx)
+    // pruning still holds over the appended index
+    val scanned = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f.selectedPartitions.partitionCount
+    }.head
+    val allCells = spark.read.parquet(idx).select("cell").distinct().count()
+    assert(scanned < allCells, "append broke partition pruning")
+    // every query's top hit is now its own clone at cosine ~1
+    val top = probed.filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toMap
+    Similarity.QueryIds.foreach { q =>
+      val (hit, cos) = top(q)
+      assert(hit === q + 100000L, s"query $q top hit $hit is not its clone")
+      assert(math.abs(cos - 1.0) < 1e-12)
+    }
+  }
+
   test("on-disk IVF index: pruned probe reads match in-flight q42 exactly") {
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     Similarity.buildIvfIndex(spark, sf, idx)
