@@ -41,7 +41,10 @@ object Blueprints {
       host: String,
       port: Int,
       username: String,
-      password: String)
+      password: String,
+      retries: Int,
+      backoffMs: Long,
+      resume: Boolean)
 
   /** argparse twin: `--flag value` pairs only, reference flag names.
     * Delete uses `--file-name-match-type` (delete_file.py:29); the
@@ -72,7 +75,13 @@ object Blueprints {
       username = m.get("--username")
         .orElse(sys.env.get("FTP_USERNAME")).getOrElse("anonymous"),
       password = m.get("--password")
-        .orElse(sys.env.get("FTP_PASSWORD")).getOrElse(""))
+        .orElse(sys.env.get("FTP_PASSWORD")).getOrElse(""),
+      // production-job resilience flags (beyond the reference, which
+      // dies on the first transient error): per-file retry count and
+      // initial backoff; see FileOps.withRetries for the policy
+      retries = m.getOrElse("--retries", "0").toInt,
+      backoffMs = m.getOrElse("--backoff-ms", "1000").toLong,
+      resume = m.get("--resume").exists(_.toBoolean))
   }
 
   /** Configure the session's gftp connector for this job's server;
@@ -151,7 +160,8 @@ object Upload {
         Seq(Transfer(src, PathUtils.determineDestinationFullPath(
           a.destinationFolderName, a.destinationFileName, src)))
       }
-    FileOps.bulkCopy(spark, transfers, "file:///", dst)
+    FileOps.bulkCopy(spark, transfers, "file:///", dst,
+      retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
   }
 
   def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
@@ -189,7 +199,8 @@ object Download {
         Seq(Transfer(s"/$p", PathUtils.determineDestinationFullPath(
           localBase, a.destinationFileName, p)))
       }
-    FileOps.bulkCopy(spark, transfers, src, "file:")
+    FileOps.bulkCopy(spark, transfers, src, "file:",
+      retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
   }
 
   def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
@@ -212,13 +223,17 @@ object Move {
       // move enumerates only on multi-match (move_file.py:168-173)
       FileOps.planTransfers(matched, a.destinationFolderName,
         a.destinationFileName).foreach { t =>
-        FileOps.move(spark, uri, t.src, s"/${t.dst}")
+        FileOps.withRetries(a.retries, a.backoffMs) { () =>
+          FileOps.move(spark, uri, t.src, s"/${t.dst}")
+        }
       }
     } else {
       val src = "/" + PathUtils.combine(srcFolder, a.sourceFileName)
       val dst = "/" + PathUtils.determineDestinationFullPath(
         a.destinationFolderName, a.destinationFileName, src)
-      FileOps.move(spark, uri, src, dst)
+      FileOps.withRetries(a.retries, a.backoffMs) { () =>
+        FileOps.move(spark, uri, src, dst)
+      }
     }
   }
 

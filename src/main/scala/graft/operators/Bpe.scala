@@ -26,6 +26,18 @@ object Bpe {
     */
   val Eow = "</w>"
 
+  /** Memo for trained merge tables: deterministic per (dir, merges)
+    * — same contract as Similarity's centroid cache — so q97 (emit
+    * the table) and q98 (encode with it) share one training run.
+    */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(Long, String, String, String, Long)]]
+
+  def trainCached(spark: SparkSession, dir: String,
+      numMerges: Int): Seq[(Long, String, String, String, Long)] =
+    mergeCache.getOrElseUpdate((dir, numMerges),
+      train(spark, dir, numMerges))
+
   /** Learn `numMerges` merges from the documents table. Returns the
     * merge table (rank, left, right, merged, pair_count) — the
     * artifact a tokenizer ships.
@@ -91,9 +103,80 @@ object Bpe {
     */
   def q97(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    train(spark, dir, 30)
+    trainCached(spark, dir, 30)
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy(col("rank"))
+  }
+
+  /** Apply a learned merge table to one word: merges fire in RANK
+    * order, each replacing every (left-to-right, non-overlapping)
+    * occurrence — exactly how training itself rewrote the vocabulary,
+    * so encoding a training word reproduces its final training
+    * segmentation. BpeSpec proves this equivalent to the greedy
+    * lowest-rank-pair formulation on the whole corpus vocabulary.
+    */
+  def encodeWord(word: String,
+      merges: Seq[(Long, String, String, String, Long)]): Seq[String] = {
+    var syms: Array[String] =
+      (word.map(_.toString) :+ Eow).toArray
+    merges.foreach { case (_, l, r, m, _) =>
+      if (syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += m; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms.toSeq
+  }
+
+  /** q98: tokenize the corpus with the q97-trained merge table — the
+    * APPLY step of the tokenizer pipeline. Per document: word count,
+    * BPE token count, distinct-token count, and the tokens-per-word
+    * compression ratio the vocabulary buys.
+    *
+    * Scale shape: the merge table is KBs and ships inside the typed
+    * flatMap's closure (broadcast-by-serialization — no join, no
+    * shuffle on the corpus side); encoding is map-only with a
+    * per-partition word→tokens memo, so each DISTINCT word per
+    * partition is encoded once (word frequency is Zipfian — the memo
+    * hit rate climbs with partition size). The only shuffle is the
+    * final per-doc stats relation, rows already narrow.
+    * Deterministic but not SQL-expressible (the merge table is a
+    * training artifact) ⇒ rows-only; BpeSpec pins the semantics.
+    */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = trainCached(spark, dir, 30)
+    Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          var nTok = 0L
+          val distinct = new java.util.HashSet[String]()
+          words.foreach { w =>
+            var toks = memo.get(w)
+            if (toks == null) {
+              toks = encodeWord(w, merges).toArray
+              memo.put(w, toks)
+            }
+            nTok += toks.length
+            toks.foreach(distinct.add)
+          }
+          (id, words.length.toLong, nTok, distinct.size.toLong,
+            if (words.isEmpty) 0.0 else nTok.toDouble / words.length)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_distinct_tokens",
+        "tokens_per_word")
+      .orderBy(col("doc_id"))
   }
 
   /** Single-machine reference BPE over a (word → freq) map — the spec

@@ -407,4 +407,95 @@ object Curation {
       |  sp / (CAST(denom AS DOUBLE) / 1e15) * 10000 AS expected_docs
       |FROM s CROSS JOIN d
       |ORDER BY lang""".stripMargin
+
+  /** Span gram size for q72. 5 matches q45's duplicate-gram window;
+    * on the synthetic vocabulary cross-doc 5-gram collisions are rare
+    * by chance (~30⁻⁵ per aligned pair) but dense inside the planted
+    * near-dup families, so the coverage signal separates cleanly.
+    */
+  private val SpanN = 5
+
+  /** q72: duplicate-span coverage — for every document, the fraction
+    * of its word [[SpanN]]-gram POSITIONS whose gram also occurs in
+    * at least one OTHER document. This is the exact-substring-dedup
+    * family (Lee et al. '21, "Deduplicating Training Data Makes
+    * Language Models Better") at fixed granularity: q30 catches
+    * whole-doc copies and q31/q39 near-dup pairs, while q72 measures
+    * how much of each doc is copied SPAN-wise from anywhere in the
+    * corpus — the signal used to cut boilerplate-heavy documents.
+    *
+    * Scale shape: one typed-flatMap gram pass (same justified shape
+    * as q46's grammer — HOF gram pipelines degrade interpreted), one
+    * shuffle keyed on the gram to count distinct-doc frequency, and
+    * the df relation joins straight back on the SAME key, so the
+    * exchange is reused (no second gram shuffle); the final per-doc
+    * re-aggregate is a narrow (doc_id, m, c) relation. Gram text
+    * never reaches the output — at production scale the gram key
+    * would be `fingerprint64(gram)` (8-byte shuffle keys; identical
+    * counts), kept as the string here so DuckDB groups the same keys.
+    * Within-doc repeats count every position (coverage is positional),
+    * but a doc's own repeats alone do NOT mark it duplicated — df
+    * counts distinct documents.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gramCounts = Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < SpanN) Iterator.empty
+        else {
+          val m = (toks.length - SpanN + 1).toLong
+          val counts = new java.util.LinkedHashMap[String, Long]()
+          var i = 0
+          while (i <= toks.length - SpanN) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < SpanN) { sb.append(' ').append(toks(i + j)); j += 1 }
+            val g = sb.toString
+            counts.merge(g, 1L, java.lang.Long.sum(_, _))
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          counts.entrySet().iterator().asScala
+            .map(e => (id, m, e.getKey, e.getValue))
+        }
+      }.toDF("doc_id", "m", "gram", "c")
+    val df = gramCounts.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    gramCounts.join(df, Seq("gram"))
+      .groupBy(col("doc_id"), col("m"))
+      .agg(sum(when(col("df") >= 2, col("c")).otherwise(lit(0L)))
+        .as("dup_grams"))
+      .select(col("doc_id"), col("m").as("n_grams"),
+        col("dup_grams"),
+        (col("dup_grams").cast("double") / col("m").cast("double"))
+          .as("dup_frac"))
+      .withColumn("flagged", col("dup_frac") > 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(len(w) - ${SpanN - 1} AS BIGINT) AS m,
+       |    unnest(list_transform(range(1, len(w) - ${SpanN - 2}),
+       |      i -> concat_ws(' ', list_slice(w, i, i + ${SpanN - 1})))) AS gram
+       |  FROM t WHERE len(w) >= $SpanN),
+       |gc AS (
+       |  SELECT doc_id, m, gram, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM g GROUP BY doc_id, m, gram),
+       |d AS (SELECT gram, COUNT(*) AS df FROM gc GROUP BY gram)
+       |SELECT gc.doc_id, ANY_VALUE(gc.m) AS n_grams,
+       |  CAST(SUM(CASE WHEN d.df >= 2 THEN gc.c ELSE 0 END) AS BIGINT)
+       |    AS dup_grams,
+       |  CAST(SUM(CASE WHEN d.df >= 2 THEN gc.c ELSE 0 END) AS DOUBLE)
+       |    / CAST(ANY_VALUE(gc.m) AS DOUBLE) AS dup_frac,
+       |  CAST(SUM(CASE WHEN d.df >= 2 THEN gc.c ELSE 0 END) AS DOUBLE)
+       |    / CAST(ANY_VALUE(gc.m) AS DOUBLE) > 0.5 AS flagged
+       |FROM gc JOIN d USING (gram)
+       |GROUP BY gc.doc_id
+       |ORDER BY gc.doc_id""".stripMargin
 }

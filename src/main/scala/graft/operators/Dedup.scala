@@ -912,4 +912,121 @@ object Dedup {
       .filter(col("lcs_len") >= minLen)
       .orderBy(col("ia"), col("ib"))
   }
+
+  /** q73: fuzzy entity matching — every pair of distinct customer
+    * names within Levenshtein distance 1, via the FastSS deletion
+    * neighborhood (Bocek et al. '07): each name emits its |name|+1
+    * delete-one-character variants (plus itself), names sharing a
+    * variant are candidates, and an exact `levenshtein` call verifies.
+    * Candidate recall is 1 for distance ≤ 1: a substitution pair
+    * meets at the same-position deletion, an insertion/deletion pair
+    * meets at the shorter string itself.
+    *
+    * Scale shape — the record-linkage alternative to an O(n²) name
+    * cross join: variant generation is map-only and linear in total
+    * characters, the inverted index on variants reuses q31's capped
+    * posting-list machinery (a variant shared by more than dfCap
+    * names is a degenerate key — tombstoned map-side, never
+    * materialized), pairs dedup as narrow string pairs, and the exact
+    * distance check runs only on candidates. The DuckDB oracle is the
+    * brute force this replaces: all pairs, one levenshtein each.
+    */
+  def q73(spark: SparkSession, dir: String,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val names = Tables.spread(Tables(spark, dir, "customer")
+        .select(col("c_name"))).distinct()
+    val variants = names.as[String].flatMap { n =>
+      val vs = new scala.collection.mutable.ArrayBuffer[(String, String)](n.length + 1)
+      vs += ((n, n)) // the string itself catches indel pairs
+      var i = 0
+      while (i < n.length) {
+        vs += ((n.substring(0, i) + n.substring(i + 1), n))
+        i += 1
+      }
+      vs.iterator
+    }.toDF("v", "name").distinct()
+    cappedPairs(variants, col("v"), "name", dfCap)
+      .select(col("p.a").as("name_a"), col("p.b").as("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") === 1L)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q73Sql: String =
+    """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) = 1
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** Cosine threshold for q99. Matches q34's near-dup threshold on
+    * this corpus so the two operators agree on what "semantically
+    * duplicated" means.
+    */
+  val SemTau = 0.42
+
+  /** q99: SemDeDup (Abbas et al. '23) — semantic dedup via embedding
+    * clusters. Every vector lands in its IVF k-means cell (the same
+    * deterministic quantizer the ANN index uses — map-only argmax,
+    * see [[Similarity.ivfAssigned]]); WITHIN each cell, members are
+    * ranked by cosine-to-centroid (desc, id tiebreak) and greedily
+    * kept unless they exceed `tau` cosine against an already-kept
+    * member — so the kept set is a τ-independent set and every drop
+    * names its kept duplicate (`dup_of`). Cross-CELL near-dups are
+    * q34's job; SemDeDup's point is that clustering makes the O(n²)
+    * comparison local.
+    *
+    * Scale shape: pairwise comparison never crosses cells, so the
+    * quadratic term is O(Σ m_c²) with m_c bounded by quantizer
+    * granularity — at 100 TB the cell count scales with the corpus
+    * (SemDeDup uses 50 k clusters for LAION; cells stay ~10⁴ rows)
+    * and each cell is one independent task. The greedy chain inside
+    * a cell is inherently sequential — `flatMapGroups` after ONE
+    * shuffle on cell id is the honest distributed shape (same
+    * justified typed-group call as q39's verify stage). Deterministic
+    * (quantizer is bit-stable, order is total) but k-means is not
+    * SQL-expressible ⇒ rows-only; DedupSpec pins the semantics.
+    */
+  def q99(spark: SparkSession, dir: String, tau: Double = SemTau): DataFrame = {
+    import spark.implicits._
+    // tiny (NumCells × dims) literal table, ships in the closure
+    val cents = Similarity.centroidArrays(spark, dir).map(_.toArray)
+    Similarity.ivfAssigned(spark, dir)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val c = cents(cell)
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val ms = it.map { case (_, id, v, nrm) =>
+          val arr = v.toArray
+          (id, arr, nrm, dot(arr, c) / nrm) // centroids are unit vectors
+        }.toArray.sortBy { case (id, _, _, cc) => (-cc, id) }
+        val kept = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        ms.iterator.map { case (id, arr, nrm, cc) =>
+          val dup = kept.find { case (_, kv, knrm) =>
+            dot(arr, kv) / (nrm * knrm) > tau
+          }
+          dup match {
+            case Some((kid, _, _)) =>
+              (id, cell, cc, "dropped", Some(kid))
+            case None =>
+              kept += ((id, arr, nrm))
+              (id, cell, cc, "kept", Option.empty[Long])
+          }
+        }
+      }
+      .toDF("vec_id", "cell", "centroid_cos", "verdict", "dup_of")
+      .orderBy(col("vec_id"))
+  }
 }

@@ -332,6 +332,63 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
   }
 
+  /** Adaptive nprobe (the §7b candidate): instead of a FIXED probe
+    * count, each query probes cells in cosine-rank order until the
+    * cumulative CANDIDATE count reaches `budget` — a query whose
+    * nearest cells are dense stops at 1–2 probes, one pointed at
+    * sparse cells keeps going, so work per query is uniform in
+    * candidates (the thing that costs), not in cells.
+    *
+    * No custom iterator needed: the per-cell population histogram is
+    * index metadata (NumCells rows — KBs at any corpus size; computed
+    * here with one narrow count aggregate), it broadcast-joins onto
+    * the probe ranking, and a per-query cumulative-sum window over
+    * that tiny relation keeps exactly the minimal ranked prefix whose
+    * total meets the budget (`cum − size < budget`: a cell survives
+    * only if the cells ranked before it haven't already met the
+    * budget; rank 1 always survives). Everything runs on
+    * queries × NumCells rows — the corpus is untouched until the
+    * selected cells scan.
+    */
+  def ivfProbesAdaptive(spark: SparkSession, dir: String, budget: Long,
+      iters: Int = KMeansIters): DataFrame = {
+    val cellSizes = ivfAssigned(spark, dir, iters)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val wCum = wProbe.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vectors(spark, dir).filter(col("vec_id").isInCollection(QueryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .join(broadcast(ivfCentroidDf(spark, dir, iters)))
+      .withColumn("ccos", expr("dot_d(cv, qv)") / (col("qnrm") * col("cnrm")))
+      .join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("prank", row_number().over(wProbe))
+      .withColumn("cum", sum(col("cell_n")).over(wCum))
+      .filter(col("cum") - col("cell_n") < budget || col("prank") === 1)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"),
+        col("prank"), col("cell_n"), col("cum"))
+  }
+
+  /** q42 with adaptive probes — same ranking stage, candidate set
+    * bounded by `budget` per query instead of a fixed cell count.
+    */
+  def q42Adaptive(spark: SparkSession, dir: String, budget: Long,
+      iters: Int = KMeansIters): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    ivfAssigned(spark, dir, iters)
+      .join(broadcast(ivfProbesAdaptive(spark, dir, budget, iters)
+        .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------
   // q43: IVF + product-quantization re-rank
   // ---------------------------------------------------------------

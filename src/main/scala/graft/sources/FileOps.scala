@@ -134,18 +134,62 @@ object FileOps {
     }
   }
 
+  /** Retry a transient-failure-prone action up to `attempts` extra
+    * times with exponential backoff (backoffMs, 2×, 4×, …). Typed
+    * [[GraftFsError]]s are NEVER retried — the reference's taxonomy
+    * codes (bad credentials, no matches, bad paths) are deterministic
+    * job outcomes, not network weather; retrying them would only
+    * delay the correct exit code. The production transfer-job twin of
+    * the blueprint CLIs' `--retries/--backoff-ms` flags.
+    */
+  def withRetries[A](attempts: Int, backoffMs: Long)(f: () => A): A = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= attempts) {
+      try return f()
+      catch {
+        case e: GraftFsError => throw e
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e
+          if (attempt < attempts)
+            Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    throw lastErr
+  }
+
   /** Distributed bulk copy between any two Hadoop filesystems: the
     * transfer list is partitioned across executors; each partition
     * opens one source FS + one destination FS and streams bytes.
     * `dstUriPrefix` anchors relative destinations (e.g.
     * "file:/tmp/out" or "gftp://host:21").
+    *
+    * `retries` re-runs an individual FILE's copy on transient errors
+    * (fresh source/destination streams each attempt; `create`
+    * overwrites, so a half-written destination is replaced, making
+    * per-file retry idempotent). The FS handles are per-partition; a
+    * connection-level failure surfaces on the next stream open and is
+    * retried the same way.
+    *
+    * `resume = true` picks transfers up where they died instead of
+    * restarting: a destination already at the source's size is
+    * skipped, a shorter one is completed by seeking the source to the
+    * destination length and APPENDING the tail — over gftp both sides
+    * are REST offsets (O(1) positioning), so a retried 10 GB transfer
+    * that failed at 9 GB moves 1 GB, not 10. Combined with `retries`,
+    * each attempt re-probes the sizes and continues from wherever the
+    * previous attempt stopped.
     */
   def bulkCopy(
       spark: SparkSession,
       transfers: Seq[Transfer],
       srcUriPrefix: String,
       dstUriPrefix: String,
-      parallelism: Int = 32): Unit = {
+      parallelism: Int = 32,
+      retries: Int = 0,
+      backoffMs: Long = 1000L,
+      resume: Boolean = false): Unit = {
     if (transfers.isEmpty) return
     val conf = new SerializableConfiguration(hadoopConf(spark))
     spark.sparkContext
@@ -162,16 +206,79 @@ object FileOps {
           val joined = if (t.dst.startsWith("/")) s"$dstUriPrefix${t.dst}"
             else s"$dstUriPrefix/${t.dst}"
           val dst = new Path(joined.replaceAll("(?<!:)//+", "/"))
-          val parent = dst.getParent
-          if (parent != null && !dfs.exists(parent)) dfs.mkdirs(parent)
-          val in = sfs.open(new Path(t.src))
-          try {
-            val out = dfs.create(dst, true)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-            finally out.close()
-          } finally in.close()
+          withRetries(retries, backoffMs) { () =>
+            val parent = dst.getParent
+            if (parent != null && !dfs.exists(parent)) dfs.mkdirs(parent)
+            // resume probe: sizes re-checked on every attempt, so a
+            // retry continues from wherever the last attempt died
+            val dstLen =
+              if (!resume) -1L
+              else try {
+                val s = dfs.getFileStatus(dst)
+                if (s.isFile) s.getLen else -1L
+              } catch { case _: java.io.FileNotFoundException => -1L }
+            val srcLen =
+              if (dstLen > 0) sfs.getFileStatus(new Path(t.src)).getLen
+              else -1L
+            if (dstLen > 0 && dstLen == srcLen) () // already complete
+            else if (dstLen > 0 && dstLen < srcLen) {
+              val in = sfs.open(new Path(t.src))
+              try {
+                in.seek(dstLen) // REST offset over gftp, O(1)
+                // ChecksumFileSystem (local) can't append; its raw fs can
+                val afs = dfs match {
+                  case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+                    c.getRawFileSystem
+                  case f => f
+                }
+                val out = afs.append(dst)
+                try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+                finally out.close()
+              } finally in.close()
+            } else {
+              val in = sfs.open(new Path(t.src))
+              try {
+                val out = dfs.create(dst, true)
+                try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+                finally out.close()
+              } finally in.close()
+            }
+          }
         } finally { sfs.close(); dfs.close() }
       }
+  }
+
+  /** Small-file compaction — the table-maintenance pass a data lake
+    * runs continuously: a directory of many small parquet files is
+    * rewritten as ceil(totalBytes / targetBytes) right-sized files.
+    * At 100 TB this is what keeps scans from dying of open-file
+    * overhead (a 10⁶-file table at 100 KB/file costs 10⁶ S3 GETs and
+    * 10⁶ footer parses per query; the same bytes in 128 MB files cost
+    * ~800) and keeps each input split a full row group.
+    *
+    * Shape: output count from FS metadata (one driver listing of the
+    * target dir only — no data read), then one distributed
+    * read→repartition→write; `repartition` round-robins rows so the
+    * output files are uniformly sized regardless of input skew.
+    * Returns the output file count.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val f = fs(inDir, hadoopConf(spark))
+    val totalBytes =
+      try f.listStatus(new Path(inDir)).filter(_.isFile)
+        .filter(!_.getPath.getName.startsWith("_")).map(_.getLen).sum
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw GraftFsError(ErrorCodes.InvalidFilePath,
+            s"source path does not exist: $inDir")
+      }
+      finally f.close()
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    nOut
   }
 
   /** Existence probe through any registered FS (driver-side, one

@@ -105,8 +105,18 @@ class FtpClient(host: String, port: Int, user: String, password: String,
   }
 
   /** RETR as a stream; closing it drains the 226 completion reply. */
-  def retrieveStream(path: String): InputStream = {
+  def retrieveStream(path: String): InputStream = retrieveStream(path, 0L)
+
+  /** RETR resumed at byte `offset` via REST (RFC 959 §4.1.3 restart;
+    * the ftplib `retrbinary(rest=...)` twin): the server seeks before
+    * sending, so a partial download resumes without re-reading the
+    * prefix — and [[GraftFtpFileSystem]]'s seek becomes O(1) instead
+    * of a skip-read of `offset` bytes (parquet footer reads over FTP
+    * hit exactly this).
+    */
+  def retrieveStream(path: String, offset: Long): InputStream = {
     val data = pasv()
+    if (offset > 0) expect(cmd(s"REST $offset"), 350)
     expect(cmd(s"RETR $path"), 150, 125)
     new java.io.FilterInputStream(data.getInputStream) {
       override def close(): Unit = {
@@ -117,8 +127,15 @@ class FtpClient(host: String, port: Int, user: String, password: String,
   }
 
   /** STOR as a stream; closing it completes the transfer. */
-  def storeStream(path: String): OutputStream = {
+  def storeStream(path: String): OutputStream = storeStream(path, 0L)
+
+  /** STOR resumed at byte `offset` via REST — the upload-resume twin
+    * of [[retrieveStream(path:String,offset:Long)*]]: the server
+    * writes into the existing file starting at `offset`.
+    */
+  def storeStream(path: String, offset: Long): OutputStream = {
     val data = pasv()
+    if (offset > 0) expect(cmd(s"REST $offset"), 350)
     expect(cmd(s"STOR $path"), 150, 125)
     new java.io.FilterOutputStream(data.getOutputStream) {
       override def close(): Unit = {

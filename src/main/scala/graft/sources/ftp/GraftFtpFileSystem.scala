@@ -78,8 +78,11 @@ class GraftFtpFileSystem extends FileSystem {
   }
 
   /** Seekable wrapper: FTP streams are forward-only, so seek reopens
-    * the transfer (REST offset would be the optimization; parquet
-    * footer reads make this path hot — documented tradeoff).
+    * the transfer RESUMED AT THE TARGET via REST — O(1) in the offset
+    * instead of a skip-read of `target` bytes. Parquet footer reads
+    * over FTP are exactly this pattern (open → seek to EOF−8): with
+    * skip-reads a footer probe streams the whole file; with REST it
+    * streams 8 bytes.
     */
   private class SeekableFtpInput(var in: InputStream, var c: FtpClient,
       path: String, len: Long)
@@ -95,17 +98,11 @@ class GraftFtpFileSystem extends FileSystem {
     override def getPos: Long = pos
     override def seek(target: Long): Unit = {
       if (target == pos) return
-      // reopen and skip — correctness first; REST offset later
+      if (target > len)
+        throw new java.io.EOFException(s"seek past EOF in $path")
       in.close(); c.close()
       c = client()
-      in = c.retrieveStream(path)
-      var remaining = target
-      val buf = new Array[Byte](65536)
-      while (remaining > 0) {
-        val n = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
-        if (n < 0) throw new java.io.EOFException(s"seek past EOF in $path")
-        remaining -= n
-      }
+      in = c.retrieveStream(path, target)
       pos = target
     }
     override def seekToNewSource(targetPos: Long): Boolean = false
@@ -146,9 +143,23 @@ class GraftFtpFileSystem extends FileSystem {
     }, statistics)
   }
 
+  /** Append = STOR resumed at the current size via REST — gives the
+    * Hadoop surface a real resume primitive (a partially-transferred
+    * upload continues from where it died instead of restarting).
+    */
   override def append(p: Path, bufferSize: Int,
-      progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("gftp append")
+      progress: Progressable): FSDataOutputStream = {
+    val st = getFileStatus(p) // throws FileNotFoundException if absent
+    if (st.isDirectory)
+      throw new java.io.IOException(s"cannot append to directory $p")
+    val c = client()
+    val raw: OutputStream = c.storeStream(abs(p), st.getLen)
+    new FSDataOutputStream(new java.io.FilterOutputStream(raw) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = { super.close(); c.close() }
+    }, statistics, st.getLen)
+  }
 
   override def rename(src: Path, dst: Path): Boolean =
     withClient(_.rename(abs(src), abs(dst)))

@@ -130,6 +130,54 @@ object EventStreams {
         coalesce(col("lifetime_value"), lit(0.0)).as("lifetime_value"))
   }
 
+  /** Static per-type baseline for [[anomalyFlags]]: mean/std of the
+    * HISTORICAL hourly event counts, recomposed from exact integer
+    * sums (Σn, Σn²) exactly like q95 — deterministic at any
+    * parallelism. In production this is the nightly batch job whose
+    * output the live detector broadcasts.
+    */
+  def hourlyBaseline(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("k").cast("double")).as("mean"),
+        sqrt(greatest(
+          (col("s2").cast("double") / col("k").cast("double")) -
+            (col("s1").cast("double") / col("k").cast("double")) *
+            (col("s1").cast("double") / col("k").cast("double")),
+          lit(0.0))).as("std"))
+
+  /** Streaming anomaly detection — the LIVE twin of the q95 batch
+    * detector: the watermarked hourly windowed counts stream joins a
+    * broadcast static baseline ([[hourlyBaseline]]) and every sealed
+    * window carries its z-score and an `anomaly` verdict at |z| > 3.
+    *
+    * Scale shape: the only stateful operator is the windowed count
+    * (state = types × windows-in-flight, watermark-evicted); the
+    * baseline join is stream-static broadcast — no join state, the
+    * stream side never shuffles for it. A type with no history (or
+    * zero variance) passes through unflagged rather than dividing by
+    * zero.
+    */
+  def anomalyFlags(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"))
+      .join(broadcast(hourlyBaseline(spark, dir)), Seq("event_type"), "left")
+      .withColumn("z",
+        when(col("std") > 0,
+          (col("n_events").cast("double") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)))
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("z"), (abs(col("z")) > 3).as("anomaly"))
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of q18. Sessions are
     * emitted when the event-time timeout fires (gap elapsed past the

@@ -26,6 +26,16 @@ class BlueprintsSpec extends SparkSpec {
     (Seq("--host", "127.0.0.1", "--port", server.port.toString,
       "--username", "u", "--password", "p") ++ extra).toArray
 
+  test("--retries/--backoff-ms parse with production defaults") {
+    val flags = base("--source-file-name-match-type", "exact_match",
+      "--source-file-name", "f.csv")
+    val a = graft.blueprints.Blueprints.parse(flags)
+    assert(a.retries === 0 && a.backoffMs === 1000L)
+    val b = graft.blueprints.Blueprints.parse(
+      flags ++ Array("--retries", "3", "--backoff-ms", "50"))
+    assert(b.retries === 3 && b.backoffMs === 50L)
+  }
+
   test("Upload: regex multi-match with enumerated destination names, exit 0") {
     val src = Files.createTempDirectory("bp_up")
     Files.writeString(src.resolve("x.csv"), "x\n")

@@ -28,4 +28,64 @@ class BpeSpec extends SparkSpec {
     // ranks are 0..n-1 and counts never increase out of order wildly
     assert(got.map(_._1) === got.indices.map(_.toLong))
   }
+
+  /** Independent greedy encoder: repeatedly merge the lowest-rank
+    * adjacent pair present — the textbook BPE inference formulation,
+    * structurally different from encodeWord's rank-order sweep.
+    */
+  private def greedyEncode(word: String,
+      ranks: Map[(String, String), (Long, String)]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector :+ Bpe.Eow
+    var done = false
+    while (!done && syms.length > 1) {
+      val best = syms.sliding(2).zipWithIndex
+        .flatMap { case (p, i) =>
+          ranks.get((p(0), p(1))).map { case (rk, m) => (rk, i, m) } }
+        .minByOption(t => (t._1, t._2))
+      best match {
+        case Some((_, i, m)) =>
+          syms = (syms.take(i) :+ m) ++ syms.drop(i + 2)
+        case None => done = true
+      }
+    }
+    syms
+  }
+
+  test("q98 encoding is lossless, memo-consistent, and equals the greedy lowest-rank encoder") {
+    val merges = Bpe.trainCached(spark, sf, 30)
+    val ranks = merges.map { case (rk, l, r, m, _) => (l, r) -> (rk, m) }.toMap
+    // every corpus word: rank-order sweep == greedy lowest-rank, and
+    // concatenating tokens reproduces word + sentinel (losslessness)
+    val words = Tables(spark, sf, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val enc = Bpe.encodeWord(w, merges)
+      assert(enc.mkString("") === w + Bpe.Eow, s"lossy encode of '$w'")
+      assert(enc === greedyEncode(w, ranks),
+        s"rank-order and greedy encodings diverge on '$w'")
+    }
+    // per-doc stats agree with a driver-side recount
+    val rows = Bpe.q98(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val ws = texts(r.getAs[Long]("doc_id")).trim
+        .split("\\s+").filter(_.nonEmpty)
+      val toks = ws.flatMap(w => Bpe.encodeWord(w, merges))
+      assert(r.getAs[Long]("n_words") === ws.length.toLong)
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_distinct_tokens") === toks.distinct.length.toLong)
+      assert(r.getAs[Double]("tokens_per_word") ===
+        toks.length.toDouble / ws.length)
+    }
+    // the vocabulary must actually compress: fewer tokens than chars
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totChar = texts.values.map(_.count(!_.isWhitespace).toLong).sum
+    assert(totTok < totChar, "BPE vocabulary bought no compression")
+  }
 }

@@ -136,6 +136,45 @@ class CurationSpec extends SparkSpec {
       s"orderedPrefix degenerated to a single partition:\n$plan")
   }
 
+  test("q72 duplicate-span coverage counts cross-doc grams only and is positional") {
+    import spark.implicits._
+    val docs = Seq(
+      // 0 and 1 share the verbatim run "a b c d e f" → two shared
+      // 5-gram positions each ("a b c d e", "b c d e f")
+      (0L, "a b c d e f x1 y1 z1"),
+      (1L, "q r a b c d e f s t"),
+      // 2 repeats ITS OWN 5-gram twice — within-doc repetition alone
+      // must not count as duplication (df counts distinct docs)
+      (2L, "m n o p q m n o p q m n o p q"),
+      // 3 shares nothing
+      (3L, "u1 u2 u3 u4 u5 u6 u7")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q72").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = Curation.q72(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"))).toMap
+    assert(got(0L) === (5L, 2L))
+    assert(got(1L) === (6L, 2L))
+    assert(got(2L) === (11L, 0L), "own repeats must not count as duplication")
+    assert(got(3L) === (3L, 0L))
+    // real-corpus invariants: fraction bounds, verdict consistency,
+    // and the positional denominator (n_words - 4)
+    val rows = Curation.q72(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nWords = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("nw"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nw")).toMap
+    rows.foreach { r =>
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Boolean]("flagged") === (f > 0.5))
+      assert(r.getAs[Long]("n_grams") ===
+        nWords(r.getAs[Long]("doc_id")) - 4L)
+    }
+  }
+
   test("q47 weights are a proper tempered distribution") {
     val rows = Curation.q47(spark, sf).collect()
     assert(rows.length > 1)

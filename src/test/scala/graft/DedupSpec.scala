@@ -139,6 +139,123 @@ class DedupSpec extends SparkSpec {
       s"missed: ${want.diff(got).take(3)}; spurious: ${got.diff(want).take(3)}")
   }
 
+  test("q73 FastSS fuzzy match is bit-equal to an all-pairs levenshtein brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted: substitution pair, indel pair, an exact-duplicate row,
+    // and an unrelated name
+    val docs = Seq("abcd", "abed", "abc", "zzzz", "abcd")
+      .toDF("c_name")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q73").toString
+    docs.write.parquet(s"$tmp/customer.parquet")
+    val planted = Dedup.q73(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // ("abc","abcd") indel, ("abc","abed")? dist 2 — no.
+    assert(planted === Set(("abc", "abcd"), ("abcd", "abed")))
+    // spec-local DP levenshtein — independent of both engines
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val names = Tables(spark, sf, "customer")
+      .select(col("c_name")).distinct().collect().map(_.getString(0)).sorted
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if lev(names(i), names(j)) == 1
+    } yield (names(i), names(j))).toSet
+    val got = Dedup.q73(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(want.nonEmpty, "corpus has no distance-1 name pairs to find")
+    assert(got === want, "FastSS candidates missed or invented pairs")
+  }
+
+  test("q99 SemDeDup verdicts equal a driver-side greedy recomputation per cell") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.q99(spark, sf).collect()
+    assert(got.nonEmpty)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    got.groupBy(_.getAs[Int]("cell")).foreach { case (cell, ms) =>
+      // same total order q99 uses; ccos values come from q99's own
+      // output, so the orders are identical by construction
+      val order = ms.sortBy(r =>
+        (-r.getAs[Double]("centroid_cos"), r.getAs[Long]("vec_id")))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      order.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        kept.find(k => cos(vecs(id), vecs(k)) > Dedup.SemTau) match {
+          case Some(k) =>
+            assert(r.getAs[String]("verdict") === "dropped",
+              s"cell $cell vec $id should drop against $k")
+            assert(r.getAs[Long]("dup_of") === k,
+              s"cell $cell vec $id names the wrong duplicate")
+          case None =>
+            assert(r.getAs[String]("verdict") === "kept")
+            assert(r.isNullAt(r.fieldIndex("dup_of")))
+            kept += id
+        }
+      }
+      // the kept set is a τ-independent set: a pair over τ would have
+      // made the later member drop against the earlier one
+      kept.toSeq.combinations(2).foreach { case Seq(a, b) =>
+        assert(cos(vecs(a), vecs(b)) <= Dedup.SemTau,
+          s"kept pair ($a,$b) in cell $cell exceeds tau")
+      }
+    }
+  }
+
+  test("q99 SemDeDup drops planted exact clones") {
+    import spark.implicits._
+    // 24 deterministic 4-d vectors: three jittered direction groups,
+    // one orthogonal singleton, and an EXACT clone pair (5, 22)
+    def jitter(i: Int): Float = 0.05f * ((i % 7) - 3)
+    val vecs: Seq[(Long, Seq[Float], Int)] = (0 until 24).map { i =>
+      val base: Seq[Float] =
+        if (i == 22) Seq(1f, jitter(5), 0f, 0f) // clone of id 5
+        else if (i < 8) Seq(1f, jitter(i), 0f, 0f)
+        else if (i < 16) Seq(0f, 1f, jitter(i), 0f)
+        else if (i < 22) Seq(jitter(i), 0f, 1f, 0f)
+        else Seq(0f, 0f, 0f, 1f)
+      (i.toLong, base, i / 8)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q99").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = Dedup.q99(spark, tmp).collect()
+    assert(rows.length === 24)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val cloneVerdicts = Seq(5L, 22L).map(byId(_).getAs[String]("verdict"))
+    assert(cloneVerdicts.count(_ == "kept") <= 1,
+      "both exact clones survived")
+    assert(cloneVerdicts.contains("dropped"))
+    // every drop names a kept member of the same cell
+    val keptIds = rows.filter(_.getAs[String]("verdict") == "kept")
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    rows.filter(_.getAs[String]("verdict") == "dropped").foreach { r =>
+      val of = r.getAs[Long]("dup_of")
+      assert(keptIds.get(of) === Some(r.getAs[Int]("cell")),
+        s"vec ${r.getAs[Long]("vec_id")} dup_of $of not kept in-cell")
+    }
+  }
+
   test("q39 suffix-automaton LCS agrees with the DP definition") {
     val rnd = new scala.util.Random(7)
     def dpLcs(a: String, b: String): Int = {

@@ -98,6 +98,56 @@ class FileOpsSpec extends SparkSpec {
     assert(Files.readString(dst.resolve("up/a.csv")) === "1,2,3\n")
   }
 
+  test("compactParquet bin-packs many small files into few, content-preserving") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/packed"
+    // 64 tiny files
+    (1 to 6400).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in).length === 64)
+    val target = parquetFiles(in).map(_.length).sum / 4 // aim for ~4 files
+    val nOut = graft.sources.FileOps.compactParquet(spark, in, out, target)
+    assert(nOut >= 3 && nOut <= 5, s"unexpected output count $nOut")
+    assert(parquetFiles(out).length === nOut)
+    // every row survives exactly once
+    val got = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(got.length === 6400)
+    assert(got.map(_._1).toSeq === (1L to 6400L))
+    // a missing source dir is the reference's invalid-path error
+    intercept[graft.sources.FileOps.GraftFsError] {
+      graft.sources.FileOps.compactParquet(spark, s"$in/nope", out)
+    }
+  }
+
+  test("withRetries heals transient errors with backoff, never taxonomy errors") {
+    var calls = 0
+    val r = FileOps.withRetries(3, 1L) { () =>
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("flaky") else 42
+    }
+    assert(r === 42 && calls === 3)
+    // exhausted budget rethrows the last transient error
+    var calls2 = 0
+    intercept[java.io.IOException] {
+      FileOps.withRetries(1, 1L) { () =>
+        calls2 += 1; throw new java.io.IOException("always")
+      }
+    }
+    assert(calls2 === 2) // initial try + 1 retry
+    // deterministic taxonomy outcomes are NOT network weather
+    var calls3 = 0
+    intercept[FileOps.GraftFsError] {
+      FileOps.withRetries(5, 1L) { () =>
+        calls3 += 1
+        throw FileOps.GraftFsError(FileOps.ErrorCodes.NoMatchesFound, "none")
+      }
+    }
+    assert(calls3 === 1)
+  }
+
   test("move renames and delete removes, through the FS API") {
     val root = mkTree()
     assert(FileOps.move(spark, s"file:$root", s"$root/b.txt",

@@ -66,6 +66,79 @@ class FtpSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("REST resume: downloads and uploads restart at an offset") {
+    val c = new FtpClient("127.0.0.1", server.port, "u", "p")
+    try {
+      val os = c.storeStream("data/resume.bin")
+      os.write("0123456789".getBytes); os.close()
+      // download resume: only the suffix crosses the wire
+      val is = c.retrieveStream("data/resume.bin", 6L)
+      val got = new String(is.readAllBytes()); is.close()
+      assert(got === "6789")
+      // upload resume: splice a new tail at offset 4 (stale longer
+      // tail truncated, like a resumed partial upload)
+      val os2 = c.storeStream("data/resume.bin", 4L)
+      os2.write("WXYZ".getBytes); os2.close()
+      val is2 = c.retrieveStream("data/resume.bin")
+      assert(new String(is2.readAllBytes()) === "0123WXYZ"); is2.close()
+      assert(c.size("data/resume.bin").contains(8L))
+      assert(c.delete("data/resume.bin"))
+    } finally c.close()
+  }
+
+  test("gftp seek issues REST instead of skip-reading (the parquet-footer pattern)") {
+    withGftp()
+    val before = server.restCount.get()
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      new java.net.URI(ftpUri), spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path("/data/one.csv"))
+      try {
+        in.seek(8L)
+        val got = new String(in.readAllBytes())
+        assert(got === "id,v\n1,a\n2,b\n".substring(8))
+      } finally in.close()
+    } finally fs.close()
+    assert(server.restCount.get() > before,
+      "seek re-streamed the prefix instead of sending REST")
+  }
+
+  test("bulkCopy resume: partial transfers complete via REST in both directions") {
+    withGftp()
+    val payload = Array.tabulate[Byte](40000)(i => (i % 251).toByte)
+    Files.write(ftpRoot.resolve("data/big.bin"), payload)
+    // download: destination already holds the first 15000 bytes
+    val outDir = Files.createTempDirectory("graft_resume")
+    val dstFile = outDir.resolve("big.bin")
+    Files.write(dstFile, payload.take(15000))
+    val before = server.restCount.get()
+    FileOps.bulkCopy(spark,
+      Seq(FileOps.Transfer("/data/big.bin", dstFile.toString)),
+      ftpUri, "file:", resume = true)
+    assert(java.util.Arrays.equals(Files.readAllBytes(dstFile), payload),
+      "resumed download corrupted the file")
+    assert(server.restCount.get() > before, "source seek did not use REST")
+    // already-complete destination: second resume is a no-op that
+    // leaves the bytes intact
+    FileOps.bulkCopy(spark,
+      Seq(FileOps.Transfer("/data/big.bin", dstFile.toString)),
+      ftpUri, "file:", resume = true)
+    assert(java.util.Arrays.equals(Files.readAllBytes(dstFile), payload))
+    // upload: remote destination holds a 10000-byte prefix; resume
+    // appends the tail via REST+STOR (gftp append)
+    Files.write(ftpRoot.resolve("data/up.bin"), payload.take(10000))
+    val local = outDir.resolve("up_src.bin")
+    Files.write(local, payload)
+    FileOps.bulkCopy(spark,
+      Seq(FileOps.Transfer(local.toString, "/data/up.bin")),
+      "file:", ftpUri, resume = true)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(ftpRoot.resolve("data/up.bin")), payload),
+      "resumed upload corrupted the remote file")
+    Files.delete(ftpRoot.resolve("data/big.bin"))
+    Files.delete(ftpRoot.resolve("data/up.bin"))
+  }
+
   test("spark.read.csv works over gftp:// (the connector end-to-end)") {
     withGftp()
     val df = spark.read.option("header", "true").csv(s"$ftpUri/data/one.csv")

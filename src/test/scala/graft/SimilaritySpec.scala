@@ -132,6 +132,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("adaptive nprobe selects the minimal ranked cell prefix meeting the candidate budget") {
+    val budget = 100L
+    val probes = Similarity.ivfProbesAdaptive(spark, sf, budget).collect()
+    assert(probes.nonEmpty)
+    val byQuery = probes.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Similarity.QueryIds.toSet)
+    byQuery.foreach { case (q, cells) =>
+      val ranked = cells.sortBy(_.getAs[Int]("prank"))
+      // selected cells are a contiguous prefix of the cosine ranking
+      assert(ranked.map(_.getAs[Int]("prank")).toSeq ===
+        (1 to ranked.length).toSeq, s"query $q probes are not a prefix")
+      val total = ranked.map(_.getAs[Long]("cell_n")).sum
+      // budget met (some cell populations differ, so totals differ
+      // per query — the point of adapting)
+      assert(total >= budget, s"query $q total candidates $total < budget")
+      // and minimally: dropping the last selected cell goes below it
+      if (ranked.length > 1) {
+        val withoutLast = total - ranked.last.getAs[Long]("cell_n")
+        assert(withoutLast < budget,
+          s"query $q selected a cell past the budget")
+      }
+    }
+    // adaptation is real on this corpus: not every query probes the
+    // same number of cells
+    val counts = byQuery.values.map(_.length).toSet
+    assert(counts.size > 1 || counts.head === 1,
+      s"every query probed the same $counts cells — nothing adapted")
+    // end-to-end: the adaptive q42 returns k ranked rows per query
+    // and beats a 1-cell probe's recall at the same exact-rerank
+    val exact = topk(Similarity.q40(spark, sf))
+    def recall(m: Map[Long, Seq[Long]]): Double = {
+      val rs = exact.map { case (q, ids) =>
+        m.get(q).map(a => a.toSet.intersect(ids.toSet).size.toDouble / ids.size)
+          .getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val adaptive = topk(Similarity.q42Adaptive(spark, sf, budget))
+    adaptive.values.foreach(ids => assert(ids.length === Similarity.K))
+    val oneCell = topk(Similarity.q42Adaptive(spark, sf, 1L))
+    assert(recall(adaptive) >= recall(oneCell),
+      s"budget=$budget recall ${recall(adaptive)} < 1-cell ${recall(oneCell)}")
+  }
+
   test("q42 quantizer: k-means refinement beats the seed at equal probes") {
     val exact = topk(Similarity.q40(spark, sf))
     def recall(iters: Int): Double = {

@@ -45,6 +45,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(want))
   }
 
+  test("streaming anomaly flags sealed windows against the static baseline and catch a planted spike") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 48 quiet hours of 2 events, hour 24 spikes to 50: with mean 3
+    // and std sqrt(47) over the 48 baseline hours, the spike z-scores
+    // (50-3)/sqrt(47) ≈ 6.9 and every quiet hour ≈ -0.15
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (for {
+      h <- 0 until 48
+      i <- 0 until (if (h == 24) 50 else 2)
+    } yield (h * 100L + i,
+      java.sql.Timestamp.from(base.plusSeconds(h * 3600L + i * 60L)),
+      i.toLong, "click", 1.0)).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val q = EventStreams.anomalyFlags(spark, tmp).writeStream
+      .outputMode("append").format("memory").queryName("anom_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.sql(
+      "SELECT hour_start, n_events, z, anomaly FROM anom_out").collect()
+    assert(got.nonEmpty, "watermark sealed no windows")
+    // driver-side recomputation with the same formula and the same
+    // exact-integer inputs — doubles must agree bitwise
+    val k = 48.0; val s1 = 2.0 * 47 + 50; val s2 = 4.0 * 47 + 2500
+    val mean = s1 / k
+    val std = math.sqrt(s2 / k - mean * mean)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_events").toDouble
+      val z = (n - mean) / std
+      assert(r.getAs[Double]("z") === z)
+      assert(r.getAs[Boolean]("anomaly") === (math.abs(z) > 3))
+    }
+    // exactly the spike hour is flagged among sealed windows
+    val flagged = got.filter(_.getAs[Boolean]("anomaly"))
+      .map(_.getAs[java.sql.Timestamp]("hour_start").toInstant)
+    assert(flagged.toSeq ===
+      Seq(base.plusSeconds(24 * 3600L)), s"flagged: ${flagged.toSeq}")
+  }
+
   test("streaming dedup-within-watermark keeps every unique event id") {
     val q = EventStreams.dedupedEvents(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("dedup_out").start()

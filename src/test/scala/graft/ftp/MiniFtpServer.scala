@@ -17,6 +17,11 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
   private val running = new AtomicBoolean(true)
   val port: Int = server.getLocalPort
 
+  /** REST commands served — lets specs assert a client actually used
+    * the restart path instead of skip-reading.
+    */
+  val restCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val acceptor = new Thread(() => {
     while (running.get()) {
       try {
@@ -42,6 +47,7 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
     var cwd = "/"
     var dataServer: ServerSocket = null
     var renameFrom: Option[Path] = None
+    var restOffset = 0L // set by REST, consumed by the next RETR/STOR
 
     def resolve(p: String): Path = {
       val virtual =
@@ -77,7 +83,9 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
             if (requiredPassword.forall(_ == arg)) reply("230 logged in")
             else reply("530 Login incorrect")
           case "SYST" => reply("215 UNIX Type: L8")
-          case "FEAT" => reply("211-Features:"); reply(" MLSD"); reply("211 End")
+          case "FEAT" =>
+            reply("211-Features:"); reply(" MLSD"); reply(" REST STREAM")
+            reply("211 End")
           case "TYPE" => reply("200 ok")
           case "NOOP" => reply("200 ok")
           case "PWD" => reply(s"""257 "$cwd" is cwd""")
@@ -97,23 +105,54 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
             dataServer = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
             val p = dataServer.getLocalPort
             reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+          case "REST" =>
+            arg.toLongOption match {
+              case Some(off) if off >= 0 =>
+                restOffset = off
+                restCount.incrementAndGet()
+                reply(s"350 restarting at $off")
+              case _ => reply("501 bad restart offset")
+            }
           case "RETR" =>
             val t = resolve(arg)
+            val off = restOffset; restOffset = 0L
             if (!Files.isRegularFile(t)) reply("550 no such file")
             else {
               reply("150 opening data connection")
               val d = openData()
-              try Files.copy(t, d.getOutputStream)
-              finally d.close()
+              try {
+                val in = Files.newInputStream(t)
+                try {
+                  var toSkip = off
+                  while (toSkip > 0) {
+                    val n = in.skip(toSkip)
+                    if (n <= 0) toSkip = 0 else toSkip -= n
+                  }
+                  in.transferTo(d.getOutputStream)
+                } finally in.close()
+              } finally d.close()
               reply("226 transfer complete")
             }
           case "STOR" =>
             val t = resolve(arg)
+            val off = restOffset; restOffset = 0L
             reply("150 ok to send data")
             val d = openData()
             try {
               Files.createDirectories(t.getParent)
-              Files.copy(d.getInputStream, t, StandardCopyOption.REPLACE_EXISTING)
+              if (off == 0)
+                Files.copy(d.getInputStream, t, StandardCopyOption.REPLACE_EXISTING)
+              else {
+                val raf = new java.io.RandomAccessFile(t.toFile, "rw")
+                try {
+                  raf.seek(off)
+                  val buf = new Array[Byte](65536)
+                  val in = d.getInputStream
+                  var n = in.read(buf)
+                  while (n >= 0) { raf.write(buf, 0, n); n = in.read(buf) }
+                  raf.setLength(raf.getFilePointer) // truncate stale tail
+                } finally raf.close()
+              }
             } finally d.close()
             reply("226 transfer complete")
           case "NLST" =>
