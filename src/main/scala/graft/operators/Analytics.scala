@@ -506,4 +506,68 @@ object Analytics {
           / col("exact_users").cast("double")).as("rel_err"))
       .orderBy(col("month"))
   }
+
+  /** q74: Tukey-fence outlier profile — per event type, exact
+    * quartiles of `value`, the 1.5×IQR fences, and how many events
+    * fall outside them. The data-quality screen run before a metric
+    * pipeline trusts a value column.
+    *
+    * Two passes by construction (fences depend on the full
+    * distribution): pass 1 is a per-type exact `percentile` aggregate
+    * (at 100 TB swap in `approx_percentile` — q55's documented
+    * trade), pass 2 re-scans with the FENCES BROADCAST (types ≪
+    * partitions, so the fact side never shuffles for the join) and
+    * conditionally counts. Fences are derived with the same double
+    * expression tree in both engines (p25 − 1.5·(p75−p25)), so the
+    * doubles hash-match.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val fences = events.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .withColumn("lo_fence",
+        col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi_fence",
+        col("p75") + lit(1.5) * (col("p75") - col("p25")))
+    events.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("p25")).as("p25"),
+        first(col("p75")).as("p75"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        sum(when(col("value") < col("lo_fence")
+          || col("value") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  val q74Sql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM events GROUP BY event_type),
+      |g AS (
+      |  SELECT event_type, p25, p75,
+      |    p25 - 1.5 * (p75 - p25) AS lo_fence,
+      |    p75 + 1.5 * (p75 - p25) AS hi_fence
+      |  FROM f)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  ANY_VALUE(g.p25) AS p25, ANY_VALUE(g.p75) AS p75,
+      |  ANY_VALUE(g.lo_fence) AS lo_fence, ANY_VALUE(g.hi_fence) AS hi_fence,
+      |  CAST(SUM(CASE WHEN e.value < g.lo_fence OR e.value > g.hi_fence
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN e.value < g.lo_fence OR e.value > g.hi_fence
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS outlier_frac
+      |FROM events e JOIN g USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
 }

@@ -408,6 +408,165 @@ object Curation {
       |FROM s CROSS JOIN d
       |ORDER BY lang""".stripMargin
 
+  /** q75: the end-to-end curation pipeline — the verdict chain a
+    * corpus actually runs before tokenization, composed from the
+    * stage operators, one row per document:
+    *
+    *  1. `eval_doc`     — held out as benchmark stand-in (q46's split);
+    *  2. `rep_reject`   — fails the Gopher repetition rules (q45);
+    *  3. `contaminated` — shares a word 4-gram with the eval set (q46);
+    *  4. `over_cap`     — beyond the per-source top-15 by length,
+    *                      ranked among docs SURVIVING stages 1–3 (q48);
+    *  5. `kept`         — in the final corpus, annotated with its
+    *                      language's tempered sampling weight computed
+    *                      over the KEPT distribution (q47, α=1/2).
+    *
+    * Verdicts are assigned in that precedence order, so each doc
+    * reports the FIRST gate that stopped it. Scale shape: stages 1–2
+    * are one map-side gram pass each (the eval side broadcast),
+    * stage 4 is a `WindowGroupLimit`-shaped rank over survivors,
+    * stage 5 two narrow aggregates — and the stage boundaries are
+    * MATERIALIZATION BARRIERS (`localCheckpoint`, the q35 precedent):
+    * the staged/verdict relations feed 3+ downstream branches, and
+    * without the barrier Catalyst re-expands the q45 gram expression
+    * tree into every branch — the composed plan's codegen blows up
+    * superlinearly (observed: minutes of compilation at sf0.001). A
+    * production pipeline writes these intermediates as tables anyway;
+    * the checkpoint is that artifact, narrow (5 scalar columns — the
+    * text never enters it) and computed exactly once. Every float is
+    * recomposed from exact integers (q47's floor-scaled denominator),
+    * so the oracle hash-matches end to end.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // stage 1: repetition verdict (q45's fractions, map-only)
+    val rep = q45(spark, dir).select(col("doc_id"),
+      col("reject").as("rep_reject"))
+    // stage 2: contaminated train docs (q46 already excludes eval docs)
+    val contam = q46(spark, dir).select(col("doc_id"))
+      .withColumn("contaminated", lit(true))
+    // barrier: the gram passes run ONCE; downstream sees 5 narrow
+    // columns with no lineage back into the HOF/gram expressions
+    val staged = docs
+      .join(rep, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("eval_doc", col("doc_id") % EvalMod === 0)
+      .withColumn("contaminated",
+        coalesce(col("contaminated"), lit(false)))
+      .localCheckpoint()
+    // stage 4: per-source cap over survivors of stages 1-3 only
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val survivors = staged
+      .filter(!col("eval_doc") && !col("rep_reject") && !col("contaminated"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+    // barrier: verdicts feed the final projection AND the kept-count
+    // weight chain (3 references)
+    val verdicts = staged
+      .join(survivors.select(col("doc_id"), col("src_rank")),
+        Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("eval_doc"), lit("eval_doc"))
+          .when(col("rep_reject"), lit("rep_reject"))
+          .when(col("contaminated"), lit("contaminated"))
+          .when(col("src_rank") > SourceCap, lit("over_cap"))
+          .otherwise(lit("kept")))
+      .localCheckpoint()
+    // stage 5: tempered weights over the KEPT language distribution
+    val keptCounts = verdicts.filter(col("verdict") === "kept")
+      .groupBy(col("lang")).agg(count(lit(1)).as("lang_kept"))
+    val total = keptCounts.agg(sum(col("lang_kept")).as("total"))
+    val scored = keptCounts.crossJoin(broadcast(total))
+      .withColumn("sp", sqrt(
+        col("lang_kept").cast("double") / col("total").cast("double")))
+    val denom = scored.agg(
+      sum(floor(col("sp") * lit(1e15)).cast("long")).as("denom_scaled"))
+    val weights = scored.crossJoin(broadcast(denom))
+      .select(col("lang"),
+        (col("sp") / (col("denom_scaled").cast("double") / lit(1e15)))
+          .as("lang_weight"))
+    verdicts
+      .join(broadcast(weights), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("verdict"),
+        when(col("verdict") === "kept", col("lang_weight"))
+          .otherwise(lit(0.0)).as("sample_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |rep AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN len(w) >= 2 THEN
+       |       CAST(list_max(list_transform(
+       |         list_distinct(list_transform(range(1, len(w)),
+       |           i -> concat_ws(' ', w[i], w[i+1]))),
+       |         x -> len(list_filter(list_transform(range(1, len(w)),
+       |           i -> concat_ws(' ', w[i], w[i+1])), y -> y = x)))) AS DOUBLE)
+       |       / CAST(len(w) - 1 AS DOUBLE)
+       |     ELSE 0.0 END) > 0.20
+       |    OR
+       |    (CASE WHEN len(w) >= 5 THEN
+       |       CAST(len(w) - 4 - len(list_distinct(list_transform(
+       |         range(1, len(w) - 3),
+       |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))
+       |         AS DOUBLE) / CAST(len(w) - 4 AS DOUBLE)
+       |     ELSE 0.0 END) > 0.30 AS rep_reject
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(w) - ${ContamN - 2}),
+       |    i -> concat_ws(' ', list_slice(w, i, i + ${ContamN - 1})))) AS g
+       |  FROM t WHERE len(w) >= $ContamN),
+       |ev AS (
+       |  SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % $EvalMod = 0),
+       |contam AS (
+       |  SELECT DISTINCT tr.doc_id FROM
+       |    (SELECT doc_id, unnest(g) AS gram FROM g
+       |     WHERE doc_id % $EvalMod <> 0) tr
+       |  JOIN ev ON tr.gram = ev.gram),
+       |staged AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |    d.doc_id % $EvalMod = 0 AS eval_doc,
+       |    r.rep_reject,
+       |    c.doc_id IS NOT NULL AS contaminated
+       |  FROM documents d
+       |  JOIN rep r USING (doc_id)
+       |  LEFT JOIN contam c USING (doc_id)),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank
+       |  FROM staged
+       |  WHERE NOT eval_doc AND NOT rep_reject AND NOT contaminated),
+       |verdicts AS (
+       |  SELECT s.doc_id, s.lang, s.source,
+       |    CASE WHEN s.eval_doc THEN 'eval_doc'
+       |         WHEN s.rep_reject THEN 'rep_reject'
+       |         WHEN s.contaminated THEN 'contaminated'
+       |         WHEN k.src_rank > $SourceCap THEN 'over_cap'
+       |         ELSE 'kept' END AS verdict
+       |  FROM staged s LEFT JOIN ranked k USING (doc_id)),
+       |kc AS (
+       |  SELECT lang, COUNT(*) AS lang_kept FROM verdicts
+       |  WHERE verdict = 'kept' GROUP BY lang),
+       |tot AS (SELECT SUM(lang_kept) AS total FROM kc),
+       |sc AS (
+       |  SELECT lang,
+       |    sqrt(CAST(lang_kept AS DOUBLE) / CAST(total AS DOUBLE)) AS sp
+       |  FROM kc CROSS JOIN tot),
+       |dn AS (SELECT SUM(CAST(floor(sp * 1e15) AS BIGINT)) AS denom FROM sc),
+       |wt AS (
+       |  SELECT lang, sp / (CAST(denom AS DOUBLE) / 1e15) AS lang_weight
+       |  FROM sc CROSS JOIN dn)
+       |SELECT v.doc_id, v.lang, v.source, v.verdict,
+       |  CASE WHEN v.verdict = 'kept' THEN w.lang_weight
+       |       ELSE 0.0 END AS sample_weight
+       |FROM verdicts v LEFT JOIN wt w USING (lang)
+       |ORDER BY v.doc_id""".stripMargin
+
   /** Span gram size for q72. 5 matches q45's duplicate-gram window;
     * on the synthetic vocabulary cross-doc 5-gram collisions are rare
     * by chance (~30⁻⁵ per aligned pair) but dense inside the planted

@@ -114,6 +114,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q74 fences flag exactly the planted outliers and the fence join broadcasts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1..101 uniform grid plus three extremes: quartiles interpolate
+    // to 25.75 / 77.25 over the 104 sorted values, fences land at
+    // -51.5 / 154.5, and exactly {-100, 200, 300} fall outside
+    val vals = (1 to 101).map(_.toDouble) ++ Seq(-100.0, 200.0, 300.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        i.toLong, "t", v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q74").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = Analytics.q74(spark, tmp).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n") === 104L)
+    assert(r.head.getAs[Double]("p25") === 25.75)
+    assert(r.head.getAs[Double]("p75") === 77.25)
+    assert(r.head.getAs[Double]("lo_fence") === -51.5)
+    assert(r.head.getAs[Double]("hi_fence") === 154.5)
+    assert(r.head.getAs[Long]("n_outliers") === 3L)
+    // real corpus: every type has a sane fraction and some outliers
+    val real = Analytics.q74(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { t =>
+      val f = t.getAs[Double]("outlier_frac")
+      assert(f >= 0.0 && f < 0.5)
+      assert(t.getAs[Double]("lo_fence") < t.getAs[Double]("hi_fence"))
+    }
+    // fences must broadcast — the fact side may not shuffle for the join
+    val plan = Analytics.q74(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"fences not broadcast:\n$plan")
+  }
+
   test("q51 funnel stages are monotonically non-increasing") {
     val stages = Analytics.q51(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("users")).toMap

@@ -175,6 +175,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q75 pipeline verdicts compose the stage operators with correct precedence") {
+    val rows = Curation.q75(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byVerdict = rows.groupBy(_.getAs[String]("verdict"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("doc_id")).toSet }
+    // stage 1: the eval split is exactly doc_id % 97 == 0
+    val evalDocs = rows.map(_.getAs[Long]("doc_id")).filter(_ % 97 == 0).toSet
+    assert(byVerdict.getOrElse("eval_doc", Set.empty) === evalDocs)
+    // stage 2: rep_reject = q45's rejects minus eval docs
+    val q45Rejects = Curation.q45(spark, sf).collect()
+      .filter(_.getAs[Boolean]("reject")).map(_.getAs[Long]("doc_id")).toSet
+    assert(byVerdict.getOrElse("rep_reject", Set.empty) ===
+      q45Rejects -- evalDocs)
+    // stage 3: contaminated = q46's hits minus earlier gates
+    val q46Docs = Curation.q46(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(byVerdict.getOrElse("contaminated", Set.empty) ===
+      q46Docs -- evalDocs -- q45Rejects)
+    // stage 4: kept ≤ cap per source; over_cap only from full sources
+    val kept = rows.filter(_.getAs[String]("verdict") == "kept")
+    val keptBySource = kept.groupBy(_.getAs[String]("source"))
+      .map { case (s, v) => s -> v.length }
+    keptBySource.values.foreach(n => assert(n <= 15))
+    rows.filter(_.getAs[String]("verdict") == "over_cap").foreach { r =>
+      assert(keptBySource(r.getAs[String]("source")) === 15,
+        "over_cap fired on a source that is not full")
+    }
+    // stage 5: kept weights form a distribution over languages
+    val langW = kept.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("sample_weight")).toMap
+    assert(math.abs(langW.values.sum - 1.0) < 1e-9)
+    kept.foreach(r => assert(r.getAs[Double]("sample_weight") > 0.0))
+    rows.filterNot(_.getAs[String]("verdict") == "kept")
+      .foreach(r => assert(r.getAs[Double]("sample_weight") === 0.0))
+    // every verdict is one of the five gates
+    assert(byVerdict.keySet.subsetOf(Set(
+      "eval_doc", "rep_reject", "contaminated", "over_cap", "kept")))
+  }
+
   test("q47 weights are a proper tempered distribution") {
     val rows = Curation.q47(spark, sf).collect()
     assert(rows.length > 1)

@@ -86,6 +86,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"grams exploded out of the row:\n$p")
   }
 
+  test("q73: fuzzy match is candidate-driven — no nested-loop or cartesian join") {
+    // the whole point of FastSS is replacing the oracle's O(n²) cross
+    // join; a BroadcastNestedLoopJoin/CartesianProduct anywhere means
+    // the plan regressed to all-pairs
+    val p = plan(graft.operators.Dedup.q73(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q72: the gram-df exchange is reused by the join back on the same key") {
+    // the df aggregate groups by gram and the join back is keyed on
+    // gram — same partitioning, so the executed plan must reuse the
+    // exchange instead of shuffling the gram relation twice
+    val df = graft.operators.Curation.q72(spark, sf)
+    df.collect() // AQE materializes reuse in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("(reuse"),
+      s"gram relation shuffled twice:\n$p")
+  }
+
   test("q43: PQ candidate stage ranks on codes, vectors join only the shortlist") {
     val p = plan(Similarity.q43(spark, sf))
     // the corpus side reaches the approx ranking via broadcast probe
