@@ -12,7 +12,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // 94 queries × ~10 generated classes × (warmup + 2 timed runs)
+      // overflows the old 2000-entry cache — evicted giants (q31 pair
+      // emission, q75 pipeline segments) then recompile INSIDE the
+      // timed runs, reading as multi-second query regressions
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -119,9 +119,28 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     if (offset > 0) expect(cmd(s"REST $offset"), 350)
     expect(cmd(s"RETR $path"), 150, 125)
     new java.io.FilterInputStream(data.getInputStream) {
+      private var sawEof = false
+      override def read(): Int = {
+        val b = super.read(); if (b < 0) sawEof = true; b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = super.read(b, off, len); if (n < 0) sawEof = true; n
+      }
       override def close(): Unit = {
         super.close(); data.close()
-        expect(readReply(), 226, 250)
+        if (sawEof) {
+          // the byte stream reached EOF — drain the completion reply
+          // but tolerate a server that already tore the session down
+          // (the data is complete either way)
+          try expect(readReply(), 226, 250)
+          catch { case _: java.io.IOException => () }
+        } else {
+          // closed MID-transfer (seek reopens with REST): the control
+          // state is undefined — a strict server kills the session on
+          // the data-socket EPIPE. Discard the whole client, like
+          // ftplib after an abort; callers reconnect.
+          FtpClient.this.close()
+        }
       }
     }
   }

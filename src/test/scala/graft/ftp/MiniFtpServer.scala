@@ -120,18 +120,26 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
             else {
               reply("150 opening data connection")
               val d = openData()
-              try {
-                val in = Files.newInputStream(t)
+              // a client that aborts mid-download (REST-reopen seeks do
+              // this) breaks the data pipe — a real server replies 426
+              // and keeps the control session; dying here would kill
+              // every later command on this connection
+              val completed =
                 try {
-                  var toSkip = off
-                  while (toSkip > 0) {
-                    val n = in.skip(toSkip)
-                    if (n <= 0) toSkip = 0 else toSkip -= n
-                  }
-                  in.transferTo(d.getOutputStream)
-                } finally in.close()
-              } finally d.close()
-              reply("226 transfer complete")
+                  val in = Files.newInputStream(t)
+                  try {
+                    var toSkip = off
+                    while (toSkip > 0) {
+                      val n = in.skip(toSkip)
+                      if (n <= 0) toSkip = 0 else toSkip -= n
+                    }
+                    in.transferTo(d.getOutputStream)
+                    true
+                  } finally in.close()
+                } catch { case NonFatal(_) => false }
+                finally d.close()
+              if (completed) reply("226 transfer complete")
+              else reply("426 transfer aborted")
             }
           case "STOR" =>
             val t = resolve(arg)
