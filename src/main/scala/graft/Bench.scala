@@ -73,18 +73,49 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = ok.map { case (k, _, s, _, _) =>
       s"\"" + k + "\":" + f"$s%.1f" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) =>
+    val errsList = results.collect { case (k, _, _, _, Some(e)) =>
       // exception text can carry ANY control char (Netty/Hadoop
       // messages embed NULs and ESC) — strip the whole C0 range, not
       // just \n\r\t, or the one-line bench JSON stops parsing
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    }.mkString("{", ",", "}")
+    }
+    val errs = errsList.mkString("{", ",", "}")
+    // compact line: at most 5 errors so a mass failure can't push the
+    // final line past the driver's tail window
+    val errsCompact = errsList.take(5).mkString("{", ",", "}")
     val totalSpill = ok.map(_._4).sum
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Full detail first (per-query seconds + shuffle for every query):
+    // >4 KB, useful in logs but it OUTRUNS the driver's 2000-char
+    // stdout tail — both r1 and r2 BENCH artifacts came back
+    // "parsed": null because this was the ONLY line. Also persisted to
+    // a file so the numbers survive in the repo.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
-      s""""errors":$errs,"sf":"$sfDir"}""")
+      s""""errors":$errs,"sf":"$sfDir"}"""
+    println(detail)
+    try {
+      val w = new java.io.PrintWriter("bench_detail_last.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    // The LAST stdout line must carry the graded numbers on its own:
+    // the driver keeps only a 2000-char tail (plus sbt's trailing
+    // "[success] Total time" line), so this line stays compact —
+    // total, slowest 12 queries, biggest 5 shuffles, errors, sf —
+    // guaranteed well under 1500 chars.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val slow = ok.sortBy(-_._2).take(12)
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val shTop = ok.sortBy(-_._3).take(5)
+      .map { case (k, _, s, _, _) => s"\"" + k + "\":" + f"$s%.1f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n":${ok.size},"queries":$slow,"shuffle_mb":$shTop,""" +
+      s""""spill_mb":${f"$totalSpill%.1f"},"errors":$errsCompact,""" +
+      s""""n_err":${errsList.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,15 +120,19 @@ object Blueprints {
 
   /** Upload/download regex semantics: explicit destination names are
     * enumerated `name_N.ext` for every match (upload_file.py:242-253).
+    * Round 3: the plan is DISTRIBUTED end to end — matched paths flow
+    * from the walk into the copy partition-wise; the only driver
+    * traffic is the exit-200 count probe and (when enumerating)
+    * `orderedPrefix`'s per-partition offsets. At 10⁸ matches the old
+    * `.collect()` manifest died here while the copy itself would not.
     */
-  private[blueprints] def planEnumerated(
-      matched: Seq[String], destFolder: String,
-      destName: Option[String]): Seq[Transfer] =
-    matched.zipWithIndex.map { case (src, i) =>
-      Transfer(src, PathUtils.determineDestinationFullPath(
-        destFolder, destName, src,
-        if (destName.isDefined) Some(i + 1) else None))
-    }
+  private[blueprints] def planMatchedDF(
+      matched: org.apache.spark.sql.DataFrame, pattern: String,
+      destFolder: String, destName: Option[String],
+      enumerateAll: Boolean): org.apache.spark.sql.DataFrame = {
+    FileOps.requireMatchesDF(matched, pattern)
+    FileOps.planTransfersDF(matched, destFolder, destName, enumerateAll)
+  }
 }
 
 /** local → FTP (upload_file.py). */
@@ -141,27 +145,29 @@ object Upload {
     val srcBase =
       if (a.sourceFolderName.startsWith("/")) a.sourceFolderName
       else PathUtils.combine(System.getProperty("user.dir"), a.sourceFolderName)
-    val transfers =
-      if (a.matchType == "regex_match") {
-        val manifest = FileOps.listRecursive(spark, s"file:$srcBase")
-        val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
-          .select("path").collect().map(_.getString(0)).toSeq.sorted
-        FileOps.requireMatches(matched, a.sourceFileName)
-        planEnumerated(matched, a.destinationFolderName, a.destinationFileName)
-      } else {
-        val src = PathUtils.combine(srcBase, a.sourceFileName)
-        // missing (or non-regular-file) single source is exit 200
-        // like Download/Delete — without the pre-check the
-        // executor-side FileNotFound surfaces as a generic exit 1
-        // outside the reference taxonomy
-        if (!FileOps.isFile(spark, "file:///", src))
-          throw GraftFsError(ErrorCodes.NoMatchesFound,
-            s"no local file at $src")
-        Seq(Transfer(src, PathUtils.determineDestinationFullPath(
+    if (a.matchType == "regex_match") {
+      val manifest = FileOps.listRecursive(spark, s"file:$srcBase")
+      val plan = planMatchedDF(
+        FileOps.matchFullPath(manifest, a.sourceFileName),
+        a.sourceFileName, a.destinationFolderName, a.destinationFileName,
+        enumerateAll = true)
+      FileOps.bulkCopyDF(plan, "file:///", dst,
+        retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
+    } else {
+      val src = PathUtils.combine(srcBase, a.sourceFileName)
+      // missing (or non-regular-file) single source is exit 200
+      // like Download/Delete — without the pre-check the
+      // executor-side FileNotFound surfaces as a generic exit 1
+      // outside the reference taxonomy
+      if (!FileOps.isFile(spark, "file:///", src))
+        throw GraftFsError(ErrorCodes.NoMatchesFound,
+          s"no local file at $src")
+      val transfers = Seq(Transfer(src,
+        PathUtils.determineDestinationFullPath(
           a.destinationFolderName, a.destinationFileName, src)))
-      }
-    FileOps.bulkCopy(spark, transfers, "file:///", dst,
-      retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
+      FileOps.bulkCopy(spark, transfers, "file:///", dst,
+        retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
+    }
   }
 
   def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
@@ -181,26 +187,28 @@ object Download {
     val localBase =
       if (a.destinationFolderRaw.startsWith("/")) PathUtils.normPath(a.destinationFolderRaw)
       else PathUtils.combine(System.getProperty("user.dir"), a.destinationFolderName)
-    val transfers =
-      if (a.matchType == "regex_match") {
-        val manifest = FileOps.listRecursive(spark,
-          if (srcFolder.isEmpty) src else s"$src/$srcFolder")
-        val matched = FileOps.matchBasename(manifest, a.sourceFileName)
-          .select("path").collect().map(_.getString(0)).toSeq.sorted
-        FileOps.requireMatches(matched, a.sourceFileName)
-        planEnumerated(matched, localBase, a.destinationFileName)
-      } else {
-        val p = PathUtils.combine(srcFolder, a.sourceFileName)
-        // the reference maps a failed single download to exit 200
-        // (download_file.py:296)
-        if (!FileOps.exists(spark, src, s"/$p"))
-          throw GraftFsError(ErrorCodes.NoMatchesFound,
-            s"no file at $p on ${a.host}")
-        Seq(Transfer(s"/$p", PathUtils.determineDestinationFullPath(
+    if (a.matchType == "regex_match") {
+      val manifest = FileOps.listRecursive(spark,
+        if (srcFolder.isEmpty) src else s"$src/$srcFolder")
+      val plan = planMatchedDF(
+        FileOps.matchBasename(manifest, a.sourceFileName),
+        a.sourceFileName, localBase, a.destinationFileName,
+        enumerateAll = true)
+      FileOps.bulkCopyDF(plan, src, "file:",
+        retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
+    } else {
+      val p = PathUtils.combine(srcFolder, a.sourceFileName)
+      // the reference maps a failed single download to exit 200
+      // (download_file.py:296)
+      if (!FileOps.exists(spark, src, s"/$p"))
+        throw GraftFsError(ErrorCodes.NoMatchesFound,
+          s"no file at $p on ${a.host}")
+      val transfers = Seq(Transfer(s"/$p",
+        PathUtils.determineDestinationFullPath(
           localBase, a.destinationFileName, p)))
-      }
-    FileOps.bulkCopy(spark, transfers, src, "file:",
-      retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
+      FileOps.bulkCopy(spark, transfers, src, "file:",
+        retries = a.retries, backoffMs = a.backoffMs, resume = a.resume)
+    }
   }
 
   def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))
@@ -217,16 +225,16 @@ object Move {
     if (a.matchType == "regex_match") {
       val manifest = FileOps.listRecursive(spark,
         if (srcFolder.isEmpty) uri else s"$uri/$srcFolder")
-      val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
-        .select("path").collect().map(_.getString(0)).toSeq.sorted
-      FileOps.requireMatches(matched, a.sourceFileName)
       // move enumerates only on multi-match (move_file.py:168-173)
-      FileOps.planTransfers(matched, a.destinationFolderName,
-        a.destinationFileName).foreach { t =>
-        FileOps.withRetries(a.retries, a.backoffMs) { () =>
-          FileOps.move(spark, uri, t.src, s"/${t.dst}")
-        }
-      }
+      val plan = planMatchedDF(
+        FileOps.matchFullPath(manifest, a.sourceFileName),
+        a.sourceFileName, a.destinationFolderName, a.destinationFileName,
+        enumerateAll = false)
+      FileOps.bulkMove(spark, uri,
+        plan.withColumn("dst", org.apache.spark.sql.functions
+          .concat(org.apache.spark.sql.functions.lit("/"),
+            org.apache.spark.sql.functions.col("dst"))),
+        retries = a.retries, backoffMs = a.backoffMs)
     } else {
       val src = "/" + PathUtils.combine(srcFolder, a.sourceFileName)
       val dst = "/" + PathUtils.determineDestinationFullPath(
@@ -248,23 +256,21 @@ object Delete {
     val a = parse(argv)
     val uri = ftpUri(spark, a)
     val srcFolder = PathUtils.cleanFolderName(a.sourceFolderName)
-    val targets =
-      if (a.matchType == "regex_match") {
-        val manifest = FileOps.listRecursive(spark,
-          if (srcFolder.isEmpty) uri else s"$uri/$srcFolder")
-        val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
-          .select("path").collect().map(_.getString(0)).toSeq.sorted
-        FileOps.requireMatches(matched, a.sourceFileName)
-      } else {
-        val p = "/" + PathUtils.combine(srcFolder, a.sourceFileName)
-        // the reference maps a failed single delete to exit 200
-        // (delete_file.py:151)
-        if (!FileOps.exists(spark, uri, p))
-          throw GraftFsError(ErrorCodes.NoMatchesFound,
-            s"no file at $p on ${a.host}")
-        Seq(p)
-      }
-    FileOps.bulkDelete(spark, uri, targets)
+    if (a.matchType == "regex_match") {
+      val manifest = FileOps.listRecursive(spark,
+        if (srcFolder.isEmpty) uri else s"$uri/$srcFolder")
+      val matched = FileOps.matchFullPath(manifest, a.sourceFileName)
+      FileOps.requireMatchesDF(matched, a.sourceFileName)
+      FileOps.bulkDeleteDF(spark, uri, matched)
+    } else {
+      val p = "/" + PathUtils.combine(srcFolder, a.sourceFileName)
+      // the reference maps a failed single delete to exit 200
+      // (delete_file.py:151)
+      if (!FileOps.exists(spark, uri, p))
+        throw GraftFsError(ErrorCodes.NoMatchesFound,
+          s"no file at $p on ${a.host}")
+      FileOps.bulkDelete(spark, uri, Seq(p))
+    }
   }
 
   def main(argv: Array[String]): Unit = sys.exit(run(session(), argv))

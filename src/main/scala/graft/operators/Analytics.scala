@@ -548,6 +548,117 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q77: multi-column Tukey/z hybrid profiler (§7b) — every numeric
+    * lineitem column profiled for outliers under BOTH rules (Tukey
+    * 1.5×IQR fences and |z| > 3) in TWO corpus scans total, however
+    * many columns: pass 1 is ONE aggregate computing every column's
+    * count / decimal-exact Σx, Σx² / exact quartiles side by side
+    * (columnar scan still prunes to exactly the profiled columns);
+    * pass 2 re-scans once with the one-row derived-stats relation
+    * broadcast and counts each column's rule violations. Contrast
+    * with q61's one-job-per-column shape, which is right for
+    * multi-DISTINCT but wasteful here where every aggregate is
+    * hash-combinable in a single pass. Mean/std/fences are recomposed
+    * from exact decimal sums with the same double expression tree in
+    * both engines, so the doubles hash-match (q57's contract).
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val cols = ProfNumCols
+    val dt = DecimalType(18, 2)
+    val li = Tables(spark, dir, "lineitem").select(cols.map(col): _*)
+    val statAggs = count(lit(1)).as("n") +: cols.flatMap { c => Seq(
+      sum(col(c).cast(dt)).cast("double").as(s"${c}__sx"),
+      sum(col(c).cast(dt) * col(c).cast(dt)).cast("double").as(s"${c}__sxx"),
+      expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
+      expr(s"percentile($c, 0.75)").as(s"${c}__p75"))
+    }
+    // 1-row stage artifacts are localCheckpoint'd: the per-column
+    // union branches below each reference them, and without the
+    // barrier Catalyst re-runs BOTH corpus aggregates once per branch
+    // (the q75 lesson) — with it the corpus is scanned exactly twice
+    val derived = cols.foldLeft(li.agg(statAggs.head, statAggs.tail: _*)) {
+      (df, c) =>
+        df.withColumn(s"${c}__mean",
+            col(s"${c}__sx") / col("n").cast("double"))
+          .withColumn(s"${c}__std",
+            sqrt(greatest(
+              col(s"${c}__sxx") / col("n").cast("double") -
+                col(s"${c}__mean") * col(s"${c}__mean"), lit(0.0))))
+          .withColumn(s"${c}__lo",
+            col(s"${c}__p25") - lit(1.5) * (col(s"${c}__p75") - col(s"${c}__p25")))
+          .withColumn(s"${c}__hi",
+            col(s"${c}__p75") + lit(1.5) * (col(s"${c}__p75") - col(s"${c}__p25")))
+    }.localCheckpoint()
+    val outAggs = cols.flatMap { c => Seq(
+      sum(when(col(c) < col(s"${c}__lo") || col(c) > col(s"${c}__hi"), 1L)
+        .otherwise(0L)).as(s"${c}__ntk"),
+      sum(when(abs(col(c) - col(s"${c}__mean")) > lit(3.0) * col(s"${c}__std"), 1L)
+        .otherwise(0L)).as(s"${c}__nz"))
+    }
+    val both = li.crossJoin(broadcast(derived))
+      .agg(outAggs.head, outAggs.tail: _*)
+      .crossJoin(derived)
+      .localCheckpoint()
+    cols.map { c =>
+      both.select(lit(c).as("col_name"), col("n"),
+        col(s"${c}__mean").as("mean"), col(s"${c}__std").as("std"),
+        col(s"${c}__p25").as("p25"), col(s"${c}__p75").as("p75"),
+        col(s"${c}__lo").as("lo_fence"), col(s"${c}__hi").as("hi_fence"),
+        col(s"${c}__ntk").as("n_tukey_outliers"),
+        col(s"${c}__nz").as("n_z_outliers"))
+    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
+  val q77Sql: String = {
+    val base = ProfNumCols.map { c =>
+      s"""CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS ${c}__sx,
+         |    CAST(SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)))
+         |      AS DOUBLE) AS ${c}__sxx,
+         |    quantile_cont($c, 0.25) AS ${c}__p25,
+         |    quantile_cont($c, 0.75) AS ${c}__p75""".stripMargin
+    }.mkString(",\n    ")
+    val d1 = ProfNumCols.map { c =>
+      s"${c}__sx / CAST(n AS DOUBLE) AS ${c}__mean"
+    }.mkString(",\n    ")
+    val d2 = ProfNumCols.map { c =>
+      s"""sqrt(greatest(${c}__sxx / CAST(n AS DOUBLE)
+         |      - ${c}__mean * ${c}__mean, 0.0)) AS ${c}__std,
+         |    ${c}__p25 - 1.5 * (${c}__p75 - ${c}__p25) AS ${c}__lo,
+         |    ${c}__p75 + 1.5 * (${c}__p75 - ${c}__p25) AS ${c}__hi""".stripMargin
+    }.mkString(",\n    ")
+    val oc = ProfNumCols.map { c =>
+      s"""CAST(SUM(CASE WHEN l.$c < d.${c}__lo OR l.$c > d.${c}__hi
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__ntk,
+         |    CAST(SUM(CASE WHEN ABS(l.$c - d.${c}__mean) > 3.0 * d.${c}__std
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nz""".stripMargin
+    }.mkString(",\n    ")
+    val rows = ProfNumCols.map { c =>
+      s"""SELECT '$c' AS col_name, d.n, d.${c}__mean AS mean,
+         |  d.${c}__std AS std, d.${c}__p25 AS p25, d.${c}__p75 AS p75,
+         |  d.${c}__lo AS lo_fence, d.${c}__hi AS hi_fence,
+         |  o.${c}__ntk AS n_tukey_outliers, o.${c}__nz AS n_z_outliers
+         |FROM d CROSS JOIN o""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT COUNT(*) AS n,
+       |    $base
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT *,
+       |    $d1
+       |  FROM s),
+       |d AS (
+       |  SELECT *,
+       |    $d2
+       |  FROM m),
+       |o AS (
+       |  SELECT
+       |    $oc
+       |  FROM lineitem l CROSS JOIN d)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
+
   val q74Sql: String =
     """WITH f AS (
       |  SELECT event_type,

@@ -26,25 +26,37 @@ object Bpe {
     */
   val Eow = "</w>"
 
-  /** Memo for trained merge tables: deterministic per (dir, merges)
-    * — same contract as Similarity's centroid cache — so q97 (emit
-    * the table) and q98 (encode with it) share one training run.
+  /** Memo for trained merge tables so q97 (emit the table) and q98
+    * (encode with it) share one training run. Keyed on a FINGERPRINT
+    * of the word-frequency table, not just (dir, merges): if the data
+    * under `dir` changes within a session the key changes with it —
+    * no stale merges (round-2 advice). The corpus scan itself always
+    * re-runs (it produces the fingerprint), so cached calls still
+    * measure the scan; only the merge loop is memoized.
     */
   private val mergeCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), Seq[(Long, String, String, String, Long)]]
+    .empty[(Long, Long, Int), Seq[(Long, String, String, String, Long)]]
 
-  def trainCached(spark: SparkSession, dir: String,
-      numMerges: Int): Seq[(Long, String, String, String, Long)] =
-    mergeCache.getOrElseUpdate((dir, numMerges),
-      train(spark, dir, numMerges))
-
-  /** Learn `numMerges` merges from the documents table. Returns the
-    * merge table (rank, left, right, merged, pair_count) — the
-    * artifact a tokenizer ships.
+  /** Distinct-word threshold for the local-training dispatch in
+    * [[trainOn]]. A word-frequency table is vocab-sized — tens of
+    * millions of rows even for a 100 TB corpus — so up to this many
+    * rows it is collected ONCE (the same single driver round-trip the
+    * distributed loop pays per round for its argmax) and the merge
+    * loop runs in-process: bit-identical by construction (exact
+    * counts, same tie-break, same left-to-right rewrite — BpeSpec
+    * proves it), and a 50k-merge production vocabulary no longer costs
+    * 50k sequential driver-scheduled Spark jobs, just one scan.
     */
-  def train(spark: SparkSession, dir: String, numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+  val LocalVocabLimit = 2000000L
+
+  /** The ONE distributed corpus scan: (symbols, freq) per distinct
+    * word, localCheckpoint'd so the merge loop / fingerprint / count
+    * never recompute it.
+    */
+  private def wordFreqs(spark: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[(Seq[String], Long)] = {
     import spark.implicits._
-    var words = Tables.spread(Tables(spark, dir, "documents")
+    Tables.spread(Tables(spark, dir, "documents")
         .select(col("text")))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
@@ -52,6 +64,43 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, f) => ((w.map(_.toString): Seq[String]) :+ Eow, f) }
       .localCheckpoint()
+  }
+
+  def trainCached(spark: SparkSession, dir: String,
+      numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    import spark.implicits._
+    val words = wordFreqs(spark, dir)
+    // order-independent 64-bit content fingerprint of the vocab table
+    val fp = words.map { case (s, f) =>
+      scala.util.hashing.MurmurHash3
+        .stringHash(s.mkString("\u0000")).toLong * 1099511628211L + f
+    }.reduce(_ + _)
+    mergeCache.getOrElseUpdate((fp, words.count(), numMerges),
+      trainOn(words, numMerges))
+  }
+
+  /** Learn `numMerges` merges from the documents table. Returns the
+    * merge table (rank, left, right, merged, pair_count) — the
+    * artifact a tokenizer ships.
+    */
+  def train(spark: SparkSession, dir: String,
+      numMerges: Int): Seq[(Long, String, String, String, Long)] =
+    trainOn(wordFreqs(spark, dir), numMerges)
+
+  /** Dispatch: vocab fits the driver → collect once + local merge
+    * loop; above the limit → distributed per-round aggregation.
+    */
+  private def trainOn(words: org.apache.spark.sql.Dataset[(Seq[String], Long)],
+      numMerges: Int): Seq[(Long, String, String, String, Long)] =
+    if (words.count() <= LocalVocabLimit) localTrain(words.collect().toSeq, numMerges)
+    else trainDistributed(words, numMerges)
+
+  private[graft] def trainDistributed(
+      words0: org.apache.spark.sql.Dataset[(Seq[String], Long)],
+      numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var rank = 0L
@@ -91,6 +140,78 @@ object Bpe {
         if (rank % 5 == 4) words = words.localCheckpoint()
         rank += 1
       }
+    }
+    merges.toSeq
+  }
+
+  /** In-process merge loop over a collected word-frequency table —
+    * the realistic-vocab path (50k merges ≠ 50k Spark jobs). Exact
+    * incremental bookkeeping: pair counts live in a map updated by
+    * per-word deltas, an add-only posting index (pair → word ids)
+    * names the words a merge can touch, and stale postings are
+    * detected by the rewrite returning the word unchanged. The argmax
+    * is a full scan of the live pair-count map with the SAME
+    * (count desc, left, right) total order as the distributed loop —
+    * so the merge sequence is bit-identical to [[trainDistributed]]
+    * and [[referenceTrain]] (BpeSpec asserts both).
+    */
+  private[graft] def localTrain(words0: Seq[(Seq[String], Long)],
+      numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    val syms = words0.map(_._1.toArray).toArray
+    val freq = words0.map(_._2).toArray
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val posting = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    def delta(wi: Int, ss: Array[String], sign: Long, index: Boolean): Unit = {
+      var i = 0
+      while (i + 1 < ss.length) {
+        val k = (ss(i), ss(i + 1))
+        val c = counts.getOrElse(k, 0L) + sign * freq(wi)
+        if (c == 0L) counts.remove(k) else counts(k) = c
+        if (index) posting.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+        i += 1
+      }
+    }
+    syms.indices.foreach(wi => delta(wi, syms(wi), +1L, index = true))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var rank = 0L
+    while (rank < numMerges && counts.nonEmpty) {
+      var bk: (String, String) = null
+      var bc = 0L
+      counts.foreach { case (k, c) =>
+        if (bk == null || c > bc || (c == bc &&
+            (k._1 < bk._1 || (k._1 == bk._1 && k._2 < bk._2)))) {
+          bk = k; bc = c
+        }
+      }
+      val (l, r) = bk
+      merges += ((rank, l, r, l + r, bc))
+      posting.remove(bk).foreach(_.distinct.foreach { wi =>
+        val old = syms(wi)
+        // same left-to-right non-overlapping rewrite as the
+        // distributed loop; null = pair not present (stale posting)
+        var out: scala.collection.mutable.ArrayBuffer[String] = null
+        var i = 0
+        while (i < old.length) {
+          if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+            if (out == null) {
+              out = new scala.collection.mutable.ArrayBuffer[String](old.length)
+              var j = 0
+              while (j < i) { out += old(j); j += 1 }
+            }
+            out += l + r; i += 2
+          } else { if (out != null) out += old(i); i += 1 }
+        }
+        if (out != null) {
+          val nw = out.toArray
+          delta(wi, old, -1L, index = false)
+          syms(wi) = nw
+          delta(wi, nw, +1L, index = true)
+        }
+      })
+      rank += 1
     }
     merges.toSeq
   }

@@ -574,6 +574,42 @@ object Curation {
     */
   private val SpanN = 5
 
+  /** Positional word [[SpanN]]-grams of one document — shared by the
+    * batch q72 pass and the streaming dup-span twin so both score the
+    * exact same gram set.
+    */
+  private[graft] def spanGramsOf(text: String): Array[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < SpanN) Array.empty
+    else Array.tabulate(toks.length - SpanN + 1) { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < SpanN) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+  }
+
+  /** Corpus gram-presence sketch for the STREAMING dup-span twin
+    * ([[graft.streaming.DocStreams.dupSpanOn]]): a Bloom filter over
+    * every corpus [[SpanN]]-gram. At fixed fpp the sketch is
+    * ~1.44·log₂(1/fpp) bits per distinct gram — broadcastable at
+    * corpus sizes where the exact gram-df relation is not — and
+    * membership errs only POSITIVE: streamed coverage can overcount
+    * by ≤ fpp in expectation, never miss a real duplicated span
+    * (the q55 approximate-substitute trade, documented not hidden).
+    */
+  def corpusGramBloom(spark: SparkSession, dir: String,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    import spark.implicits._
+    val grams = Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (_, t) => spanGramsOf(t).iterator }
+      .toDF("g")
+    val n = math.max(1000L, grams.count())
+    grams.stat.bloomFilter("g", n, fpp)
+  }
+
   /** q72: duplicate-span coverage — for every document, the fraction
     * of its word [[SpanN]]-gram POSITIONS whose gram also occurs in
     * at least one OTHER document. This is the exact-substring-dedup
@@ -602,20 +638,12 @@ object Curation {
         .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < SpanN) Iterator.empty
+        val gs = spanGramsOf(text)
+        if (gs.isEmpty) Iterator.empty
         else {
-          val m = (toks.length - SpanN + 1).toLong
+          val m = gs.length.toLong
           val counts = new java.util.LinkedHashMap[String, Long]()
-          var i = 0
-          while (i <= toks.length - SpanN) {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var j = 1
-            while (j < SpanN) { sb.append(' ').append(toks(i + j)); j += 1 }
-            val g = sb.toString
-            counts.merge(g, 1L, java.lang.Long.sum(_, _))
-            i += 1
-          }
+          gs.foreach(g => counts.merge(g, 1L, java.lang.Long.sum(_, _)))
           import scala.jdk.CollectionConverters._
           counts.entrySet().iterator().asScala
             .map(e => (id, m, e.getKey, e.getValue))

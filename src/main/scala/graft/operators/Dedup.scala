@@ -880,9 +880,25 @@ object Dedup {
     * not DuckDB-expressible ⇒ rows-only, with DedupSpec asserting
     * bit-equality against an in-driver brute-force at sf0.001.
     */
-  def q39(spark: SparkSession, dir: String, minLen: Int = 40,
-      dfCap: Int = DefaultDfCap): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  /** Verify-stage chunk size for [[q39]]: a left doc with more than
+    * this many candidate partners has its verify group salted into
+    * ceil(n/chunk) sub-groups. Unsalted, `groupByKey(_.ia)` routes ALL
+    * partners of one doc into a single task — a boilerplate-heavy hub
+    * doc with 10⁵⁺ candidates then walks its automaton serially in one
+    * straggler while every other core idles. Salting rebuilds the
+    * automaton once per sub-group (cheap: linear in the hub text) but
+    * parallelizes the partner walks, which is where the time goes.
+    */
+  val LcsVerifyChunk = 256
+
+  /** Candidate pairs for [[q39]] with the verify-stage salt attached:
+    * `(ia, ib, salt)` where salt = ib mod ceil(partners(ia)/chunk).
+    * The partner-count aggregate and the salted join both consume the
+    * candidate relation, so it is localCheckpoint'd — 16-byte rows,
+    * the same stage artifact a production pipeline would persist.
+    */
+  private[graft] def lcsCandidates(spark: SparkSession, dir: String,
+      minLen: Int, dfCap: Int): DataFrame = {
     import spark.implicits._
     val w = lcsWindow(minLen)
     val docs = Tables(spark, dir, "documents")
@@ -895,15 +911,32 @@ object Dedup {
     val cands = cappedPairs(fps, col("h"), "doc_id", dfCap)
       .select(col("p.a").as("ia"), col("p.b").as("ib"))
       .distinct()
-    cands
+      .localCheckpoint()
+    val counts = cands.groupBy("ia").agg(count(lit(1)).as("n_cand"))
+    cands.join(counts, "ia")
+      .withColumn("salt",
+        pmod(col("ib"),
+          greatest(ceil(col("n_cand") / lit(LcsVerifyChunk.toDouble)),
+            lit(1L))).cast("int"))
+      .select(col("ia"), col("ib"), col("salt"))
+  }
+
+  def q39(spark: SparkSession, dir: String, minLen: Int = 40,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    lcsCandidates(spark, dir, minLen, dfCap)
       .join(docs.select(col("doc_id").as("ia"), col("text").as("ta")), "ia")
       .join(docs.select(col("doc_id").as("ib"), col("text").as("tb")), "ib")
-      .select(col("ia"), col("ib"), col("ta"), col("tb"))
-      .as[(Long, Long, String, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (ia, rows) =>
+      .select(col("ia"), col("ib"), col("salt"), col("ta"), col("tb"))
+      .as[(Long, Long, Int, String, String)]
+      .groupByKey(r => (r._1, r._3)) // (left doc, salt): hub docs fan out
+      .flatMapGroups { (key: (Long, Int), rows: Iterator[(Long, Long, Int, String, String)]) =>
+        val ia = key._1
         var auto: SuffixAutomaton = null // same ta on every row of the group
-        rows.map { case (_, ib, ta, tb) =>
+        rows.map { case (_, ib, _, ta, tb) =>
           if (auto == null) auto = new SuffixAutomaton(ta)
           (ia, ib, auto.longestMatch(tb).toLong)
         }
@@ -931,30 +964,89 @@ object Dedup {
     * distance check runs only on candidates. The DuckDB oracle is the
     * brute force this replaces: all pairs, one levenshtein each.
     */
-  def q73(spark: SparkSession, dir: String,
-      dfCap: Int = DefaultDfCap): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val names = Tables.spread(Tables(spark, dir, "customer")
-        .select(col("c_name"))).distinct()
-    val variants = names.as[String].flatMap { n =>
-      val vs = new scala.collection.mutable.ArrayBuffer[(String, String)](n.length + 1)
-      vs += ((n, n)) // the string itself catches indel pairs
-      var i = 0
-      while (i < n.length) {
-        vs += ((n.substring(0, i) + n.substring(i + 1), n))
-        i += 1
+  /** All deletion variants of `n` at depth 0..d, deduplicated (two
+    * deletion positions can yield the same string — "aab" minus either
+    * 'a'). Neighborhood size is at most Σ C(|n|, k) for k ≤ d.
+    */
+  private[graft] def deletionVariants(n: String, d: Int): Iterator[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(n)
+    var frontier: List[String] = List(n)
+    var depth = 0
+    while (depth < d) {
+      frontier = frontier.flatMap { s =>
+        (0 until s.length).iterator
+          .map(i => s.substring(0, i) + s.substring(i + 1))
+          .filter(seen.add).toList
       }
-      vs.iterator
-    }.toDF("v", "name").distinct()
-    cappedPairs(variants, col("v"), "name", dfCap)
-      .select(col("p.a").as("name_a"), col("p.b").as("name_b"))
+      depth += 1
+    }
+    import scala.jdk.CollectionConverters._
+    seen.iterator().asScala
+  }
+
+  /** Candidate id-pairs for [[q73]]/[[q76]] — the stage whose shuffles
+    * must stay NARROW. Names and variants are both keyed by `xxhash64`
+    * BEFORE any exchange: variant strings exist only inside the map
+    * stage (typed flatMap → hash projection), so the inverted index
+    * and the pair dedup move 16-byte (vh, nid) rows where the round-2
+    * version shuffled full variant strings once per deletion — a
+    * length-m name at d=2 emits ~m²/2 variants, each m-1 chars, i.e.
+    * O(m³) shuffled bytes per name, now O(m²·16). A 64-bit id
+    * collision (p ≈ n²/2⁶⁵) could merge two names; the exact verify
+    * in the caller drops any false pair it produces.
+    */
+  private[graft] def fuzzyCandidates(spark: SparkSession, dir: String,
+      d: Int, dfCap: Int): DataFrame = {
+    import spark.implicits._
+    val nameDim = Tables.spread(Tables(spark, dir, "customer")
+        .select(col("c_name"))).distinct()
+      .select(col("c_name").as("name"), xxhash64(col("c_name")).as("nid"))
+    val variants = nameDim.select(col("name"), col("nid"))
+      .as[(String, Long)]
+      .flatMap { case (n, id) => deletionVariants(n, d).map(v => (v, id)) }
+      .toDF("v", "nid")
+      .select(xxhash64(col("v")).as("vh"), col("nid"))
+    cappedPairs(variants, col("vh"), "nid", dfCap)
+      .select(col("p.a").as("ida"), col("p.b").as("idb"))
       .distinct()
-      .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") === 1L)
+  }
+
+  /** Shared FastSS matcher at edit distance ≤ d: names sharing a
+    * variant in their depth-d deletion neighborhoods are candidates
+    * (recall 1 — delete from each side the characters its half of the
+    * edit script touches and the remainders are equal), then the exact
+    * built-in `levenshtein` keeps true pairs. The (nid → name) dim
+    * joins back once per candidate id — each name moves once, not
+    * once per variant.
+    */
+  private def fuzzyMatch(spark: SparkSession, dir: String, d: Int,
+      dfCap: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nameDim = Tables.spread(Tables(spark, dir, "customer")
+        .select(col("c_name"))).distinct()
+      .select(col("c_name").as("name"), xxhash64(col("c_name")).as("nid"))
+    fuzzyCandidates(spark, dir, d, dfCap)
+      .join(nameDim.select(col("nid").as("ida"), col("name").as("na")), "ida")
+      .join(nameDim.select(col("nid").as("idb"), col("name").as("nb")), "idb")
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") >= 1L && col("dist") <= d.toLong)
+      // id order is hash order — re-canonicalize pairs lexicographically
+      .select(least(col("na"), col("nb")).as("name_a"),
+        greatest(col("na"), col("nb")).as("name_b"), col("dist"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  def q73(spark: SparkSession, dir: String,
+      dfCap: Int = DefaultDfCap): DataFrame =
+    fuzzyMatch(spark, dir, d = 1, dfCap)
+
+  /** q76: [[q73]] at edit distance ≤ 2 — two-deletion neighborhoods,
+    * same narrow-shuffle machinery, same brute-force DuckDB oracle.
+    */
+  def q76(spark: SparkSession, dir: String,
+      dfCap: Int = DefaultDfCap): DataFrame =
+    fuzzyMatch(spark, dir, d = 2, dfCap)
 
   val q73Sql: String =
     """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
@@ -962,6 +1054,14 @@ object Dedup {
       |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
       |FROM n a JOIN n b ON a.name < b.name
       |WHERE levenshtein(a.name, b.name) = 1
+      |ORDER BY name_a, name_b""".stripMargin
+
+  val q76Sql: String =
+    """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
       |ORDER BY name_a, name_b""".stripMargin
 
   /** Cosine threshold for q99. Matches q34's near-dup threshold on
@@ -1025,6 +1125,89 @@ object Dedup {
               (id, cell, cc, "kept", Option.empty[Long])
           }
         }
+      }
+      .toDF("vec_id", "cell", "centroid_cos", "verdict", "dup_of")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Incremental SemDeDup — the daily-batch continuation of [[q99]],
+    * paired with the on-disk IVF index (§7b): a NEW batch of vectors
+    * is assigned to the STORED cells (the quantizer persisted with the
+    * index — never retrained, so cell routing matches the standing
+    * corpus) and each new vector is greedily checked against (1) the
+    * STANDING kept members of its cell, then (2) batch members already
+    * kept, in q99's (centroid-cos desc, id) order.
+    *
+    * Standing members keep their verdicts — an incremental run only
+    * judges the batch (re-verdicting history would both rescan it and
+    * let a new arrival flip an old keep). Daily cost is
+    * O(batch × cell-members), localized per cell exactly like q99's
+    * quadratic term; the standing corpus is read once, pairwise work
+    * never touches standing-standing pairs.
+    *
+    * `standingKept`: (vec_id, cell, v, nrm) of the kept set — in
+    * production the persisted artifact of the last full/incremental
+    * run (q99 output joined back to the index partitions).
+    * `newVectors`: (vec_id, embedding) raw batch rows.
+    */
+  def semDedupIncrement(spark: SparkSession, indexPath: String,
+      standingKept: DataFrame, newVectors: DataFrame,
+      tau: Double = SemTau): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/_quantizer")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val centLits = cents.map(_.toSeq).toSeq
+    // stored-quantizer assignment, map-only (appendIvfIndex's shape)
+    val assignedNew = newVectors
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+      .withColumn("cell", Similarity.argmaxCellOf(centLits))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"),
+        lit(true).as("is_new"))
+    val standing = standingKept
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"),
+        lit(false).as("is_new"))
+    standing.unionAll(assignedNew)
+      .as[(Int, Long, Seq[Double], Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val c = cents(cell)
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val rows = it.toArray
+        val kept = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        // standing members enter the kept list in q99's own
+        // (centroid-cos desc, id) total order — group iteration order
+        // is nondeterministic, and dup_of must not depend on it
+        rows.iterator.collect { case (_, id, v, nrm, false) =>
+          val arr = v.toArray
+          (id, arr, nrm, dot(arr, c) / nrm)
+        }.toArray
+          .sortBy { case (id, _, _, cc) => (-cc, id) }
+          .foreach { case (id, arr, nrm, _) => kept += ((id, arr, nrm)) }
+        rows.iterator.collect { case (_, id, v, nrm, true) =>
+          val arr = v.toArray
+          (id, arr, nrm, dot(arr, c) / nrm)
+        }.toArray
+          .sortBy { case (id, _, _, cc) => (-cc, id) }
+          .iterator.map { case (id, arr, nrm, cc) =>
+            kept.find { case (_, kv, knrm) =>
+              dot(arr, kv) / (nrm * knrm) > tau
+            } match {
+              case Some((kid, _, _)) => (id, cell, cc, "dropped", Some(kid))
+              case None =>
+                kept += ((id, arr, nrm))
+                (id, cell, cc, "kept", Option.empty[Long])
+            }
+          }
       }
       .toDF("vec_id", "cell", "centroid_cos", "verdict", "dup_of")
       .orderBy(col("vec_id"))

@@ -284,6 +284,12 @@ object Similarity {
     * let a duplicated centroid send vectors to the cell the probe
     * ranks last.
     */
+  /** [[argmaxCell]] for sibling operators (incremental SemDeDup
+    * assigns with the stored quantizer through this).
+    */
+  private[operators] def argmaxCellOf(cs: Seq[Seq[Double]]): Column =
+    argmaxCell(cs)
+
   private def argmaxCell(cs: Seq[Seq[Double]]): Column =
     -greatest(cs.zipWithIndex.map { case (c, i) =>
       struct(

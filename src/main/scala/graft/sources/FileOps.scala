@@ -41,6 +41,17 @@ object FileOps {
         s"no files found matching '$pattern'")
     else matched
 
+  /** Distributed twin of [[requireMatches]]: one count aggregate — 8
+    * bytes to the driver instead of the matched path list.
+    */
+  def requireMatchesDF(matched: DataFrame, pattern: String): Long = {
+    val n = matched.count()
+    if (n == 0)
+      throw GraftFsError(ErrorCodes.NoMatchesFound,
+        s"no files found matching '$pattern'")
+    n
+  }
+
   case class FileEntry(path: String, size: Long, mtime: Long, is_dir: Boolean)
 
   private def fs(uri: String, conf: Configuration): FileSystem = {
@@ -57,11 +68,19 @@ object FileOps {
   /** Recursive listing as a DataFrame — the Spark-shaped twin of the
     * reference's `find_files_in_directory` walk (download_file.py:138).
     * Only the root's direct children are listed on the driver (bounded
-    * by the root's fan-out); each child subtree is walked in parallel
-    * on the executors, and the result STAYS distributed — the manifest
-    * is a DataFrame over the walk's RDD, never `.collect()`ed. At
-    * 10⁷–10⁸ files the manifest feeds bulkCopy partition-by-partition
-    * without ever materializing on the driver.
+    * by the root's fan-out); everything below walks on the executors
+    * as an iterative FRONTIER BFS: each level lists exactly one
+    * directory depth in parallel, and the directories it discovers are
+    * re-distributed as the next level's frontier. Unlike a per-subtree
+    * recursive walk, parallelism is never bounded by the ROOT's
+    * fan-out — a root with one giant child directory still fans out as
+    * soon as that child's children are discovered (and no walk
+    * recurses on a task stack, so a 10⁴-deep tree can't overflow it).
+    * The result STAYS distributed — the manifest is a DataFrame over
+    * the walk's RDDs, never `.collect()`ed; at 10⁷–10⁸ files it feeds
+    * bulkCopy partition-by-partition without materializing on the
+    * driver. Per level the only driver work is an isEmpty probe on the
+    * (tiny, dirs-only) frontier RDD.
     */
   def listRecursive(spark: SparkSession, rootUri: String): DataFrame = {
     import spark.implicits._
@@ -82,28 +101,40 @@ object FileOps {
       dirs.map(st => FileEntry(st.getPath.toUri.getPath,
         0L, st.getModificationTime, is_dir = true))
     val topDF = topEntries.toDF()
-    val subtreeDF =
-      if (dirs.isEmpty) spark.emptyDataset[FileEntry].toDF()
-      else spark.sparkContext
-        .parallelize(dirs.map(_.getPath.toString), math.min(dirs.size, 64))
-        .mapPartitions { paths =>
-          paths.flatMap { p =>
-            val f = FileSystem.newInstance(new URI(p), conf.value)
-            try walk(f, new Path(p))
+    val sc = spark.sparkContext
+    val levels = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[(String, FileEntry)]]
+    // frontier carries FULL URIs (scheme + authority) so executors can
+    // reopen the right FileSystem; FileEntry keeps the bare path
+    var frontier: org.apache.spark.rdd.RDD[String] =
+      sc.parallelize(dirs.map(_.getPath.toString), math.max(1, math.min(dirs.size, 64)))
+    while (!frontier.isEmpty()) {
+      val level = frontier.mapPartitions { paths =>
+        paths.flatMap { p =>
+          val f = FileSystem.newInstance(new URI(p), conf.value)
+          val listed: Array[(String, FileEntry)] =
+            try f.listStatus(new Path(p)).map { st =>
+              (st.getPath.toString,
+                FileEntry(st.getPath.toUri.getPath,
+                  if (st.isDirectory) 0L else st.getLen,
+                  st.getModificationTime, st.isDirectory))
+            }
             finally f.close()
-          }
-        }.toDF()
+          listed
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      levels += level
+      // next frontier: this level's directories, re-spread across
+      // tasks so a single hot directory's children parallelize
+      val nextDirs = level.filter(_._2.is_dir).map(_._1)
+      frontier = nextDirs.repartition(
+        math.max(1, math.min(64, sc.defaultParallelism)))
+    }
+    val subtreeDF =
+      if (levels.isEmpty) spark.emptyDataset[FileEntry].toDF()
+      else sc.union(levels.map(_.map(_._2)).toSeq).toDF()
     topDF.unionAll(subtreeDF).orderBy(col("path"))
   }
-
-  private def walk(f: FileSystem, p: Path): Seq[FileEntry] =
-    f.listStatus(p).toSeq.flatMap { st =>
-      if (st.isDirectory)
-        FileEntry(st.getPath.toUri.getPath, 0L, st.getModificationTime,
-          is_dir = true) +: walk(f, st.getPath)
-      else Seq(FileEntry(st.getPath.toUri.getPath, st.getLen,
-        st.getModificationTime, is_dir = false))
-    }
 
   /** Regex basename matching (download_file.py:174) over a manifest. */
   def matchBasename(manifest: DataFrame, pattern: String): DataFrame =
@@ -134,6 +165,46 @@ object FileOps {
     }
   }
 
+  /** Distributed transfer planning over a matched manifest — the
+    * driver-collect-free twin of [[planTransfers]]/the blueprints'
+    * enumerated plan: the matched paths STAY a DataFrame (at 10⁸
+    * matches the old collect died where the copy itself wouldn't).
+    * Enumeration semantics are preserved exactly: an explicit
+    * destination name is numbered by the file's GLOBAL PATH-SORTED
+    * rank via `Distributed.orderedPrefix` (range partition +
+    * broadcast prefix offsets — never a single-partition window);
+    * with `enumerateAll` (upload/download regex semantics,
+    * upload_file.py:242-253) every match is numbered, otherwise
+    * (move, move_file.py:168-173) only when more than one matched —
+    * `total_w` from the same pass decides, no extra count job.
+    * Without an explicit name each source keeps its basename.
+    */
+  def planTransfersDF(matched: DataFrame, destinationFolder: String,
+      destinationFileName: Option[String],
+      enumerateAll: Boolean): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val paths = matched.select(col("path"))
+    destinationFileName match {
+      case None =>
+        paths.as[String]
+          .map(p => (p, PathUtils.determineDestinationFullPath(
+            destinationFolder, None, p)))
+          .toDF("src", "dst")
+      case some =>
+        graft.operators.Distributed
+          .orderedPrefix(paths, Seq(col("path")), lit(1L))
+          .select(col("path"), col("rank"), col("total_w"))
+          .as[(String, Long, Long)]
+          .map { case (p, rank, total) =>
+            val idx = if (enumerateAll || total > 1) Some(rank.toInt) else None
+            (p, PathUtils.determineDestinationFullPath(
+              destinationFolder, some, p, idx))
+          }
+          .toDF("src", "dst")
+    }
+  }
+
   /** Retry a transient-failure-prone action up to `attempts` extra
     * times with exponential backoff (backoffMs, 2×, 4×, …). Typed
     * [[GraftFsError]]s are NEVER retried — the reference's taxonomy
@@ -142,6 +213,13 @@ object FileOps {
     * delay the correct exit code. The production transfer-job twin of
     * the blueprint CLIs' `--retries/--backoff-ms` flags.
     */
+  /** Ceiling for one backoff sleep: the doubling stops here, so a
+    * large --retries keeps retrying at 30 s intervals instead of
+    * overflowing the shift (backoffMs << 54 goes negative and
+    * Thread.sleep throws) or sleeping for days.
+    */
+  val MaxBackoffMs = 30000L
+
   def withRetries[A](attempts: Int, backoffMs: Long)(f: () => A): A = {
     var attempt = 0
     var lastErr: Throwable = null
@@ -152,7 +230,8 @@ object FileOps {
         case scala.util.control.NonFatal(e) =>
           lastErr = e
           if (attempt < attempts)
-            Thread.sleep(backoffMs << attempt)
+            Thread.sleep(math.min(
+              backoffMs << math.min(attempt, 20), MaxBackoffMs))
           attempt += 1
       }
     }
@@ -194,7 +273,43 @@ object FileOps {
     val conf = new SerializableConfiguration(hadoopConf(spark))
     spark.sparkContext
       .parallelize(transfers, math.min(transfers.size, parallelism))
-      .foreachPartition { it: Iterator[Transfer] =>
+      .foreachPartition(
+        copyPartition(conf, srcUriPrefix, dstUriPrefix, retries,
+          backoffMs, resume))
+  }
+
+  /** [[bulkCopy]] over a DISTRIBUTED transfer plan (src, dst rows) —
+    * the manifest path for the blueprint CLIs' regex flows: matched
+    * paths feed the copy partition-by-partition and never materialize
+    * on the driver.
+    */
+  def bulkCopyDF(
+      transfers: DataFrame,
+      srcUriPrefix: String,
+      dstUriPrefix: String,
+      retries: Int = 0,
+      backoffMs: Long = 1000L,
+      resume: Boolean = false): Unit = {
+    val spark = transfers.sparkSession
+    import spark.implicits._
+    val conf = new SerializableConfiguration(hadoopConf(spark))
+    transfers.select(col("src"), col("dst")).as[(String, String)]
+      .rdd.map { case (s, d) => Transfer(s, d) }
+      .foreachPartition(
+        copyPartition(conf, srcUriPrefix, dstUriPrefix, retries,
+          backoffMs, resume))
+  }
+
+  /** One executor partition of a bulk copy: one source FS + one
+    * destination FS, streamed byte copies with per-file retry/resume.
+    */
+  private def copyPartition(
+      conf: SerializableConfiguration,
+      srcUriPrefix: String,
+      dstUriPrefix: String,
+      retries: Int,
+      backoffMs: Long,
+      resume: Boolean)(it: Iterator[Transfer]): Unit = {
         // a bare-scheme prefix ("file:") needs a root path to be a URI
         def asUri(p: String) = new URI(if (p.endsWith(":")) p + "/" else p)
         val sfs = FileSystem.newInstance(asUri(srcUriPrefix), conf.value)
@@ -245,7 +360,6 @@ object FileOps {
             }
           }
         } finally { sfs.close(); dfs.close() }
-      }
   }
 
   /** Small-file compaction — the table-maintenance pass a data lake
@@ -266,8 +380,18 @@ object FileOps {
       targetBytes: Long = 128L << 20): Int = {
     val f = fs(inDir, hadoopConf(spark))
     val totalBytes =
-      try f.listStatus(new Path(inDir)).filter(_.isFile)
-        .filter(!_.getPath.getName.startsWith("_")).map(_.getLen).sum
+      try {
+        // recursive: a partitioned/nested layout (files under key=
+        // subdirectories) must size ALL its data files, or nOut
+        // collapses to 1 regardless of actual size
+        val it = f.listFiles(new Path(inDir), true)
+        var sum = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.getPath.getName.startsWith("_")) sum += st.getLen
+        }
+        sum
+      }
       catch {
         case _: java.io.FileNotFoundException =>
           throw GraftFsError(ErrorCodes.InvalidFilePath,
@@ -321,6 +445,37 @@ object FileOps {
     } finally f.close()
   }
 
+  /** Distributed bulk move (rename) over a (src, dst) plan — the
+    * manifest path for the Move blueprint's regex flow: one FS handle
+    * per partition, parent dirs auto-created (move_file.py:96), a
+    * failed rename throws the reference's exit-202 taxonomy error
+    * (surfaces through the Spark job to the CLI shell). Transient
+    * errors retry per file; the 202 itself never retries
+    * ([[withRetries]]' taxonomy contract).
+    */
+  def bulkMove(spark: SparkSession, uri: String, moves: DataFrame,
+      retries: Int = 0, backoffMs: Long = 1000L): Unit = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(hadoopConf(spark))
+    moves.select(col("src"), col("dst")).as[(String, String)]
+      .rdd.foreachPartition { it =>
+        val f = FileSystem.newInstance(new URI(uri), conf.value)
+        try it.foreach { case (src, dst) =>
+          withRetries(retries, backoffMs) { () =>
+            val dstPath = new Path(dst)
+            val parent = dstPath.getParent
+            if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+            val renamed =
+              try f.rename(new Path(src), dstPath)
+              catch { case _: java.io.FileNotFoundException => false }
+            if (!renamed)
+              throw GraftFsError(ErrorCodes.MoveError,
+                s"could not move $src -> $dst")
+          }
+        } finally f.close()
+      }
+  }
+
   /** Bulk delete, distributed — delete_file.py:76. */
   def bulkDelete(spark: SparkSession, uri: String, paths: Seq[String],
       parallelism: Int = 32): Unit = {
@@ -333,6 +488,21 @@ object FileOps {
         try it.foreach(p => f.delete(new Path(p), false))
         finally f.close()
       }
+  }
+
+  /** [[bulkDelete]] over a distributed path manifest (`path` column) —
+    * matched paths never collect to the driver.
+    */
+  def bulkDeleteDF(spark: SparkSession, uri: String,
+      paths: DataFrame): Unit = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(hadoopConf(spark))
+    paths.select(col("path")).as[String].rdd.foreachPartition { it =>
+      val f = FileSystem.newInstance(new URI(uri), conf.value)
+      f.setWriteChecksum(false); f.setVerifyChecksum(false)
+      try it.foreach(p => f.delete(new Path(p), false))
+      finally f.close()
+    }
   }
 
   /** q60: file manifest of a scale-factor directory, paths relativized

@@ -127,6 +127,17 @@ class FtpClient(host: String, port: Int, user: String, password: String,
         val n = super.read(b, off, len); if (n < 0) sawEof = true; n
       }
       override def close(): Unit = {
+        // a positioned reader (read exactly `length` bytes, or skip())
+        // can fully drain the body without ever observing -1 — probe
+        // one byte before declaring this close mid-transfer, so a
+        // completed transfer keeps the client instead of forcing a
+        // reconnect per stream. Mid-transfer the probe returns
+        // promptly (data is in flight); at EOF the server's FIN is
+        // already queued behind the last byte.
+        if (!sawEof) {
+          try { if (super.read() < 0) sawEof = true }
+          catch { case _: java.io.IOException => () }
+        }
         super.close(); data.close()
         if (sawEof) {
           // the byte stream reached EOF — drain the completion reply

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.operators.Curation
+
+/** Structured Streaming twins of the document-curation operators — the
+  * shapes an ingest pipeline runs on documents as they ARRIVE, against
+  * artifacts a nightly batch job published from the standing corpus.
+  */
+object DocStreams {
+
+  /** Streaming source over a documents-shaped parquet glob; the schema
+    * is pinned from a batch peek (streaming sources cannot infer).
+    */
+  def source(spark: SparkSession, schemaPath: String,
+      glob: String): DataFrame = {
+    val schema = spark.read.parquet(schemaPath).schema
+    spark.readStream.schema(schema).parquet(glob)
+  }
+
+  /** Streaming duplicate-span coverage — the LIVE twin of
+    * [[Curation.q72]] (§7b): each arriving document is scored for the
+    * fraction of its word 5-gram positions already present in the
+    * STANDING corpus, against a broadcast Bloom sketch of the corpus
+    * grams ([[Curation.corpusGramBloom]], the nightly-batch artifact).
+    *
+    * Scale shape: the sketch is fixed-size at any corpus size and
+    * rides the closure (broadcast-by-serialization, like q98's merge
+    * table) — the stream side is MAP-ONLY: no join, no shuffle, no
+    * state; per-doc work is linear in its grams. Two semantic deltas
+    * vs batch q72, both inherent to the live setting: coverage is
+    * against the corpus (df ≥ 1 — "does this span already exist
+    * anywhere"), not the corpus-internal df ≥ 2; and the Bloom errs
+    * only positive (overcount ≤ fpp in expectation, never a miss).
+    */
+  def dupSpanOn(spark: SparkSession, src: DataFrame,
+      bloom: BloomFilter, flagAt: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val gs = Curation.spanGramsOf(text)
+          var dup = 0L
+          var i = 0
+          while (i < gs.length) {
+            if (bloom.mightContainString(gs(i))) dup += 1
+            i += 1
+          }
+          val m = gs.length.toLong
+          (id, m, dup,
+            if (m == 0) 0.0 else dup.toDouble / m)
+        }
+      }
+      .toDF("doc_id", "n_grams", "dup_grams", "dup_frac")
+      .withColumn("flagged", col("dup_frac") > flagAt)
+  }
+}

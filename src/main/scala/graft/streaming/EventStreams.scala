@@ -178,6 +178,45 @@ object EventStreams {
       .select(col("hour_start"), col("event_type"), col("n_events"),
         col("z"), (abs(col("z")) > 3).as("anomaly"))
 
+  /** Static per-type Tukey fences for [[outlierFlags]] — q74's pass-1
+    * artifact (exact quartiles → 1.5×IQR fences; at 100 TB the nightly
+    * job would swap in `approx_percentile`, q55's documented trade).
+    */
+  def tukeyFences(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .withColumn("lo_fence",
+        col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi_fence",
+        col("p75") + lit(1.5) * (col("p75") - col("p25")))
+      .select(col("event_type"), col("lo_fence"), col("hi_fence"))
+
+  /** Streaming outlier guardrail — the LIVE twin of the q74 batch
+    * profile (§7b): every arriving event is checked against the
+    * BROADCAST static fences and flagged per row. Even lighter than
+    * [[anomalyFlags]]: no window, no watermark, NO state of any kind —
+    * the fence join is stream-static broadcast and the verdict is
+    * per-row, so the stream side never shuffles and latency is one
+    * map. A type with no fence history passes through unflagged.
+    */
+  def outlierFlags(spark: SparkSession, dir: String): DataFrame =
+    outlierFlagsOn(source(spark, dir), tukeyFences(spark, dir))
+
+  /** Same guardrail over any events-shaped streaming source and any
+    * precomputed fence relation (specs plant both).
+    */
+  def outlierFlagsOn(src: DataFrame, fences: DataFrame): DataFrame =
+    src
+      .join(broadcast(fences), Seq("event_type"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        coalesce(col("value") < col("lo_fence")
+          || col("value") > col("hi_fence"), lit(false)).as("is_outlier"))
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of q18. Sessions are
     * emitted when the event-time timeout fires (gap elapsed past the

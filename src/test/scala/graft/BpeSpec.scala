@@ -29,6 +29,38 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._1) === got.indices.map(_.toLong))
   }
 
+  test("1000 merges: incremental local trainer is bit-equal to the from-scratch " +
+      "reference and the forced-distributed loop, in bounded wall-clock") {
+    import spark.implicits._
+    val wordFreq = Tables(spark, sf, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val symSeqs = wordFreq.toSeq.map { case (w, f) =>
+      ((w.map(_.toString): Seq[String]) :+ Bpe.Eow, f)
+    }
+    // the realistic-vocab path: 1000 merges in-process — NOT 1000
+    // sequential Spark jobs — over the vocab-sized table
+    val nBig = 1000
+    val t0 = System.nanoTime()
+    val local = Bpe.localTrain(symSeqs, nBig)
+    val localSecs = (System.nanoTime() - t0) / 1e9
+    info(f"local training: ${local.size} merges in $localSecs%.2f s")
+    assert(localSecs < 60.0, f"local merge loop took $localSecs%.1f s")
+    // bit-equal to the O(rounds × vocab) from-scratch reference —
+    // this is what makes the incremental pair-count/posting
+    // bookkeeping (including reappearing pairs) trustworthy
+    val ref = Bpe.referenceTrain(wordFreq, nBig)
+    assert(local.size === ref.size)
+    assert(local === ref, "incremental local trainer diverged from reference")
+    // and the distributed per-round loop (forced, below the dispatch)
+    // learns the same prefix of the merge sequence
+    val ds = spark.createDataset(symSeqs)
+    assert(Bpe.trainDistributed(ds, 40) === ref.take(40),
+      "distributed loop diverged from the local path")
+  }
+
   /** Independent greedy encoder: repeatedly merge the lowest-rank
     * adjacent pair present — the textbook BPE inference formulation,
     * structurally different from encodeWord's rank-order sweep.

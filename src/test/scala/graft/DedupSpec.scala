@@ -139,6 +139,43 @@ class DedupSpec extends SparkSpec {
       s"missed: ${want.diff(got).take(3)}; spurious: ${got.diff(want).take(3)}")
   }
 
+  test("q39 hub doc: verify group salts across ≥8 sub-groups, result still exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val minLen = 40
+    // 40-char blocks with no cross-block common substring ≥ LcsK:
+    // md5 hex (32) + zero-padded index (8)
+    def hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def block(i: Int): String = hex(s"blk$i") + f"$i%08d"
+    // hub doc 0 concatenates every block; partner i carries exactly
+    // block(i-1) — so the hub has nPartners candidate partners and
+    // each true pair has LCS exactly 40 (space/hex boundaries block
+    // extension on both sides)
+    val nPartners = 2100 // ceil(2100/256) = 9 salt sub-groups
+    val hub = (0 until nPartners).map(block).mkString
+    val partners = (1 to nPartners).map { i =>
+      (i.toLong, s"partner $i ${block(i - 1)} ${hex(s"tail$i")}")
+    }
+    val docs = ((0L, hub) +: partners).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q39hub").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    // unsalted, all 2100 partners would land in ONE verify task; the
+    // salted key must spread them near-uniformly across ≥8 sub-groups
+    val bySalt = Dedup.lcsCandidates(spark, tmp, minLen, Dedup.DefaultDfCap)
+      .filter(col("ia") === 0L).groupBy("salt").count().collect()
+    assert(bySalt.length >= 8, s"hub spread only ${bySalt.length} groups")
+    assert(bySalt.map(_.getLong(1)).max <= 2L * Dedup.LcsVerifyChunk,
+      "a salted sub-group still exceeds twice the chunk size")
+    // salting must not change the answer: exactly the planted pairs
+    val got = Dedup.q39(spark, tmp, minLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (1 to nPartners).map(i => (0L, i.toLong, 40L)).toSet
+    assert(got === want,
+      s"missed: ${want.diff(got).take(3)}; spurious: ${got.diff(want).take(3)}")
+  }
+
   test("q73 FastSS fuzzy match is bit-equal to an all-pairs levenshtein brute force") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -176,6 +213,90 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(want.nonEmpty, "corpus has no distance-1 name pairs to find")
     assert(got === want, "FastSS candidates missed or invented pairs")
+  }
+
+  test("q76 distance-2 FastSS: planted pairs, brute-force equality, " +
+      "neighborhood-count math, string-free amplified shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    // planted: double-substitution pair, delete+insert pair, unrelated
+    val docs = Seq("abcdef", "axcdey", "bcdefg", "zzzzzz").toDF("c_name")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q76").toString
+    docs.write.parquet(s"$tmp/customer.parquet")
+    val planted = Dedup.q76(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(planted === Set(("abcdef", "axcdey", 2L), ("abcdef", "bcdefg", 2L)))
+    // neighborhood-count math: an all-distinct-chars name of length m
+    // has exactly 1 + m + C(m,2) variants at depth ≤ 2; repeated
+    // chars can only dedup below that bound
+    val m = "abcdef".length
+    assert(Dedup.deletionVariants("abcdef", 2).size === 1 + m + m * (m - 1) / 2)
+    assert(Dedup.deletionVariants("aab", 2).size < 1 + 3 + 3)
+    // brute force at this sf: every distinct-name pair within lev ≤ 2
+    val names = Tables(spark, sf, "customer")
+      .select(col("c_name")).distinct().collect().map(_.getString(0)).sorted
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = lev(names(i), names(j)) if d >= 1 && d <= 2
+    } yield (names(i), names(j), d.toLong)).toSet
+    val got = Dedup.q76(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "corpus has no distance-≤2 name pairs to find")
+    assert(got === want, s"missed: ${want.diff(got).take(3)}; " +
+      s"spurious: ${got.diff(want).take(3)}")
+    // the amplified relations (variants → inverted index → pair dedup)
+    // must shuffle ONLY 8-byte keys/ids — name strings move once in
+    // the name-dim exchanges below the variant flatMap, never per
+    // variant (AQE off so the raw exchanges are inspectable)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.fuzzyCandidates(spark, sf, 2, 1000)
+        .queryExecution.executedPlan
+      val amplified = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.find {
+            case _: org.apache.spark.sql.execution.SerializeFromObjectExec => true
+            case _ => false
+          }.isDefined => e
+      }
+      assert(amplified.nonEmpty, "no exchange above the variant flatMap")
+      amplified.foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+          org.apache.spark.sql.types.StringType),
+          s"variant-amplified exchange carries strings: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("fuzzy-match df-cap: default is lossless here; aggressive caps " +
+      "quantify recall loss and never invent pairs") {
+    def fpairs(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a deletion variant shared by > cap names is tombstoned map-side:
+    // pairs meeting ONLY at hot variants are lost. Quantify it.
+    val uncapped = fpairs(Dedup.q76(spark, sf, dfCap = Int.MaxValue))
+    assert(fpairs(Dedup.q76(spark, sf)) === uncapped,
+      "default cap must be lossless on this corpus")
+    for (cap <- Seq(2, 5, 20)) {
+      val capped = fpairs(Dedup.q76(spark, sf, dfCap = cap))
+      assert(capped.subsetOf(uncapped),
+        s"cap=$cap invented pairs: ${capped.diff(uncapped).take(3)}")
+      info(f"df-cap=$cap%d recall vs uncapped: " +
+        f"${capped.size}/${uncapped.size} = ${capped.size.toDouble / uncapped.size}%.2f")
+    }
   }
 
   test("q99 SemDeDup verdicts equal a driver-side greedy recomputation per cell") {
@@ -253,6 +374,90 @@ class DedupSpec extends SparkSpec {
       val of = r.getAs[Long]("dup_of")
       assert(keptIds.get(of) === Some(r.getAs[Int]("cell")),
         s"vec ${r.getAs[Long]("vec_id")} dup_of $of not kept in-cell")
+    }
+  }
+
+  test("incremental SemDeDup: batch judged only against standing kept members, " +
+      "clones drop, verdicts equal a driver recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_semidx").toString + "/ivf"
+    Similarity.buildIvfIndex(spark, sf, idx)
+    // standing state: the kept set of a full q99 run over the corpus
+    val full = Dedup.q99(spark, sf)
+    val keptIds = full.filter(col("verdict") === "kept").select("vec_id")
+    val standing = Similarity.ivfAssigned(spark, sf)
+      .join(keptIds, "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    // new batch: exact clones of 5 kept vectors (id + 100000) plus 5
+    // clones of previously-dropped vectors (id + 200000) — every one
+    // is within tau of some standing kept member, so all must drop
+    val emb = Tables(spark, sf, "embeddings")
+    val keptSample = keptIds.orderBy(col("vec_id")).limit(5)
+      .collect().map(_.getLong(0))
+    val dropSample = full.filter(col("verdict") === "dropped")
+      .orderBy(col("vec_id")).limit(5).collect().map(_.getAs[Long]("vec_id"))
+    val batch = emb.filter(col("vec_id").isInCollection(keptSample))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id").isInCollection(dropSample))
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val got = Dedup.semDedupIncrement(spark, idx, standing, batch).collect()
+    // only the batch is verdicted — standing history is never re-judged
+    assert(got.map(_.getAs[Long]("vec_id")).toSet ===
+      (keptSample.map(_ + 100000L) ++ dropSample.map(_ + 200000L)).toSet)
+    val standingKeptSet = keptIds.collect().map(_.getLong(0)).toSet
+    got.foreach { r =>
+      assert(r.getAs[String]("verdict") === "dropped",
+        s"clone ${r.getAs[Long]("vec_id")} should drop against standing kept")
+      assert(standingKeptSet.contains(r.getAs[Long]("dup_of")),
+        s"dup_of ${r.getAs[Long]("dup_of")} is not a standing kept member")
+    }
+    // driver recomputation with the same total orders and double math
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cents = spark.read.parquet(s"$idx/_quantizer")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val standLocal = standing.collect().map { r =>
+      (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"),
+        r.getSeq[Double](r.fieldIndex("v")).toArray, r.getAs[Double]("nrm"))
+    }
+    val batchLocal = batch.collect().map { r =>
+      val arr = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), arr, math.sqrt(dot(arr, arr)))
+    }
+    val gotById = got.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    batchLocal.groupBy { case (id, _, _) =>
+      gotById(id).getAs[Int]("cell")
+    }.foreach { case (cell, members) =>
+      val c = cents(cell)
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Double], Double)]
+      standLocal.filter(_._1 == cell)
+        .map { case (_, id, arr, nrm) => (id, arr, nrm, dot(arr, c) / nrm) }
+        .sortBy { case (id, _, _, cc) => (-cc, id) }
+        .foreach { case (id, arr, nrm, _) => kept += ((id, arr, nrm)) }
+      members.map { case (id, arr, nrm) => (id, arr, nrm, dot(arr, c) / nrm) }
+        .sortBy { case (id, _, _, cc) => (-cc, id) }
+        .foreach { case (id, arr, nrm, cc) =>
+          val r = gotById(id)
+          assert(r.getAs[Double]("centroid_cos") === cc)
+          kept.find { case (_, kv, knrm) =>
+            dot(arr, kv) / (nrm * knrm) > Dedup.SemTau
+          } match {
+            case Some((kid, _, _)) =>
+              assert(r.getAs[String]("verdict") === "dropped")
+              assert(r.getAs[Long]("dup_of") === kid,
+                s"vec $id names ${r.getAs[Long]("dup_of")}, expected $kid")
+            case None =>
+              assert(r.getAs[String]("verdict") === "kept")
+              kept += ((id, arr, nrm))
+          }
+        }
     }
   }
 

@@ -84,6 +84,32 @@ class FileOpsSpec extends SparkSpec {
     assert(t3.map(_.dst) === Seq("dst/a.csv", "dst/b.csv"))
   }
 
+  test("planTransfersDF (distributed, collect-free) preserves planTransfers' " +
+      "enumeration semantics") {
+    import spark.implicits._
+    val df = Seq("x/b.csv", "x/a.csv", "y/c.csv").toDF("path")
+    def asPairs(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    // explicit name enumerates by GLOBAL PATH-SORTED rank
+    assert(asPairs(FileOps.planTransfersDF(df, "dst", Some("out.csv"),
+      enumerateAll = true)) === Seq(
+      ("x/a.csv", "dst/out_1.csv"), ("x/b.csv", "dst/out_2.csv"),
+      ("y/c.csv", "dst/out_3.csv")))
+    // move semantics (enumerateAll=false): multi-match still enumerates…
+    assert(asPairs(FileOps.planTransfersDF(df, "dst", Some("out.csv"),
+      enumerateAll = false)) === Seq(
+      ("x/a.csv", "dst/out_1.csv"), ("x/b.csv", "dst/out_2.csv"),
+      ("y/c.csv", "dst/out_3.csv")))
+    // …but a single match keeps the name verbatim
+    assert(asPairs(FileOps.planTransfersDF(Seq("x/a.csv").toDF("path"),
+      "dst", Some("out.csv"), enumerateAll = false)) ===
+      Seq(("x/a.csv", "dst/out.csv")))
+    // no explicit name → each source keeps its basename
+    assert(asPairs(FileOps.planTransfersDF(df, "dst", None,
+      enumerateAll = true)).map(_._2) ===
+      Seq("dst/a.csv", "dst/b.csv", "dst/c.csv"))
+  }
+
   test("bulkCopy distributes a regex-matched upload end to end") {
     val root = mkTree()
     val dst = Files.createTempDirectory("graft_dst")
@@ -208,6 +234,67 @@ class FileOpsSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
+  }
+
+  test("listRecursive frontier BFS: a deep single-child tree walks as many " +
+      "tasks, not one serial subtree recursion") {
+    // depth-60 chain, one file per level: the root's fan-out is 1, so
+    // the old per-subtree walk did ALL of this in a single task
+    val root = Files.createTempDirectory("graft_deep")
+    var cur = root
+    val depth = 60
+    (0 until depth).foreach { d =>
+      cur = cur.resolve(s"lvl$d")
+      Files.createDirectories(cur)
+      Files.writeString(cur.resolve(s"file$d.txt"), "x" * (d + 1))
+    }
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = FileOps.listRecursive(spark, s"file:$root")
+      val files = df.filter("not is_dir").collect()
+      assert(files.length === depth)
+      assert(df.filter("is_dir").count() === depth.toLong)
+      assert(files.map(_.getAs[Long]("size")).sum === (1 to depth).sum.toLong)
+      // listener events are async — wait for the count to go quiet
+      var last = -1
+      var spins = 0
+      while (taskCount.get() != last && spins < 50) {
+        last = taskCount.get(); Thread.sleep(100); spins += 1
+      }
+      // each BFS level runs its own (parallelizable) stage; a single
+      // serial recursion would have been ~1 walk task
+      assert(taskCount.get() > depth,
+        s"walk ran only ${taskCount.get()} tasks for a $depth-level tree")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("compactParquet sizes nested partitioned layouts, not just flat dirs") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_part_out").toString + "/packed"
+    // files live under k=… subdirectories — a non-recursive listing
+    // sees ZERO data bytes here and would collapse everything to 1 file
+    (1 to 6400).map(i => (i.toLong, i % 4, s"row_$i")).toDF("id", "k", "s")
+      .repartition(16).write.mode("overwrite").partitionBy("k").parquet(in)
+    def bytesUnder(dir: java.io.File): Long =
+      dir.listFiles().map { f =>
+        if (f.isDirectory) bytesUnder(f)
+        else if (f.getName.startsWith("_")) 0L else f.length
+      }.sum
+    val total = bytesUnder(new java.io.File(in))
+    assert(total > 0)
+    val nOut = graft.sources.FileOps.compactParquet(spark, in, out, total / 4)
+    assert(nOut >= 3 && nOut <= 5,
+      s"nested layout mis-sized: nOut=$nOut (non-recursive listing would give 1)")
+    val got = spark.read.parquet(out).selectExpr("id").as[Long].collect().sorted
+    assert(got.length === 6400 && got.toSeq === (1L to 6400L))
   }
 
   test("q60 manifest lists the scale dir") {

@@ -66,6 +66,30 @@ class FtpSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("positioned read that drains exactly the body keeps the client alive") {
+    val c = new FtpClient("127.0.0.1", server.port, "u", "p")
+    try {
+      // read EXACTLY the 13 known bytes without ever observing -1 —
+      // the positioned-read pattern; the close must probe, see the
+      // drained socket, and keep the session instead of discarding it
+      val is = c.retrieveStream("data/one.csv")
+      val buf = new Array[Byte](13)
+      var off = 0
+      while (off < 13) {
+        val n = is.read(buf, off, 13 - off)
+        assert(n > 0); off += n
+      }
+      is.close()
+      assert(new String(buf) === "id,v\n1,a\n2,b\n")
+      // the same client must still serve commands AND another transfer
+      assert(c.size("data/one.csv").contains(13L),
+        "client was discarded after a complete positioned read")
+      val is2 = c.retrieveStream("data/one.csv")
+      assert(new String(is2.readAllBytes()) === "id,v\n1,a\n2,b\n")
+      is2.close()
+    } finally c.close()
+  }
+
   test("REST resume: downloads and uploads restart at an offset") {
     val c = new FtpClient("127.0.0.1", server.port, "u", "p")
     try {

@@ -85,6 +85,89 @@ class StreamingSpec extends SparkSpec {
       Seq(base.plusSeconds(24 * 3600L)), s"flagged: ${flagged.toSeq}")
   }
 
+  test("streaming outlier guardrail flags exactly the planted extremes, stateless, broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 uniform values 0..99 per fence math: p25=24.75, p75=74.25,
+    // IQR=49.5 → fences [-49.5, 148.5]; plant 3 extremes outside them
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val normal = (0 until 100).map(i => (i.toLong,
+      java.sql.Timestamp.from(base.plusSeconds(i * 60L)),
+      i.toLong, "click", i.toDouble))
+    val extremes = Seq(
+      (900L, java.sql.Timestamp.from(base.plusSeconds(9000L)), 1L, "click", 1000.0),
+      (901L, java.sql.Timestamp.from(base.plusSeconds(9060L)), 2L, "click", -500.0),
+      (902L, java.sql.Timestamp.from(base.plusSeconds(9120L)), 3L, "click", 149.0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    (normal ++ extremes).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val q = EventStreams.outlierFlags(spark, tmp).writeStream
+      .outputMode("append").format("memory").queryName("guard_out").start()
+    try {
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"fences not broadcast:\n$plan")
+      // lighter than even the windowed detector: NO state at all
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "guardrail must keep no state")
+    } finally q.stop()
+    val got = spark.sql("SELECT event_id, is_outlier FROM guard_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === 103, "per-row verdicts: every event exactly once")
+    // exactly the planted extremes flag; 149.0 sits INSIDE the fence
+    assert(got.filter(_._2).keySet === Set(900L, 901L))
+    // and the whole verdict column equals the batch twin bit-for-bit
+    val want = EventStreams.outlierFlagsOn(
+        Tables(spark, tmp, "events"), EventStreams.tukeyFences(spark, tmp))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    assert(got === want)
+  }
+
+  test("streaming dup-span coverage scores arriving docs against the corpus gram sketch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_dspan_c").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dspan_s").toString
+    // corpus: two docs over disjoint vocabularies
+    val corpusText = "a1 a2 a3 a4 a5 a6 a7 a8"
+    Seq((1L, corpusText, "en", "web"),
+        (2L, "b1 b2 b3 b4 b5 b6 b7 b8", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$corpusDir/documents.parquet")
+    // fpp 1e-6 so a false positive can't flake the exact fractions
+    val bloom = graft.operators.Curation.corpusGramBloom(spark, corpusDir, 1e-6)
+    // arriving: exact clone (coverage 1), novel doc (coverage 0),
+    // half-copy — 8 tokens = 4 gram positions, only the first gram
+    // ("a1..a5") is fully corpus-resident → coverage 1/4
+    Seq((10L, corpusText, "en", "web"),
+        (11L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "web"),
+        (12L, "a1 a2 a3 a4 a5 z6 z7 z8", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$streamDir/documents.parquet")
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$streamDir/documents.parquet", s"$streamDir/documents*.parquet")
+    val q = graft.streaming.DocStreams.dupSpanOn(spark, src, bloom)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dspan_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "dup-span stream must keep no state")
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, n_grams, dup_grams, dup_frac, flagged FROM dspan_out")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(10L) === ((4L, 4L, 1.0, true)), s"clone: ${got(10L)}")
+    assert(got(11L) === ((4L, 0L, 0.0, false)), s"novel: ${got(11L)}")
+    assert(got(12L) === ((4L, 1L, 0.25, false)), s"half-copy: ${got(12L)}")
+  }
+
   test("streaming dedup-within-watermark keeps every unique event id") {
     val q = EventStreams.dedupedEvents(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("dedup_out").start()
