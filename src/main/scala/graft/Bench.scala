@@ -48,7 +48,7 @@ object Bench {
       val sh0 = shuffleBytes.get(); val sp0 = spilledBytes.get()
       // a failing query must surface as err, never as a bogus timing
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      def timedRun(): Double = {
         // Spark's ContextCleaner is GC-driven: with a large pinned
         // heap the JVM never collects, so shuffle registrations /
         // broadcasts / checkpoint blocks pile up and tax later
@@ -63,9 +63,22 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // metric deltas cover both runs → report the per-run average
-      val shMb = (shuffleBytes.get() - sh0) / 2.0 / 1e6
-      val spMb = (spilledBytes.get() - sp0) / 2.0 / 1e6
+      var times = List(timedRun(), timedRun())
+      // JIT warmup storms are nondeterministic and can cover BOTH
+      // default runs: a new-at-this-SF plan's generated classes run
+      // interpreted until C2 catches up (observed on q31 — 80 s stage
+      // CPU vs 6.5 s steady, zero GC; pairs like 2.8 s/2.7 s settling
+      // at 0.6 s). Buy up to two more samples while the minimum still
+      // looks stormy (> 2 s) or the two runs disagree badly;
+      // min-of-N converges on steady state where min-of-2 reported
+      // the storm. Genuinely-slow queries pay ≤ 2 extra runs.
+      while (err.isEmpty && times.size < 4 && (times.min > 2.0 ||
+          (times.min > 0.75 &&
+            (times.max - times.min) / times.min > 0.5)))
+        times = timedRun() :: times
+      // metric deltas cover every run → report the per-run average
+      val shMb = (shuffleBytes.get() - sh0) / times.size.toDouble / 1e6
+      val spMb = (spilledBytes.get() - sp0) / times.size.toDouble / 1e6
       (name, times.min, shMb, spMb, err)
     }
     val ok = results.filter(_._5.isEmpty)

@@ -208,6 +208,89 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** (doc_id, band, key) LSH band-key relation of the corpus — q32's
+    * banded buckets folded with the band index into ONE 64-bit key per
+    * (doc, band). This is the nightly-batch artifact behind the
+    * STREAMING near-dup twin ([[graft.streaming.DocStreams.nearDupOn]]):
+    * the distinct keys summarize "which LSH buckets exist in the
+    * standing corpus" without naming the docs in them.
+    */
+  private[graft] def bandKeyRelation(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+    sigArr.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b =>
+        xxhash64(col(s"sig")(4 * b), col("sig")(4 * b + 1),
+          col("sig")(4 * b + 2), col("sig")(4 * b + 3))): _*))
+        .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("bucket"), col("band")).as("key"))
+  }
+
+  /** Bloom sketch over the corpus's distinct LSH band keys — the
+    * broadcastable artifact for ingest-time near-dup screening. At
+    * fixed fpp the sketch is ~1.44·log₂(1/fpp) bits per distinct
+    * (band, bucket) — ≤ NumBands keys per doc, so ~29 MB per 10⁷ docs
+    * at 0.1% — and errs only POSITIVE: a streamed doc can be
+    * over-flagged with probability ≤ fpp per band, never under.
+    */
+  def bandBucketBloom(spark: SparkSession, dir: String,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = bandKeyRelation(spark, dir).select(col("key")).distinct()
+    val n = math.max(1000L, keys.count())
+    keys.stat.bloomFilter("key", n, fpp)
+  }
+
+  /** Imperative twin of the q32 signature + band-key pipeline for one
+    * document — the map-only per-row form the STREAMING path needs
+    * (the SQL form aggregates over an exploded shingle relation; a
+    * stream can't shuffle per arriving row). Bit-equal by
+    * construction, spec-asserted against [[bandKeyRelation]] on real
+    * docs: same word-3-gram shingles (XXH64 seed 42 over UTF-8),
+    * same permutation family (xxhash64(h, i) = hashInt(i,
+    * hashLong(h, 42)) — Spark folds children left to right from seed
+    * 42), same 4-row band buckets, same (bucket, band) key fold.
+    * Returns empty for docs with < 3 tokens (no shingles ⇒ no
+    * signature, matching the batch relation's absence).
+    */
+  private[graft] def minhashBandKeysOf(text: String): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i <= toks.length - 3) {
+      val s = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      if (seen.add(h)) hs += h
+      i += 1
+    }
+    val sig = new Array[Long](NumPerms)
+    var p = 0
+    while (p < NumPerms) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = XXH64.hashInt(p, XXH64.hashLong(hs(j), 42L))
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    Array.tabulate(NumBands) { b =>
+      var bucket = 42L
+      var k = 4 * b
+      while (k < 4 * b + 4) { bucket = XXH64.hashLong(sig(k), bucket); k += 1 }
+      XXH64.hashInt(b, XXH64.hashLong(bucket, 42L))
+    }
+  }
+
   /** Per-token 64-bit SimHash of a document set, as (doc_id, simhash).
     * Computed in one typed map per document (token-count map → 64
     * weighted bit sums → sign bits); the bit hash is XXH64(seed 42),
@@ -267,9 +350,13 @@ object Dedup {
   }
 
   /** Corpus size above which q34 refuses the exact all-pairs plan and
-    * routes through hyperplane-LSH bucketing instead.
+    * routes through hyperplane-LSH bucketing instead. 4096 vectors =
+    * ~8.4M pairs, sub-second in codegen; the old 100k threshold let a
+    * 20k-vector corpus (2×10⁸ pairs) stay brute-force — the one
+    * super-linear scaler in the sf1 rehearsal (0.4 s → 24 s for 10×
+    * data). The sf0.01 oracle corpus (500 vectors) stays exact.
     */
-  val ExactPairsLimit = 100000L
+  val ExactPairsLimit = 4096L
 
   /** q34: embedding-cosine near-duplicate pairs. Dispatches on corpus
     * size: up to [[ExactPairsLimit]] vectors the result is exact

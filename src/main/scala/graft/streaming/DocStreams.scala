@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 
 /** Structured Streaming twins of the document-curation operators — the
   * shapes an ingest pipeline runs on documents as they ARRIVE, against
@@ -56,5 +56,44 @@ object DocStreams {
       }
       .toDF("doc_id", "n_grams", "dup_grams", "dup_frac")
       .withColumn("flagged", col("dup_frac") > flagAt)
+  }
+
+  /** Streaming MinHash near-dup screen — the LIVE twin of
+    * [[graft.operators.Dedup.q32]] (ingest-time continuation of the
+    * §7b streaming set): each arriving document's LSH band keys are
+    * checked against a broadcast Bloom sketch of the STANDING corpus's
+    * band keys ([[graft.operators.Dedup.bandBucketBloom]], the
+    * nightly-batch artifact). A doc whose signature collides with the
+    * corpus in ≥ `minBands` bands is flagged as a probable near-dup of
+    * SOMETHING already ingested — the cheap gate a pipeline runs
+    * before admitting a doc to the expensive batch dedup.
+    *
+    * Scale shape: map-only — no join, no shuffle, NO state; per-doc
+    * work is linear in its shingles (the 64-permutation sweep rides
+    * one pass over the shingle hashes). The signature/band math is the
+    * imperative twin of the batch SQL, spec-asserted bit-equal
+    * ([[graft.operators.Dedup.minhashBandKeysOf]]); an exact clone of
+    * a corpus doc therefore hits ALL its bands by construction. The
+    * Bloom errs only positive (≤ fpp per band); `bands_hit` can
+    * overcount, never undercount — tune `minBands` up to trade
+    * screening recall for precision.
+    */
+  def nearDupOn(spark: SparkSession, src: DataFrame,
+      bloom: BloomFilter, minBands: Int = 1): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val keys = Dedup.minhashBandKeysOf(text)
+          var hits = 0
+          var i = 0
+          while (i < keys.length) {
+            if (bloom.mightContainLong(keys(i))) hits += 1
+            i += 1
+          }
+          (id, keys.length, hits, keys.length > 0 && hits >= minBands)
+        }
+      }
+      .toDF("doc_id", "n_bands", "bands_hit", "near_dup")
   }
 }

@@ -479,4 +479,33 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.lcsLen(a, b) === dpLcs(a, b), s"a=$a b=$b")
     }
   }
+
+  test("imperative minhash band keys are bit-equal to the SQL band-key relation") {
+    // the streaming near-dup twin relies on the per-row imperative
+    // pipeline producing EXACTLY the batch SQL's band keys — same
+    // shingles, permutation family, bucket fold, (bucket, band) key
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val sqlKeys = Dedup.bandKeyRelation(spark, dir)
+      .select(col("doc_id"), col("band"), col("key"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val imp = Dedup.minhashBandKeysOf(text).toSeq
+      sqlKeys.get(id) match {
+        case Some(exp) =>
+          assert(imp === exp, s"doc $id band keys diverge")
+          checked += 1
+        case None => // < 3 tokens: batch relation has no row
+          assert(imp.isEmpty, s"doc $id imperative keys but no SQL row")
+      }
+    }
+    assert(checked > 100, s"only $checked docs cross-checked")
+  }
 }

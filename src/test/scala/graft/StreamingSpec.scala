@@ -168,6 +168,47 @@ class StreamingSpec extends SparkSpec {
     assert(got(12L) === ((4L, 1L, 0.25, false)), s"half-copy: ${got(12L)}")
   }
 
+  test("streaming minhash near-dup screen flags corpus clones, passes novel docs, stateless") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_ndup_c").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ndup_s").toString
+    val corpusText = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq((1L, corpusText, "en", "web"),
+        (2L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$corpusDir/documents.parquet")
+    // fpp 1e-6: a band false positive can't flake the exact counts
+    val bloom = graft.operators.Dedup.bandBucketBloom(spark, corpusDir, 1e-6)
+    Seq(
+      // exact clone: every band key equals doc 1's → 16/16 hits
+      (10L, corpusText, "en", "web"),
+      // novel vocabulary: no shingle overlap → 0 hits w.h.p.
+      (11L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "web"),
+      // two tokens: no shingles → no signature, never flagged
+      (12L, "only two", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$streamDir/documents.parquet")
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$streamDir/documents.parquet", s"$streamDir/documents*.parquet")
+    val q = graft.streaming.DocStreams.nearDupOn(spark, src, bloom)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "near-dup stream must keep no state")
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, n_bands, bands_hit, near_dup FROM ndup_out")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(got(10L) === ((16, 16, true)), s"clone: ${got(10L)}")
+    assert(got(11L) === ((16, 0, false)), s"novel: ${got(11L)}")
+    assert(got(12L) === ((0, 0, false)), s"no-shingle: ${got(12L)}")
+  }
+
   test("streaming dedup-within-watermark keeps every unique event id") {
     val q = EventStreams.dedupedEvents(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("dedup_out").start()
