@@ -131,4 +131,45 @@ object FormatTwins {
       |FROM documents
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
+
+  /** q69: ORC scan fidelity over `orders` (round 3) — the third
+    * on-disk format under the oracle gate, and the only COLUMNAR one
+    * besides parquet: unlike the q90/q91 text twins this exercises
+    * Spark's vectorized ORC reader (stripe/row-group skipping, RLE
+    * decoding, timestamp storage in its own physical encoding) plus
+    * predicate pushdown into the ORC scan — a wrong pushed filter or
+    * a mis-decoded stripe changes the hash. Same pattern as q90:
+    * schema pinned from the parquet source (no inference pass), the
+    * DuckDB oracle computes the identical aggregate over the original
+    * parquet, every twin column load-bearing in the output.
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val path = twinPath(dir, "orders_orc")
+    val src = Tables(spark, dir, "orders")
+    GraftIO.write(src, "orc", path)
+    spark.read.schema(src.schema).orc(path)
+      .filter(col("o_totalprice") > lit(1000.0))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        sum(col("o_custkey")).as("sum_ckey"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val q69Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  MIN(o_orderdate) AS min_date,
+      |  MAX(o_orderdate) AS max_date,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ckey,
+      |  COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > 1000.0
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 }

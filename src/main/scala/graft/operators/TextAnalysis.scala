@@ -348,6 +348,77 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q78: bigram-LM novelty scoring (round 3) — the language-model
+    * quality signal of a C4-style filter without the cross-engine
+    * nondeterminism of `ln` (not required correctly-rounded by IEEE,
+    * so a DuckDB-vs-JVM log-prob would flake the hash gate; ratios of
+    * exact integers ARE bit-deterministic). Per document, against the
+    * corpus's own bigram statistics: how many of its adjacent word
+    * pairs are corpus-RARE (document frequency ≤ `rareDf`), and the
+    * mean document frequency of its bigrams — a high `rare_frac` and
+    * low `mean_df` marks gibberish/novel text the way a high LM
+    * perplexity would; the inverse marks boilerplate.
+    *
+    * Scale shape: one explode pass produces the (doc_id, w1, w2)
+    * occurrence relation; the bigram-df aggregate is
+    * distinct-per-doc then count — vocabulary²-bounded, shrinking
+    * relative to a growing corpus — and joins back to occurrences on
+    * the bigram key with map-side partial aggregation on both sides.
+    * At 100 TB the join key would be fingerprint64(w1, w2) (8 bytes
+    * through the shuffle, collisions immaterial to counts); here the
+    * string pair keeps the DuckDB oracle exact.
+    */
+  def q78(spark: SparkSession, dir: String, rareDf: Int = 2): DataFrame = {
+    val occ = Tables.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), wsTokens.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i + 1] AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val df = occ.distinct()
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("df"))
+    occ.join(df, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("n_rare").cast("long").as("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_frac"),
+        (col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |  FROM toks WHERE len(t) >= 2),
+      |occ AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+      |bdf AS (
+      |  SELECT w1, w2, COUNT(DISTINCT doc_id) AS df
+      |  FROM occ GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT o.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(CASE WHEN bdf.df <= 2 THEN 1 ELSE 0 END) AS n_rare,
+      |    SUM(bdf.df) AS sum_df
+      |  FROM occ o JOIN bdf ON o.w1 = bdf.w1 AND o.w2 = bdf.w2
+      |  GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(n_rare AS BIGINT) AS n_rare,
+      |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
+      |  CAST(sum_df AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_df
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   val q24Sql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term

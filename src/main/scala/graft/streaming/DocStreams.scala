@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Bpe, Curation, Dedup}
 
 /** Structured Streaming twins of the document-curation operators — the
   * shapes an ingest pipeline runs on documents as they ARRIVE, against
@@ -95,5 +95,47 @@ object DocStreams {
         }
       }
       .toDF("doc_id", "n_bands", "bands_hit", "near_dup")
+  }
+
+  /** Streaming BPE tokenization — the LIVE twin of
+    * [[graft.operators.Bpe.q98]]: arriving documents are encoded with
+    * a merge table the nightly batch job trained ([[Bpe.trainCached]]
+    * / q97, the published artifact), emitting the same per-doc token
+    * stats the batch APPLY step computes. This closes the tokenizer
+    * lifecycle: train nightly at corpus scale, apply at ingest with
+    * zero scan-back.
+    *
+    * Scale shape: identical to batch q98 — the KB-sized merge table
+    * rides the closure (no join, no shuffle, NO state), encode is
+    * map-only with a per-partition word→tokens memo (Zipfian hit
+    * rate). Per-row outputs are bit-equal to batch q98 on the same
+    * doc by construction (same `encodeWord`, same stats arithmetic) —
+    * spec-asserted against the batch run.
+    */
+  def tokenizeOn(spark: SparkSession, src: DataFrame,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          var nTok = 0L
+          val distinct = new java.util.HashSet[String]()
+          words.foreach { w =>
+            var toks = memo.get(w)
+            if (toks == null) {
+              toks = Bpe.encodeWord(w, merges).toArray
+              memo.put(w, toks)
+            }
+            nTok += toks.length
+            toks.foreach(distinct.add)
+          }
+          (id, words.length.toLong, nTok, distinct.size.toLong,
+            if (words.isEmpty) 0.0 else nTok.toDouble / words.length)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_distinct_tokens",
+        "tokens_per_word")
   }
 }

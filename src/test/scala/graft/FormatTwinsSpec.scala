@@ -46,6 +46,38 @@ class FormatTwinsSpec extends SparkSpec {
     assert(viaJson.toSeq == viaParquet.toSeq)
   }
 
+  test("q69: ORC twin aggregate is value-identical to the parquet path") {
+    val viaOrc = FormatTwins.q69(spark, sf).collect()
+    val viaParquet = Tables(spark, sf, "orders")
+      .filter(col("o_totalprice") > lit(1000.0))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        sum(col("o_custkey")).as("sum_ckey"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      .collect()
+    assert(viaOrc.nonEmpty)
+    assert(viaOrc.toSeq == viaParquet.toSeq)
+  }
+
+  test("ORC scan pushes the filter and prunes the projection") {
+    FormatTwins.q69(spark, sf).collect() // ensure the twin exists
+    val twin = s"${sys.props("java.io.tmpdir")}/graft-twins/" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/orders_orc"
+    val df = spark.read.schema(Tables(spark, sf, "orders").schema)
+      .orc(twin)
+      .filter(col("o_totalprice") > lit(1000.0))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,1000.0)]"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
+  }
+
   test("CSV scan prunes projection: 2-column select reads 2 columns") {
     // q90 already wrote the twin in the previous test; write again to
     // be order-independent.

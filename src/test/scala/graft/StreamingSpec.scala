@@ -209,6 +209,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(12L) === ((0, 0, false)), s"no-shingle: ${got(12L)}")
   }
 
+  test("streaming BPE tokenize equals batch q98 on the same docs, stateless") {
+    import org.apache.spark.sql.functions._
+    // nightly artifact: merges trained on the standing corpus
+    val merges = graft.operators.Bpe.trainCached(spark, sf, 30)
+    val batch = graft.operators.Bpe.q98(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$sf/documents.parquet", s"$sf/documents*.parquet")
+    val q = graft.streaming.DocStreams.tokenizeOn(spark, src, merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tok_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "tokenize stream must keep no state")
+    } finally q.stop()
+    val live = spark.sql(
+      "SELECT doc_id, n_words, n_tokens, n_distinct_tokens, " +
+        "tokens_per_word FROM tok_out")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(live.keySet === batch.keySet)
+    live.foreach { case (id, row) =>
+      assert(row === batch(id), s"doc $id diverges from batch q98")
+    }
+    assert(live.size > 100, s"only ${live.size} docs compared")
+  }
+
   test("streaming dedup-within-watermark keeps every unique event id") {
     val q = EventStreams.dedupedEvents(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("dedup_out").start()
