@@ -658,6 +658,62 @@ object Dedup {
        |WHERE rnk = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** q79: leakage-safe train/val/test split (round 3) — the split a
+    * training pipeline must run INSTEAD of q58's per-doc hash split
+    * once near-duplicates exist: hashing each doc independently puts
+    * ~19% of every real dup cluster's mass in val/test, and the model
+    * then "generalizes" to paraphrases of its own training data (the
+    * canonical contamination error the dedup-before-split literature
+    * warns about). Here the split unit is the q35 CLUSTER: every doc
+    * inherits a bucket hashed from its cluster representative's
+    * CONTENT (the min-id member's md5 — content-stable across reruns
+    * and id renumbering, like q58), so a cluster lands in exactly one
+    * of train (<80) / val (80–89) / test (≥90), spec-asserted.
+    *
+    * Scale shape: per-doc md5 buckets are map-only BEFORE the join,
+    * so the cluster join back carries (id, 8-byte bucket) rows, never
+    * text; the cluster relation is small relative to the corpus
+    * (broadcast at 100 TB) and unclustered docs pass through with
+    * their own hash — the q58 path — via a left join + coalesce.
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // (doc_id, bucket-of-own-content): map-only, text never shuffles
+    val hashed = docs.select(col("doc_id"),
+      (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+        .as("bucket"))
+    val clusters = q35(spark, dir).select(col("doc_id"), col("cluster_id"))
+    hashed.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(hashed.select(col("doc_id").as("cluster_id"),
+        col("bucket").as("rep_bucket")), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("rep_bucket").as("bucket"),
+        when(col("rep_bucket") < 80, lit("train"))
+          .when(col("rep_bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q79Sql: String =
+    s"""$ccCtes,
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |allc AS (
+       |  SELECT h.doc_id, COALESCE(c.cluster_id, h.doc_id) AS cluster_id
+       |  FROM hashed h LEFT JOIN comp c ON c.doc_id = h.doc_id)
+       |SELECT a.doc_id, a.cluster_id, r.bucket,
+       |  CASE WHEN r.bucket < 80 THEN 'train'
+       |       WHEN r.bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM allc a JOIN hashed r ON r.doc_id = a.cluster_id
+       |ORDER BY a.doc_id""".stripMargin
+
   /** q37: incremental-ingestion dedup — classify a NEW batch of
     * documents (doc_id ≡ 7 mod 10 stands in for "today's crawl")
     * against the EXISTING corpus: `exact_dup` (content hash already

@@ -480,6 +480,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q79: no dup cluster straddles train/val/test; singletons keep their q58 hash") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.q79(spark, sf)
+    // the leakage property itself: one split per cluster
+    val straddling = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling === 0L, "a cluster straddles splits")
+    // every doc is assigned exactly once
+    val docs = Tables(spark, sf, "documents").count()
+    assert(out.count() === docs)
+    assert(out.select(col("doc_id")).distinct().count() === docs)
+    // real clusters exist at this SF and share their rep's bucket
+    val clustered = out.filter(col("cluster_id") =!= col("doc_id")).count()
+    assert(clustered > 0L, "expected non-trivial clusters in the corpus")
+  }
+
   test("imperative minhash band keys are bit-equal to the SQL band-key relation") {
     // the streaming near-dup twin relies on the per-row imperative
     // pipeline producing EXACTLY the batch SQL's band keys — same
