@@ -1165,40 +1165,215 @@ object Dedup {
     seen.iterator().asScala
   }
 
-  /** Candidate id-pairs for [[q73]]/[[q76]] — the stage whose shuffles
-    * must stay NARROW. Names and variants are both keyed by `xxhash64`
-    * BEFORE any exchange: variant strings exist only inside the map
-    * stage (typed flatMap → hash projection), so the inverted index
-    * and the pair dedup move 16-byte (vh, nid) rows where the round-2
-    * version shuffled full variant strings once per deletion — a
-    * length-m name at d=2 emits ~m²/2 variants, each m-1 chars, i.e.
-    * O(m³) shuffled bytes per name, now O(m²·16). A 64-bit id
-    * collision (p ≈ n²/2⁶⁵) could merge two names; the exact verify
-    * in the caller drops any false pair it produces.
+  /** Annotated deletion neighborhood: every deletion POSITION SET of
+    * size ≤ d (not deduplicated by variant string — a run of equal
+    * characters yields the same string from different positions, and
+    * the pair logic below needs each witness), with the deletions
+    * encoded as (gap, deleted char) pairs packed into one long:
+    *
+    *   bits 56-57 k (deletion count), 44-55 g1, 28-43 c1,
+    *   16-27 g2, 0-15 c2
+    *
+    * where gap = insertion slot in the VARIANT that re-creates the
+    * original (for sorted deleted positions p1 < p2: g1 = p1,
+    * g2 = p2 - 1), and c = the deleted UTF-16 unit. 12-bit gaps cap
+    * supported names at 4095 code units — far beyond any entity-name
+    * corpus; longer strings throw rather than corrupt.
+    */
+  private[graft] def annotatedVariants(n: String, d: Int): Iterator[(String, Long)] = {
+    require(n.length <= 4095,
+      s"fastss fuzzy matching supports names up to 4095 code units, got ${n.length}")
+    val self = Iterator((n, 0L))
+    val depth1 = if (d < 1) Iterator.empty else
+      (0 until n.length).iterator.map { p =>
+        (n.substring(0, p) + n.substring(p + 1),
+          (1L << 56) | (p.toLong << 44) | (n.charAt(p).toLong << 28))
+      }
+    val depth2 = if (d < 2) Iterator.empty else
+      (0 until n.length).iterator.flatMap { p1 =>
+        (p1 + 1 until n.length).iterator.map { p2 =>
+          (n.substring(0, p1) + n.substring(p1 + 1, p2) + n.substring(p2 + 1),
+            (2L << 56) | (p1.toLong << 44) | (n.charAt(p1).toLong << 28) |
+              ((p2 - 1).toLong << 16) | n.charAt(p2).toLong)
+        }
+      }
+    self ++ depth1 ++ depth2
+  }
+
+  /** 64-bit hash of `s` minus the chars at `skip1`/`skip2` (-1 =
+    * none), streamed per UTF-16 unit through a splitmix64 round —
+    * the variant STRING never materializes. Any consistent 64-bit
+    * hash works as the witness-bucket key (both sides of a bucket use
+    * the same function); bucket-merge collisions (p ≈ n²/2⁶⁵) are the
+    * documented residual, same as hashing the built string.
+    */
+  private def skipCharHash(s: String, skip1: Int, skip2: Int): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) {
+      if (i != skip1 && i != skip2) {
+        var x = h ^ s.charAt(i)
+        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+        x ^= (x >>> 31)
+        h = x
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** [[annotatedVariants]] with the variant reduced to its hash at
+    * generation time: (bucket hash, packed deletion script). Saves
+    * ~2 substring + 1 UTF8 conversion per variant — at d=2 that is
+    * O(len²) string allocations per name gone from the hot map stage.
+    */
+  private[graft] def variantHashes(n: String, d: Int): Iterator[(Long, Long)] = {
+    require(n.length <= 4095,
+      s"fastss fuzzy matching supports names up to 4095 code units, got ${n.length}")
+    val self = Iterator((skipCharHash(n, -1, -1), 0L))
+    val depth1 = if (d < 1) Iterator.empty else
+      (0 until n.length).iterator.map { p =>
+        (skipCharHash(n, p, -1),
+          (1L << 56) | (p.toLong << 44) | (n.charAt(p).toLong << 28))
+      }
+    val depth2 = if (d < 2) Iterator.empty else
+      (0 until n.length).iterator.flatMap { p1 =>
+        (p1 + 1 until n.length).iterator.map { p2 =>
+          (skipCharHash(n, p1, p2),
+            (2L << 56) | (p1.toLong << 44) | (n.charAt(p1).toLong << 28) |
+              ((p2 - 1).toLong << 16) | n.charAt(p2).toLong)
+        }
+      }
+    self ++ depth1 ++ depth2
+  }
+
+  /** Exact edit distance witnessed by one shared variant, or -1 when
+    * this witness defers to a shallower one. Two names a, b meeting at
+    * variant v with deletion scripts A, B (≤ 2 (gap, char) entries
+    * each, gap-sorted):
+    *
+    *  - if A and B share an identical (gap, char) entry, v + that
+    *    char is a SHALLOWER shared variant — its group emits this
+    *    pair, so this witness stays silent (the dedup that replaces a
+    *    17M-row candidate `distinct`: each true pair is emitted from
+    *    its canonical minimal witnesses only);
+    *  - otherwise every gap-matched entry is a substitution (chars
+    *    differ) and every unmatched entry an insert/delete, so
+    *    ka + kb - m (m = gap-multiset intersection) is the cost of an
+    *    explicit edit script — an upper bound on ed(a, b), and EXACT
+    *    at the witness induced by an optimal alignment (strip the
+    *    alignment's matches: what remains is one entry per edit op).
+    *    A `min` over emitted witnesses therefore returns the true
+    *    distance without any levenshtein verification pass.
+    */
+  private[graft] def witnessDist(ma: Long, mb: Long): Int = {
+    val ka = ((ma >>> 56) & 3L).toInt
+    val kb = ((mb >>> 56) & 3L).toInt
+    if (ka == 0 && kb == 0) return -1 // same string, distinct names: impossible
+    // (gap, char) entries as ints: gap in the high half so numeric
+    // order is gap order
+    val a1 = if (ka >= 1) (((ma >>> 44) & 0xFFFL) << 16 | ((ma >>> 28) & 0xFFFFL)).toInt else Int.MinValue
+    val a2 = if (ka >= 2) (((ma >>> 16) & 0xFFFL) << 16 | (ma & 0xFFFFL)).toInt else Int.MinValue
+    val b1 = if (kb >= 1) (((mb >>> 44) & 0xFFFL) << 16 | ((mb >>> 28) & 0xFFFFL)).toInt else Int.MinValue
+    val b2 = if (kb >= 2) (((mb >>> 16) & 0xFFFL) << 16 | (mb & 0xFFFFL)).toInt else Int.MinValue
+    // identical (gap, char) on both sides → shallower witness exists
+    if (ka >= 1 && kb >= 1) {
+      if (a1 == b1 || a1 == b2) return -1
+      if (ka >= 2 && (a2 == b1 || a2 == b2)) return -1
+    }
+    // m = gap-multiset intersection (entries are gap-sorted)
+    var m = 0
+    var i = 0
+    var j = 0
+    while (i < ka && j < kb) {
+      val x = (if (i == 0) a1 else a2) >>> 16
+      val y = (if (j == 0) b1 else b2) >>> 16
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    ka + kb - m
+  }
+
+  /** (ida, idb, dist) pairs for [[q73]]/[[q76]] — FastSS (Bocek et
+    * al. '07) with the deletion scripts carried next to each variant,
+    * so the per-witness logic of [[witnessDist]] computes the EXACT
+    * edit distance at emission time. vs the plain variant-key join:
+    * no candidate `distinct` over every co-bucketed pair (ed-3/4
+    * collisions — 3× the true pairs here — never leave the group
+    * task), no name re-join for a levenshtein verify, and each true
+    * pair is emitted from its canonical witnesses only (deeper
+    * witnesses all contain an equal (gap, char) entry and stay
+    * silent), so the final min-aggregate is output-sized. Shuffles
+    * stay narrow: variants are keyed by `xxhash64` with a 16-byte
+    * (nid, meta) payload; strings never leave the map stage. A 64-bit
+    * variant-hash collision (p ≈ n²/2⁶⁵) could merge two buckets; the
+    * gap alignment rejects the foreign pairs it would admit unless
+    * their scripts also align — the same residual risk as any hashed
+    * key. Posting lists stay `collect_capped`-bounded: a variant
+    * (now: witness) shared by more than dfCap entries is tombstoned
+    * map-side — with suppression this can also silence a pair whose
+    * canonical witness is hot while only a deeper witness survives;
+    * DedupSpec quantifies recall at aggressive caps as before.
+    */
+  private[graft] def fastssPairs(spark: SparkSession, nameDim: DataFrame,
+      d: Int, dfCap: Int): DataFrame = {
+    import spark.implicits._
+    val variants = nameDim.select(col("name"), col("nid"))
+      .as[(String, Long)]
+      .flatMap { case (n, id) => variantHashes(n, d).map { case (vh, meta) => (vh, id, meta) } }
+      .toDF("vh", "nid", "meta")
+      .select(col("vh"),
+        struct(col("nid").as("_1"), col("meta").as("_2")).as("e"))
+    variants.groupBy(col("vh"))
+      .agg(expr(s"collect_capped(e, $dfCap)").as("dsr"))
+      .filter(col("dsr").isNotNull && size(col("dsr")) > 1)
+      .select(col("dsr"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val arr = members.toArray
+        java.util.Arrays.sort(arr, Ordering.by((x: (Long, Long)) => x))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var i = 0
+        while (i < arr.length) {
+          val (ia, ma) = arr(i)
+          var j = i + 1
+          while (j < arr.length) {
+            val (ib, mb) = arr(j)
+            if (ia != ib) { // multi-witness entries of one name skip themselves
+              val dist = witnessDist(ma, mb)
+              if (dist >= 1 && dist <= d) out += ((ia, ib, dist))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("ida", "idb", "dist")
+      .groupBy(col("ida"), col("idb"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** Candidate id-pairs for [[q73]]/[[q76]] — kept as the plan-spec
+    * surface: the exchange above the variant flatMap must carry only
+    * hashes and packed longs, never strings.
     */
   private[graft] def fuzzyCandidates(spark: SparkSession, dir: String,
       d: Int, dfCap: Int): DataFrame = {
-    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val nameDim = Tables.spread(Tables(spark, dir, "customer")
         .select(col("c_name"))).distinct()
       .select(col("c_name").as("name"), xxhash64(col("c_name")).as("nid"))
-    val variants = nameDim.select(col("name"), col("nid"))
-      .as[(String, Long)]
-      .flatMap { case (n, id) => deletionVariants(n, d).map(v => (v, id)) }
-      .toDF("v", "nid")
-      .select(xxhash64(col("v")).as("vh"), col("nid"))
-    cappedPairs(variants, col("vh"), "nid", dfCap)
-      .select(col("p.a").as("ida"), col("p.b").as("idb"))
-      .distinct()
+    fastssPairs(spark, nameDim, d, dfCap)
+      .select(col("ida"), col("idb"))
   }
 
-  /** Shared FastSS matcher at edit distance ≤ d: names sharing a
-    * variant in their depth-d deletion neighborhoods are candidates
-    * (recall 1 — delete from each side the characters its half of the
-    * edit script touches and the remainders are equal), then the exact
-    * built-in `levenshtein` keeps true pairs. The (nid → name) dim
-    * joins back once per candidate id — each name moves once, not
-    * once per variant.
+  /** Shared FastSS matcher at edit distance ≤ d — [[fastssPairs]]
+    * with the (nid → name) dim joined back once per pair side; the
+    * witness-computed distance IS the levenshtein distance (see
+    * [[witnessDist]]), so no verification pass runs.
     */
   private def fuzzyMatch(spark: SparkSession, dir: String, d: Int,
       dfCap: Int): DataFrame = {
@@ -1206,14 +1381,13 @@ object Dedup {
     val nameDim = Tables.spread(Tables(spark, dir, "customer")
         .select(col("c_name"))).distinct()
       .select(col("c_name").as("name"), xxhash64(col("c_name")).as("nid"))
-    fuzzyCandidates(spark, dir, d, dfCap)
+    fastssPairs(spark, nameDim, d, dfCap)
       .join(nameDim.select(col("nid").as("ida"), col("name").as("na")), "ida")
       .join(nameDim.select(col("nid").as("idb"), col("name").as("nb")), "idb")
-      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("dist") >= 1L && col("dist") <= d.toLong)
       // id order is hash order — re-canonicalize pairs lexicographically
       .select(least(col("na"), col("nb")).as("name_a"),
-        greatest(col("na"), col("nb")).as("name_b"), col("dist"))
+        greatest(col("na"), col("nb")).as("name_b"),
+        col("dist").cast("long").as("dist"))
       .orderBy(col("name_a"), col("name_b"))
   }
 

@@ -245,6 +245,25 @@ class DedupSpec extends SparkSpec {
     val m = "abcdef".length
     assert(Dedup.deletionVariants("abcdef", 2).size === 1 + m + m * (m - 1) / 2)
     assert(Dedup.deletionVariants("aab", 2).size < 1 + 3 + 3)
+    // the string-free generator is the annotated one with the variant
+    // reduced to a hash: same scripts in the same order, and hash
+    // equality ⟺ variant-string equality across a mixed sample
+    // (runs, unicode, short strings) — the witness-bucket key may be
+    // any consistent hash, but it must not split a shared variant
+    val sample = Seq("abcdef", "aab", "aaaaaa", "ab", "a", "",
+      "Customer#000000042", "Customer#000000123", "naïve–café",
+      "ααβγ", "abcdeg", "xabcdef")
+    val byString = sample.flatMap(n =>
+      Dedup.annotatedVariants(n, 2).map { case (v, meta) => (n, meta) -> v })
+    val byHash = sample.flatMap(n =>
+      Dedup.variantHashes(n, 2).map { case (h, meta) => (n, meta) -> h })
+    assert(byString.map(_._1) === byHash.map(_._1),
+      "generators disagree on (name, script) enumeration")
+    val v2h = byString.map(_._2).zip(byHash.map(_._2))
+    v2h.combinations(2).foreach { case Seq((v1, h1), (v2, h2)) =>
+      assert((v1 == v2) === (h1 == h2),
+        s"hash/string equality mismatch: '$v1' vs '$v2'")
+    }
     // brute force at this sf: every distinct-name pair within lev ≤ 2
     val names = Tables(spark, sf, "customer")
       .select(col("c_name")).distinct().collect().map(_.getString(0)).sorted
