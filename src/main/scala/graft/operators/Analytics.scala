@@ -562,48 +562,110 @@ object Analytics {
     * from exact decimal sums with the same double expression tree in
     * both engines, so the doubles hash-match (q57's contract).
     */
+  /** NDV threshold for q77's quantile dispatch: at or below it a
+    * column's quartiles come from the value-count `percentile`
+    * aggregate (per-partition maps bounded by NDV — the right plan
+    * for codes, grades, discounts); above it they come from
+    * [[sortQuantilesExact]] (range-sort + global-rank pick). The
+    * hashmap aggregate on a mostly-distinct column is the 100×
+    * failure mode this dispatch removes: its final merge receives
+    * every distinct value in ONE task.
+    */
+  val PercentileNdvLimit = 4096L
+
+  /** Exact interpolated quantiles of one numeric column, computed the
+    * way a 100 TB engine must: range-partition the values (TeraSort
+    * shape — every partition a contiguous slice), attach global ranks
+    * via [[Distributed.orderedPrefix]]'s broadcast prefix offsets,
+    * and fetch ONLY the two boundary rows per requested quantile.
+    * Interpolation (v_lo + (v_hi − v_lo)·frac at h = (n−1)q) matches
+    * Spark's `percentile` and DuckDB's `quantile_cont` bit-for-bit on
+    * doubles. `nNonNull` comes from the caller's stats pass — nulls
+    * are excluded exactly as the aggregate form excludes them.
+    */
+  private[graft] def sortQuantilesExact(values: DataFrame, c: String,
+      qs: Seq[Double], nNonNull: Long): Seq[Double] = {
+    require(nNonNull > 0, s"no non-null values in $c")
+    val vals = values.select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val hs = qs.map(q => (nNonNull - 1) * q)
+    val targets = hs.flatMap(h =>
+      Seq(math.floor(h).toLong + 1, math.ceil(h).toLong + 1)).distinct
+    val picked = Distributed.orderedPrefix(vals, Seq(col("v")), lit(1L))
+      .filter(col("rank").isin(targets: _*))
+      .select(col("rank"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    hs.map { h =>
+      val lo = picked(math.floor(h).toLong + 1)
+      val hi = picked(math.ceil(h).toLong + 1)
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+  }
+
   def q77(spark: SparkSession, dir: String): DataFrame = {
     val cols = ProfNumCols
     val dt = DecimalType(18, 2)
     val li = Tables(spark, dir, "lineitem").select(cols.map(col): _*)
+    // pass 1: ONE scan — counts, decimal-exact Σx/Σx², and an approx
+    // NDV per column that drives the quantile dispatch below (the
+    // estimate only picks a plan, never touches a result)
     val statAggs = count(lit(1)).as("n") +: cols.flatMap { c => Seq(
       sum(col(c).cast(dt)).cast("double").as(s"${c}__sx"),
       sum(col(c).cast(dt) * col(c).cast(dt)).cast("double").as(s"${c}__sxx"),
-      expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
-      expr(s"percentile($c, 0.75)").as(s"${c}__p75"))
+      count(col(c)).as(s"${c}__nn"),
+      approx_count_distinct(col(c)).as(s"${c}__ndv"))
     }
-    // 1-row stage artifacts are localCheckpoint'd: the per-column
-    // union branches below each reference them, and without the
-    // barrier Catalyst re-runs BOTH corpus aggregates once per branch
-    // (the q75 lesson) — with it the corpus is scanned exactly twice
-    val derived = cols.foldLeft(li.agg(statAggs.head, statAggs.tail: _*)) {
-      (df, c) =>
-        df.withColumn(s"${c}__mean",
-            col(s"${c}__sx") / col("n").cast("double"))
-          .withColumn(s"${c}__std",
-            sqrt(greatest(
-              col(s"${c}__sxx") / col("n").cast("double") -
-                col(s"${c}__mean") * col(s"${c}__mean"), lit(0.0))))
-          .withColumn(s"${c}__lo",
-            col(s"${c}__p25") - lit(1.5) * (col(s"${c}__p75") - col(s"${c}__p25")))
-          .withColumn(s"${c}__hi",
-            col(s"${c}__p75") + lit(1.5) * (col(s"${c}__p75") - col(s"${c}__p25")))
-    }.localCheckpoint()
-    val outAggs = cols.flatMap { c => Seq(
-      sum(when(col(c) < col(s"${c}__lo") || col(c) > col(s"${c}__hi"), 1L)
-        .otherwise(0L)).as(s"${c}__ntk"),
-      sum(when(abs(col(c) - col(s"${c}__mean")) > lit(3.0) * col(s"${c}__std"), 1L)
-        .otherwise(0L)).as(s"${c}__nz"))
+    val s1 = li.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = s1.getLong(0)
+    def d(name: String): Double = s1.getDouble(s1.fieldIndex(name))
+    def l(name: String): Long = s1.getLong(s1.fieldIndex(name))
+    // quartiles: value-count aggregate for low-NDV columns (one scan
+    // for all of them), rank-pick sort for the rest (one range-sort
+    // job per column, no value-count map anywhere)
+    val (lowC, highC) = cols.partition(c => l(s"${c}__ndv") <= PercentileNdvLimit)
+    val lowQ: Map[String, (Double, Double)] = if (lowC.isEmpty) Map.empty else {
+      val aggs = lowC.flatMap(c => Seq(
+        expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
+        expr(s"percentile($c, 0.75)").as(s"${c}__p75")))
+      val r = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+      lowC.map(c => c -> (r.getDouble(r.fieldIndex(s"${c}__p25")),
+        r.getDouble(r.fieldIndex(s"${c}__p75")))).toMap
     }
-    val both = li.crossJoin(broadcast(derived))
-      .agg(outAggs.head, outAggs.tail: _*)
-      .crossJoin(derived)
-      .localCheckpoint()
+    val highQ: Map[String, (Double, Double)] = highC.map { c =>
+      val Seq(p25, p75) =
+        sortQuantilesExact(li, c, Seq(0.25, 0.75), l(s"${c}__nn"))
+      c -> (p25, p75)
+    }.toMap
+    val quart = lowQ ++ highQ
+    // derived stats as driver scalars — the fences enter pass 2 as
+    // LITERALS, so the old broadcast crossJoins disappear entirely
+    val stats = cols.map { c =>
+      val mean = d(s"${c}__sx") / n.toDouble
+      val std = math.sqrt(math.max(
+        d(s"${c}__sxx") / n.toDouble - mean * mean, 0.0))
+      val (p25, p75) = quart(c)
+      val loF = p25 - 1.5 * (p75 - p25)
+      val hiF = p75 + 1.5 * (p75 - p25)
+      c -> (mean, std, p25, p75, loF, hiF)
+    }.toMap
+    val outAggs = cols.flatMap { c =>
+      val (mean, std, _, _, loF, hiF) = stats(c)
+      Seq(
+        sum(when(col(c) < lit(loF) || col(c) > lit(hiF), 1L)
+          .otherwise(0L)).as(s"${c}__ntk"),
+        sum(when(abs(col(c) - lit(mean)) > lit(3.0) * lit(std), 1L)
+          .otherwise(0L)).as(s"${c}__nz"))
+    }
+    // 1-row barrier: the per-column union branches below each
+    // reference the outlier counts — without it Catalyst re-runs the
+    // pass-2 aggregate once per branch (the q75 lesson)
+    val both = li.agg(outAggs.head, outAggs.tail: _*).localCheckpoint()
     cols.map { c =>
-      both.select(lit(c).as("col_name"), col("n"),
-        col(s"${c}__mean").as("mean"), col(s"${c}__std").as("std"),
-        col(s"${c}__p25").as("p25"), col(s"${c}__p75").as("p75"),
-        col(s"${c}__lo").as("lo_fence"), col(s"${c}__hi").as("hi_fence"),
+      val (mean, std, p25, p75, loF, hiF) = stats(c)
+      both.select(lit(c).as("col_name"), lit(n).as("n"),
+        lit(mean).as("mean"), lit(std).as("std"),
+        lit(p25).as("p25"), lit(p75).as("p75"),
+        lit(loF).as("lo_fence"), lit(hiF).as("hi_fence"),
         col(s"${c}__ntk").as("n_tukey_outliers"),
         col(s"${c}__nz").as("n_z_outliers"))
     }.reduce(_.unionAll(_)).orderBy(col("col_name"))

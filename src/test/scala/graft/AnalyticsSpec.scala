@@ -150,6 +150,42 @@ class AnalyticsSpec extends SparkSpec {
       s"fences not broadcast:\n$plan")
   }
 
+  test("q77 rank-pick quantiles are bit-equal to the percentile aggregate " +
+      "and the NDV dispatch exercises both paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // mostly-distinct doubles (the hashmap-aggregate failure shape at
+    // scale) — rank-pick must reproduce `percentile` bit-for-bit,
+    // including interpolated positions at both even and odd counts
+    for (n <- Seq(999, 1000)) {
+      val rng = new scala.util.Random(77)
+      val vals = Seq.fill(n)(rng.nextDouble() * 1e6)
+      val df = vals.toDF("v").repartition(7)
+      val agg = df.agg(
+        expr("percentile(v, 0.25)"), expr("percentile(v, 0.75)")).collect()(0)
+      val got = Analytics.sortQuantilesExact(df, "v", Seq(0.25, 0.75), n.toLong)
+      assert(got(0) === agg.getDouble(0), s"p25 n=$n")
+      assert(got(1) === agg.getDouble(1), s"p75 n=$n")
+    }
+    // nulls excluded exactly as the aggregate excludes them
+    val withNulls = (Seq.fill(50)(Option.empty[Double]) ++
+      (1 to 100).map(i => Some(i.toDouble))).toDF("v").repartition(5)
+    val aggN = withNulls.agg(expr("percentile(v, 0.25)")).collect()(0).getDouble(0)
+    assert(Analytics.sortQuantilesExact(withNulls, "v", Seq(0.25), 100L) ===
+      Seq(aggN))
+    // the real corpus drives both dispatch arms: l_discount/l_quantity
+    // are low-NDV (value-count aggregate), l_extendedprice is above
+    // the limit (rank-pick) already at this sf
+    val li = Tables(spark, sf, "lineitem")
+    val ndv = li.agg(
+      countDistinct(col("l_discount")).as("d"),
+      countDistinct(col("l_extendedprice")).as("e")).collect()(0)
+    assert(ndv.getLong(0) <= Analytics.PercentileNdvLimit,
+      "l_discount should take the value-count path")
+    assert(ndv.getLong(1) > Analytics.PercentileNdvLimit,
+      "l_extendedprice should take the rank-pick path at this sf")
+  }
+
   test("q51 funnel stages are monotonically non-increasing") {
     val stages = Analytics.q51(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("users")).toMap
