@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grader parses the LAST line of the bench command's stdout as
+// JSON. Two pieces of sbt decoration have defeated that three rounds
+// running: the logger's "[info] " prefix on forwarded child output,
+// and the trailing "[success] Total time" footer printed AFTER the
+// JSON. Forward forked-run output straight to stdout (no logger
+// decoration) and drop the success footer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
