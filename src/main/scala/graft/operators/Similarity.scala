@@ -147,11 +147,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val NumCells = 16
+  /** IVF granularity scales with the corpus instead of being a fixed
+    * constant (the round-3 `weak`): cells ≈ n / [[TargetCellRows]],
+    * clamped to [[MinCells]]..[[MaxCells]]. Per-cell row counts stay
+    * ~[[TargetCellRows]] as the corpus grows, so SemDeDup's per-cell
+    * greedy chain and each probe's candidate volume are bounded by a
+    * CONSTANT, not by corpus size — at 10⁹ vectors the clamp gives
+    * 65536 cells (~15k rows/cell; SemDeDup's paper uses 50k clusters
+    * at that scale), while the driver-visible quantizer state stays
+    * k×dims rows (65536×64 ≈ 32 MB at the cap — broadcast territory,
+    * never a plan literal; see [[assignCells]]).
+    *
+    * Local scale factors (500–20k vectors) all resolve to the 16-cell
+    * floor except the sf1 rehearsal, which exercises the derivation.
+    */
+  private[operators] val TargetCellRows = 1024L
+  private[operators] val MinCells = 16
+  private[operators] val MaxCells = 65536
   private val NProbe = 4
   private val KMeansIters = 5
   /** Exposed for specs comparing the refined quantizer to the seed. */
   val KMeansItersDefault: Int = KMeansIters
+
+  /** Pure derivation: cells for an n-vector corpus. */
+  def numCellsFor(n: Long): Int =
+    math.max(MinCells,
+      math.min(MaxCells.toLong, (n + TargetCellRows - 1) / TargetCellRows))
+      .toInt
+
+  private val corpusCellCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Corpus-derived cell count for `dir` (one metadata-only count per
+    * dir, memoized). Every quantizer consumer — ivf_index/append/
+    * probe, q42/q43, q99 SemDeDup, semdedup_incr — resolves its k
+    * here, so they agree on granularity per corpus.
+    */
+  def numCells(spark: SparkSession, dir: String): Int =
+    corpusCellCache.getOrElseUpdate(dir,
+      numCellsFor(Tables(spark, dir, "embeddings").count()))
+
+  /** Probes per query: fixed floor at small k, √k growth above it —
+    * probing 4 of 16 cells and 4 of 65536 are very different recall
+    * regimes, so the probe count tracks granularity (√k keeps probed
+    * fraction shrinking while absolute candidate volume
+    * ~√k×TargetCellRows stays modest). The candidate-budget form
+    * ([[ivfProbesAdaptive]]) remains the principled alternative.
+    */
+  private[operators] def nProbeFor(k: Int): Int =
+    math.max(NProbe, math.round(math.sqrt(k.toDouble)).toInt min k)
 
   /** q42: IVF (inverted-file) ANN — the coarse-quantizer alternative
     * to q41's hyperplane LSH. The quantizer is a deterministic
