@@ -99,25 +99,27 @@ object Bench {
     val errsCompact = errsList.take(5).mkString("{", ",", "}")
     val totalSpill = ok.map(_._4).sum
     val total = ok.map(_._2).sum
-    // Full detail first (per-query seconds + shuffle for every query):
-    // >4 KB, useful in logs but it OUTRUNS the driver's 2000-char
-    // stdout tail — both r1 and r2 BENCH artifacts came back
-    // "parsed": null because this was the ONLY line. Also persisted to
-    // a file so the numbers survive in the repo.
+    // Full detail (per-query seconds + shuffle for every query) goes
+    // to STDERR + a file, never stdout: it's >4 KB, and four rounds of
+    // BENCH artifacts came back "parsed": null because stdout grew
+    // past what the driver captures (r4's artifact shows the capture
+    // cut mid-way through this very line). stdout carries exactly one
+    // payload line — the compact JSON below — so no cap, tail window,
+    // or footer can separate the parser from it.
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
-    println(detail)
+    Console.err.println(detail)
     try {
       val w = new java.io.PrintWriter("bench_detail_last.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     // The LAST stdout line must carry the graded numbers on its own:
-    // the driver keeps only a 2000-char tail (plus sbt's trailing
-    // "[success] Total time" line), so this line stays compact —
-    // total, slowest 12 queries, biggest 5 shuffles, errors, sf —
-    // guaranteed well under 1500 chars.
+    // the driver keeps only a 2000-char tail, so this line stays
+    // compact — total, slowest 12 queries, biggest 5 shuffles,
+    // errors, sf — guaranteed well under 1500 chars, and it is the
+    // ONLY line this process writes to stdout.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val slow = ok.sortBy(-_._2).take(12)
       .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }

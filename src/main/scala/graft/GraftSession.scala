@@ -61,6 +61,12 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet timestamps written without a timezone (pandas/arrow
+      // `timestamp[us]`, isAdjustedToUTC=false) must read as plain
+      // UTC TIMESTAMP, not TIMESTAMP_NTZ: the engine contract is
+      // "every timestamp is a UTC instant" and the DuckDB oracle
+      // reads the same files as naive-UTC
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.hadoop.fs.gftp.impl",
         "graft.sources.ftp.GraftFtpFileSystem")
       .config("spark.ui.enabled", "false")

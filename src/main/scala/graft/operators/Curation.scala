@@ -685,4 +685,132 @@ object Curation {
        |FROM gc JOIN d USING (gram)
        |GROUP BY gc.doc_id
        |ORDER BY gc.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q100: exact-substring CUT SPANS (per-doc duplicated intervals)
+  // ---------------------------------------------------------------
+
+  /** Minimum cut-span length in tokens (Lee et al. '21 use 50 BPE
+    * tokens at web scale; the synthetic docs are short, so the
+    * default is 2×[[SpanN]] — still ≥ the gram width, the smallest
+    * sound setting).
+    */
+  val CutMinTokens = 10
+
+  /** q100: per-document duplicated-span INTERVALS with cut positions
+    * — the full output of the Lee et al. '21 exact-substring dedup
+    * step, where q72 reports only each doc's coverage fraction.
+    *
+    * Semantics: token positions are 1-based; a position p starts a
+    * duplicated gram when the [[SpanN]]-token window at p occurs ≥ 2
+    * times in the CORPUS (total occurrences — a doc's own repeat
+    * duplicates both copies, exactly as a suffix array would).
+    * Maximal runs of consecutive duplicated window starts merge into
+    * one interval [start_pos, end_pos] (end = last start + SpanN − 1),
+    * emitted when its token length ≥ `minLen`.
+    *
+    * Guarantee (one-sided, the n-gram surrogate for a distributed
+    * suffix array): every true duplicated substring of ≥ minLen ≥
+    * SpanN tokens has ALL its windows duplicated, so it lies fully
+    * inside an emitted interval — nothing to cut escapes. Adjacent
+    * duplicated runs with DIFFERENT partners merge at junctions, so
+    * an interval may be wider than any single true match — the
+    * standard precision trade every scaled implementation of this
+    * pipeline makes; q39's winnowing automaton is the per-pair exact
+    * complement.
+    *
+    * Scale shape: one positional-gram pass (typed flatMap, q72's
+    * justified shape), one shuffle keyed on the gram whose exchange
+    * is REUSED by the join back (same key), then islands form with a
+    * per-doc window over narrow (doc_id, pos) rows. Gram text stays
+    * the shuffle key only so DuckDB groups identically — production
+    * would key on fingerprint64(gram).
+    */
+  def cutSpansOn(docs: DataFrame, minLen: Int = CutMinTokens): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        spanGramsOf(text).iterator.zipWithIndex
+          .map { case (g, i) => (id, i + 1L, g) }
+      }.toDF("doc_id", "pos", "gram")
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(occ, Seq("gram"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(SpanN - 1).cast("long")).as("end_pos"))
+      .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
+      .filter(col("span_tokens") >= minLen)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** [[cutSpansOn]] over the corpus `documents` table. */
+  def q100(spark: SparkSession, dir: String): DataFrame =
+    cutSpansOn(Tables(spark, dir, "documents"))
+
+  val q100Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, u.pos, u.gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(w) - ${SpanN - 2}),
+       |      i -> {'pos': CAST(i AS BIGINT),
+       |            'gram': concat_ws(' ', list_slice(w, i, i + ${SpanN - 1}))}
+       |    )) AS u
+       |    FROM t WHERE len(w) >= $SpanN) s),
+       |occ AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+       |dup AS (
+       |  SELECT doc_id, pos FROM g JOIN occ USING (gram) WHERE occ.n >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS start_pos,
+       |    MAX(pos) + ${SpanN - 1} AS end_pos
+       |  FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, start_pos, end_pos,
+       |  end_pos - start_pos + 1 AS span_tokens
+       |FROM spans
+       |WHERE end_pos - start_pos + 1 >= $CutMinTokens
+       |ORDER BY doc_id, start_pos""".stripMargin
+
+  /** The "cleaned corpus": every [[cutSpansOn]] interval removed from
+    * its document (all copies — re-scanning the output finds no
+    * duplicated span ≥ minLen, the Lee '21 acceptance check, spec-
+    * asserted). The cut relation is narrow (doc_id + interval pairs)
+    * but corpus-proportional, so the attach is a plain equi-join on
+    * doc_id — AQE broadcasts it when it fits, shuffles narrow rows
+    * when it doesn't; the text column rides the join once either way.
+    */
+  def cleanedDocuments(docs: DataFrame,
+      minLen: Int = CutMinTokens): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cuts = cutSpansOn(docs, minLen)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("cuts"))
+    docs.select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("cuts"),
+          array().cast("array<struct<start_pos:bigint,end_pos:bigint>>"))
+          .as("cuts"))
+      .as[(Long, String, Seq[(Long, Long)])]
+      .map { case (id, text, cuts) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val kept = toks.iterator.zipWithIndex.collect {
+          case (t, i) if !cuts.exists(c => i + 1 >= c._1 && i + 1 <= c._2) => t
+        }
+        (id, kept.mkString(" "))
+      }.toDF("doc_id", "text")
+  }
 }

@@ -1514,12 +1514,14 @@ object Dedup {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     val centLits = cents.map(_.toSeq).toSeq
-    // stored-quantizer assignment, map-only (appendIvfIndex's shape)
-    val assignedNew = newVectors
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
-      .withColumn("cell", Similarity.argmaxCellOf(centLits))
+    // stored-quantizer assignment, map-only (appendIvfIndex's shape;
+    // scale-dispatched — literal argmax at small k, broadcast above)
+    val assignedNew = Similarity.assignCells(spark,
+      newVectors
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(expr("dot_d(v, v)"))),
+      centLits)
       .select(col("cell"), col("vec_id"), col("v"), col("nrm"),
         lit(true).as("is_new"))
     val standing = standingKept

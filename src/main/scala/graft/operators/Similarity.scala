@@ -211,11 +211,11 @@ object Similarity {
     * unrefined seed.
     */
   def q42(spark: SparkSession, dir: String,
-      iters: Int = KMeansIters): DataFrame = {
+      iters: Int = KMeansIters, kOverride: Int = 0): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    ivfAssigned(spark, dir, iters)
-      .join(broadcast(ivfProbes(spark, dir, iters)), Seq("cell"))
+    ivfAssigned(spark, dir, iters, kOverride)
+      .join(broadcast(ivfProbes(spark, dir, iters, kOverride)), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
@@ -263,11 +263,12 @@ object Similarity {
        |ORDER BY label""".stripMargin
 
   /** Memo for refined centroids: they are deterministic functions of
-    * (dir, iters) — see [[centroidArrays]] — so reuse across the
+    * (dir, iters, k) — see [[centroidArrays]] — so reuse across the
     * assign/probe/index call sites is safe and saves k-means rescans.
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Int), Seq[Seq[Double]]]
 
   /** Coarse-quantizer training: spherical k-means, driver-orchestrated
     * but corpus-distributed. Seeds are the NumCells smallest vec_ids
@@ -283,20 +284,20 @@ object Similarity {
     * Empty cells keep their previous centroid.
     */
   private[operators] def centroidArrays(spark: SparkSession, dir: String,
-      iters: Int = KMeansIters): Seq[Seq[Double]] =
-    centroidCache.getOrElseUpdate((dir, iters), {
+      iters: Int = KMeansIters, kOverride: Int = 0): Seq[Seq[Double]] = {
+    val k = if (kOverride > 0) kOverride else numCells(spark, dir)
+    centroidCache.getOrElseUpdate((dir, iters, k), {
       val base = vectors(spark, dir)
       def unit(v: Seq[Double]): Seq[Double] = {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / n)
       }
-      var cs: Seq[Seq[Double]] = base.orderBy(col("vec_id")).limit(NumCells)
+      var cs: Seq[Seq[Double]] = base.orderBy(col("vec_id")).limit(k)
         .select(col("v")).collect()
         .map(r => unit(r.getSeq[Double](0))).toSeq
       val dims = cs.head.size
       for (_ <- 1 to iters) {
-        val sums = base
-          .withColumn("cell", argmaxCell(cs))
+        val sums = assignCells(spark, base, cs)
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("n"),
             (0 until dims).map(i =>
@@ -305,8 +306,8 @@ object Similarity {
                 .as(s"s$i")): _*)
           .collect()
           .map(r => r.getAs[Int]("cell") ->
-            (r.getAs[Long]("n"),
-              (0 until dims).map(i => r.getDecimal(2 + i).doubleValue())))
+            ((r.getAs[Long]("n"),
+              (0 until dims).map(i => r.getDecimal(2 + i).doubleValue()))))
           .toMap
         cs = cs.zipWithIndex.map { case (old, cell) =>
           sums.get(cell) match {
@@ -317,6 +318,7 @@ object Similarity {
       }
       cs
     })
+  }
 
   /** Argmax-cosine cell id as a codegen expression: centroids are unit
     * literals, the row norm is a positive constant across cells, so
@@ -328,11 +330,70 @@ object Similarity {
     * let a duplicated centroid send vectors to the cell the probe
     * ranks last.
     */
-  /** [[argmaxCell]] for sibling operators (incremental SemDeDup
-    * assigns with the stored quantizer through this).
+  /** How many centroids may become plan LITERALS. `greatest` over k
+    * literal structs is pure codegen and beats everything at small k,
+    * but the expression tree (and the generated method) grows linearly
+    * with k — at the 65536-cell clamp it would be a ~32 MB plan that
+    * Janino can't even compile. Above this threshold assignment
+    * dispatches to [[assignCells]]'s broadcast path.
     */
-  private[operators] def argmaxCellOf(cs: Seq[Seq[Double]]): Column =
-    argmaxCell(cs)
+  private[graft] val LiteralAssignMaxCells = 256
+
+  /** Append the max-cosine `cell` column to `rows` (which must carry
+    * `v: array<double>` and `nrm: double`; all other columns pass
+    * through). Scale-dispatched:
+    *
+    *  - k ≤ [[LiteralAssignMaxCells]]: centroids inline as literals,
+    *    argmax evaluates in whole-stage codegen ([[argmaxCell]]).
+    *  - larger k: the centroid matrix ships as a TorrentBroadcast
+    *    (k×dims doubles — 32 MB at the 65536-cell clamp, exactly what
+    *    broadcast exists for) and a `mapPartitions` computes the
+    *    argmax imperatively — still map-only, no join, no shuffle, and
+    *    the plan stays KB-sized at any k.
+    *
+    * Both paths break cosine ties to the SMALLEST cell id (the probe
+    * ranking's order), and the broadcast path is spec-asserted
+    * bit-equal to the literal path.
+    */
+  private[graft] def assignCells(spark: SparkSession, rows: DataFrame,
+      cs: Seq[Seq[Double]]): DataFrame =
+    if (cs.size <= LiteralAssignMaxCells)
+      rows.withColumn("cell", argmaxCell(cs))
+    else assignCellsBroadcast(spark, rows, cs)
+
+  /** The large-k arm of [[assignCells]], exposed for the bit-equality
+    * spec (dispatch thresholds must never change results).
+    */
+  private[graft] def assignCellsBroadcast(spark: SparkSession,
+      rows: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val bc = spark.sparkContext.broadcast(cs.map(_.toArray).toArray)
+    val vIdx = rows.schema.fieldIndex("v")
+    val out = StructType(rows.schema.fields :+
+      StructField("cell", IntegerType, nullable = false))
+    rows.mapPartitions { it =>
+      val cents = bc.value
+      it.map { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        // row norm is constant across cells ⇒ argmax dot = argmax
+        // cosine; strict `>` keeps the first (smallest) cell on ties,
+        // matching the literal path's struct ordering
+        var best = 0
+        var bestD = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          var s = 0.0
+          var j = 0
+          while (j < v.length) { s += v(j) * c(j); j += 1 }
+          if (s > bestD) { bestD = s; best = i }
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ best)
+      }
+    }(Encoders.row(out))
+  }
 
   private def argmaxCell(cs: Seq[Seq[Double]]): Column =
     -greatest(cs.zipWithIndex.map { case (c, i) =>
@@ -343,33 +404,37 @@ object Similarity {
 
   /** Centroid relation (cell, cv, cnrm=1) for the tiny probe-side join. */
   private def ivfCentroidDf(spark: SparkSession, dir: String,
-      iters: Int): DataFrame = {
+      iters: Int, kOverride: Int = 0): DataFrame = {
     import spark.implicits._
-    centroidArrays(spark, dir, iters).zipWithIndex
+    centroidArrays(spark, dir, iters, kOverride).zipWithIndex
       .map { case (c, i) => (i, c) }
       .toDF("cell", "cv")
       .withColumn("cnrm", lit(1.0))
   }
 
   /** Corpus with its IVF cell assignment (max-cosine centroid) —
-    * map-only: literal-centroid argmax, no join, no shuffle.
+    * map-only, no join, no shuffle at any k (see [[assignCells]]).
     */
   def ivfAssigned(spark: SparkSession, dir: String,
-      iters: Int = KMeansIters): DataFrame =
-    vectors(spark, dir)
-      .withColumn("cell", argmaxCell(centroidArrays(spark, dir, iters)))
+      iters: Int = KMeansIters, kOverride: Int = 0): DataFrame =
+    assignCells(spark, vectors(spark, dir),
+      centroidArrays(spark, dir, iters, kOverride))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
 
-  /** Query probe set: each query's NProbe nearest cells. */
+  /** Query probe set: each query's nProbeFor(k) nearest cells. */
   def ivfProbes(spark: SparkSession, dir: String,
-      iters: Int = KMeansIters): DataFrame =
-    ivfProbesWith(spark, dir, ivfCentroidDf(spark, dir, iters))
+      iters: Int = KMeansIters, kOverride: Int = 0): DataFrame =
+    ivfProbesWith(spark, dir, ivfCentroidDf(spark, dir, iters, kOverride))
 
   /** Probe ranking against an explicit centroid relation (cell, cv,
-    * cnrm) — the stored-quantizer path for on-disk indexes.
+    * cnrm) — the stored-quantizer path for on-disk indexes. The probe
+    * count tracks the quantizer's OWN granularity ([[nProbeFor]] of
+    * its cell count — index metadata, KBs at any corpus size), so a
+    * 65536-cell index probes √k cells, not a constant 4.
     */
   def ivfProbesWith(spark: SparkSession, dir: String,
       cents: DataFrame): DataFrame = {
+    val nprobe = nProbeFor(cents.count().toInt)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell"))
     vectors(spark, dir).filter(col("vec_id").isInCollection(QueryIds))
@@ -378,7 +443,7 @@ object Similarity {
       .join(broadcast(cents))
       .withColumn("ccos", expr("dot_d(cv, qv)") / (col("qnrm") * col("cnrm")))
       .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
+      .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
   }
 
@@ -605,16 +670,33 @@ object Similarity {
     * Spark reader gets the pruning for free).
     */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    ivfAssigned(spark, dir)
-      .write.partitionBy("cell").mode("overwrite").parquet(indexPath)
+    val assigned = ivfAssigned(spark, dir).localCheckpoint()
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(indexPath)
     // persist the coarse quantizer WITH the index (the underscore
     // prefix hides it from data-file discovery): probes and appends
     // must use the exact centroids the index was built with — a
     // recompute from a since-changed corpus would silently re-route
-    // cells and break partition pruning's correctness
-    ivfCentroidDf(spark, dir, KMeansIters)
+    // cells and break partition pruning's correctness. Each centroid
+    // row also records its BUILD-TIME assignment quality (member
+    // count + avg cosine-to-centroid): the yardstick appendIvfIndex
+    // measures drift against.
+    val cents = ivfCentroidDf(spark, dir, KMeansIters)
+    val quality = assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("cos", expr("dot_d(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("build_n"), avg(col("cos")).as("build_avg_cos"))
+    cents.join(quality, Seq("cell"), "left")
       .write.mode("overwrite").parquet(s"$indexPath/_quantizer")
   }
+
+  /** Drift beyond which [[appendIvfIndex]] recommends retraining a
+    * cell's quantizer: appended members sitting this much further
+    * (in avg cosine) from their centroid than the build-time members
+    * did means the cell no longer describes its data — time to re-run
+    * Lloyd's and rebuild (and if the CORPUS grew past
+    * numCellsFor(n)'s current answer, rebuild at the new k).
+    */
+  val DriftRetrainTolerance = 0.05
 
   /** Incremental index maintenance — §7b: append a batch of new
     * vectors WITHOUT retraining the quantizer. Assign-only: the
@@ -633,11 +715,12 @@ object Similarity {
       .select(col("cell"), col("cv")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).map(_._2).toSeq
-    val assigned = newVectors
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
-      .withColumn("cell", argmaxCell(cs))
+    val assigned = assignCells(spark,
+      newVectors
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(expr("dot_d(v, v)"))),
+      cs)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .localCheckpoint() // pin: written below AND reported on
     assigned.write.partitionBy("cell").mode("append").parquet(indexPath)
@@ -645,7 +728,14 @@ object Similarity {
     assigned.join(broadcast(centDf), Seq("cell"))
       .withColumn("cos", expr("dot_d(v, cv)") / (col("nrm") * col("cnrm")))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_appended"), avg(col("cos")).as("avg_cos"))
+      .agg(count(lit(1)).as("n_appended"), avg(col("cos")).as("avg_cos"),
+        first(col("build_avg_cos")).as("build_avg_cos"))
+      // the named re-train trigger: appended members drifted beyond
+      // [[DriftRetrainTolerance]] of the build-time fit (a cell the
+      // build never populated has no yardstick — retrain on sight)
+      .withColumn("retrain",
+        col("build_avg_cos").isNull ||
+          col("avg_cos") < col("build_avg_cos") - lit(DriftRetrainTolerance))
       .orderBy(col("cell"))
   }
 

@@ -214,6 +214,66 @@ class CurationSpec extends SparkSpec {
       "eval_doc", "rep_reject", "contaminated", "over_cap", "kept")))
   }
 
+  test("q100 cut spans: bit-equal to a local brute force on planted overlaps") {
+    import spark.implicits._
+    // A/B share a 14-token run (cross-doc); C is unique; D repeats a
+    // 12-token phrase internally (both copies must cut); E shares only
+    // 4 tokens with A — below the 5-gram width, invisible by design
+    val shared = (1 to 14).map(i => s"dup$i").mkString(" ")
+    val phrase = (1 to 12).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a0 a1 a2 $shared a3 a4 a5"),
+      (1L, s"b0 $shared b1 b2 b3 b4 b5 b6"),
+      (2L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+      (3L, s"d0 $phrase d1 d2 $phrase d3"),
+      (4L, "e0 dup1 dup2 dup3 dup4 e1 e2 e3 e4 e5 e6")
+    ).toDF("doc_id", "text")
+    val got = Curation.cutSpansOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // reference implementation, brute force: count every 5-gram's
+    // corpus occurrences in a local map, mark duplicated window
+    // starts, merge consecutive starts into islands, keep length ≥ 10
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    toks.values.foreach { w =>
+      w.sliding(5).filter(_.size == 5)
+        .foreach(g => occ(g.mkString(" ")) = occ.getOrElse(g.mkString(" "), 0) + 1)
+    }
+    val want = toks.flatMap { case (id, w) =>
+      val dupStarts = w.sliding(5).zipWithIndex
+        .collect { case (g, i) if g.size == 5 && occ(g.mkString(" ")) >= 2 =>
+          i + 1 }
+        .toSeq
+      val islands = dupStarts.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p.toLong) :: rest
+        case (acc, p) => (p.toLong, p.toLong) :: acc
+      }.reverse
+      islands.map { case (s, e) => (id, s, e + 4, e + 4 - s + 1) }
+        .filter(_._4 >= Curation.CutMinTokens)
+    }.toSet
+    assert(got === want)
+    // the planted structure is actually exercised: A and B carry the
+    // shared run, D carries BOTH phrase copies, C and E are silent
+    assert(got.map(_._1) === Set(0L, 1L, 3L))
+    assert(got.count(_._1 == 3L) === 2)
+    // Lee '21 acceptance: re-scanning the cleaned corpus finds no
+    // duplicated span ≥ minLen anywhere
+    val cleaned = Curation.cleanedDocuments(docs)
+    assert(Curation.cutSpansOn(cleaned).isEmpty,
+      "cleaned corpus still contains duplicated spans")
+    // untouched docs round-trip verbatim; cut docs lost exactly their
+    // spans' tokens
+    val after = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(2L) === toks(2L).mkString(" "))
+    assert(after(4L) === toks(4L).mkString(" "))
+    val cutTokens = got.toSeq.filter(_._1 == 0L).map(_._4).sum
+    assert(after(0L).trim.split("\\s+").length ===
+      toks(0L).length - cutTokens)
+  }
+
   test("q47 weights are a proper tempered distribution") {
     val rows = Curation.q47(spark, sf).collect()
     assert(rows.length > 1)

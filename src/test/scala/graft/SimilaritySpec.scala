@@ -176,6 +176,120 @@ class SimilaritySpec extends SparkSpec {
       s"budget=$budget recall ${recall(adaptive)} < 1-cell ${recall(oneCell)}")
   }
 
+  test("numCellsFor: corpus-derived granularity — floor, linear middle, clamp") {
+    assert(Similarity.numCellsFor(1L) === 16)
+    assert(Similarity.numCellsFor(16L * 1024) === 16)
+    assert(Similarity.numCellsFor(1L << 20) === 1024)
+    assert(Similarity.numCellsFor(1_000_000_000L) === 65536) // clamp
+    // monotone non-decreasing so growth never SHRINKS an index
+    val pts = Seq(1L, 20000L, 1L << 17, 1L << 20, 1L << 30, 1L << 40)
+      .map(Similarity.numCellsFor)
+    assert(pts === pts.sorted)
+  }
+
+  test("IVF at two granularities: recall, probe scaling, repeatability at k=16 and k=32") {
+    val exact = topk(Similarity.q40(spark, sf))
+    for (k <- Seq(16, 32)) {
+      val run1 = Similarity.q42(spark, sf, kOverride = k)
+        .collect().map(_.toSeq).toSeq
+      val run2 = Similarity.q42(spark, sf, kOverride = k)
+        .collect().map(_.toSeq).toSeq
+      assert(run1 === run2, s"k=$k not repeatable")
+      val ivf = topk(Similarity.q42(spark, sf, kOverride = k))
+      ivf.foreach { case (_, ids) => assert(ids.size === Similarity.K) }
+      val recalls = exact.map { case (q, ids) =>
+        ivf.get(q)
+          .map(a => a.toSet.intersect(ids.toSet).size.toDouble / ids.size)
+          .getOrElse(0.0)
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.2, s"k=$k mean recall@10 = $mean")
+      // the quantizer actually has k distinct granularity: cells used
+      // stays within (k/2, k] on this corpus — a constant-16 quantizer
+      // masquerading at k=32 would fail the lower bound
+      val used = Similarity.ivfAssigned(spark, sf, kOverride = k)
+        .select("cell").distinct().count()
+      assert(used > k / 2 && used <= k, s"k=$k uses $used cells")
+      // probes track granularity: nProbe = max(4, round(√k))
+      val expectProbes = math.max(4, math.round(math.sqrt(k.toDouble)).toInt)
+      val probesPerQuery = Similarity.ivfProbes(spark, sf, kOverride = k)
+        .groupBy("query_id").count().collect().map(_.getAs[Long]("count"))
+      assert(probesPerQuery.forall(_ === expectProbes),
+        s"k=$k probes ${probesPerQuery.toSeq} != $expectProbes")
+    }
+  }
+
+  test("assignCells: broadcast arm bit-equal to literal-codegen arm on the stored quantizer") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_eq").toString
+    Similarity.buildIvfIndex(spark, sf, idx)
+    val cs = spark.read.parquet(s"$idx/_quantizer")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    assert(cs.size <= Similarity.LiteralAssignMaxCells,
+      "fixture no longer exercises the literal arm")
+    val base = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val litArm = cells(Similarity.assignCells(spark, base, cs))
+    val bcArm = cells(Similarity.assignCellsBroadcast(spark, base, cs))
+    assert(litArm === bcArm,
+      "dispatch arms disagree — threshold changes would change results")
+  }
+
+  test("append drift report: clones keep cells healthy, drifted batch trips the retrain trigger") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    Similarity.buildIvfIndex(spark, sf, idx)
+    // batch 1: exact clones of the WHOLE corpus — each lands in its
+    // source's cell, so per-cell avg_cos equals build_avg_cos exactly
+    // and no cell may demand a retrain
+    val clones = Tables(spark, sf, "embeddings")
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val healthy = Similarity.appendIvfIndex(spark, idx, clones).collect()
+    assert(healthy.nonEmpty)
+    assert(healthy.forall(!_.getAs[Boolean]("retrain")),
+      s"clone append tripped retrain: ${healthy.filter(_.getAs[Boolean]("retrain")).toSeq.take(3)}")
+    // batch 2: vectors orthogonalized against EVERY centroid (Gram-
+    // Schmidt against the stored quantizer) — cosine ≈ 0 to whatever
+    // cell the argmax lands them in, far below any build-time fit, so
+    // every touched cell must flag retrain
+    val cs = spark.read.parquet(s"$idx/_quantizer")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val dims = cs.head.length
+    val rng = new scala.util.Random(7)
+    val drifted = (0 until 50).map { i =>
+      var v = Array.fill(dims)(rng.nextGaussian())
+      // repeated Gram-Schmidt sweeps: one pass against non-orthogonal
+      // centroids leaves residuals, iteration drives them to ~0
+      for (_ <- 0 until 4) cs.foreach { c =>
+        val cn = c.map(x => x * x).sum
+        val proj = v.zip(c).map { case (a, b) => a * b }.sum / cn
+        v = v.zip(c).map { case (a, b) => a - proj * b }
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (600000L + i, v.map(_ / n).toSeq)
+    }
+    import spark.implicits._
+    val driftedDf = drifted.toDF("vec_id", "embedding")
+    val report = Similarity.appendIvfIndex(spark, idx, driftedDf).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_cos")) < 0.2,
+        s"orthogonalized batch not orthogonal: $r")
+      assert(r.getAs[Boolean]("retrain"),
+        s"drifted cell not flagged for retrain: $r")
+    }
+  }
+
   test("q42 quantizer: k-means refinement beats the seed at equal probes") {
     val exact = topk(Similarity.q40(spark, sf))
     def recall(iters: Int): Double = {

@@ -12,6 +12,8 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // match GraftSession: tz-less parquet timestamps are UTC instants
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

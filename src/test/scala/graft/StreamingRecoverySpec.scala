@@ -34,14 +34,12 @@ class StreamingRecoverySpec extends SparkSpec {
     Files.move(part, dest)
   }
 
-  /** Raw events with ts still in epoch-nanos longs (the on-disk form,
-    * so re-written splits look exactly like the original table to the
-    * streaming source).
+  /** Events with ts normalized to TIMESTAMP (whatever the on-disk
+    * physical type — [[Tables]] owns that mapping). Re-written splits
+    * then carry TIMESTAMP, which [[EventStreams.sourceFrom]] passes
+    * through unchanged.
     */
-  private def rawEvents: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet")
-  }
+  private def rawEvents: DataFrame = Tables(spark, sf, "events")
 
   /** Run a streaming DF to parquet-out via foreachBatch until drained,
     * then stop. Returns the rows landed in `out` by THIS run.
@@ -97,7 +95,7 @@ class StreamingRecoverySpec extends SparkSpec {
         .orderBy(col("n_events").desc, col("user_id")).limit(1)
         .collect().head
       val splitUs = (longest.getAs[Long]("s") + longest.getAs[Long]("e")) / 2
-      writeOne(ev.filter(col("ts") <= splitUs * 1000L),
+      writeOne(ev.filter(unix_micros(col("ts")) <= splitUs),
         srcDir.resolve("events_1.parquet"))
 
       def stream(schemaFile: Path) = EventStreams.sessionizeOn(spark,
@@ -116,7 +114,7 @@ class StreamingRecoverySpec extends SparkSpec {
         "HDFS-provider .delta files present — RocksDB provider not in effect")
 
       // second half lands; a NEW query resumes from the checkpoint
-      writeOne(ev.filter(col("ts") > splitUs * 1000L),
+      writeOne(ev.filter(unix_micros(col("ts")) > splitUs),
         srcDir.resolve("events_2.parquet"))
       val out2 = tmp.resolve("out2").toString
       val run2 = runOnce(stream(srcDir.resolve("events_1.parquet")),
@@ -149,9 +147,10 @@ class StreamingRecoverySpec extends SparkSpec {
       val ckpt = tmp.resolve("ckpt").toString
       val ev = rawEvents
 
-      val splitTs = ev.selectExpr("percentile_approx(ts, 0.5) AS m")
+      val splitUs = ev
+        .selectExpr("percentile_approx(unix_micros(ts), 0.5) AS m")
         .collect().head.getLong(0)
-      val half1 = ev.filter(col("ts") <= splitTs)
+      val half1 = ev.filter(unix_micros(col("ts")) <= splitUs)
       writeOne(half1, srcDir.resolve("events_1.parquet"))
 
       def stream(schemaFile: Path) = EventStreams.dedupOn(
@@ -162,12 +161,12 @@ class StreamingRecoverySpec extends SparkSpec {
         ckpt, out1, Seq("event_id"))
 
       // second half + replays of the NEWEST pre-kill events (their ids
-      // are inside the 2h dedup watermark at the kill point — splitTs
+      // are inside the 2h dedup watermark at the kill point — splitUs
       // is half1's max ts — so only recovered state can suppress them)
       val replays = half1
-        .filter(col("ts") > splitTs - 2L * 3600 * 1000 * 1000000L)
+        .filter(unix_micros(col("ts")) > splitUs - 2L * 3600 * 1000000L)
         .limit(50)
-      writeOne(ev.filter(col("ts") > splitTs).unionAll(replays),
+      writeOne(ev.filter(unix_micros(col("ts")) > splitUs).unionAll(replays),
         srcDir.resolve("events_2.parquet"))
       val out2 = tmp.resolve("out2").toString
       val run2 = runOnce(stream(srcDir.resolve("events_1.parquet")),
