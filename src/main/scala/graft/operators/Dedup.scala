@@ -635,6 +635,70 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Incremental connected-components label maintenance — the dedup
+    * twin of [[Similarity.appendIvfIndex]] / [[semDedupIncrement]]:
+    * fold a BATCH of newly discovered near-dup pairs (a daily q37
+    * run emits new-vs-new and new-vs-standing edges; standing-vs-
+    * standing pairs cannot arise from a batch) into STANDING q35 /
+    * [[ccLargeSmallStar]] labels without rerunning CC on the corpus.
+    *
+    * `standing` must carry min-id labels — (doc_id, cluster_id) with
+    * cluster_id = the component's minimum doc_id, which is exactly
+    * what q35 and cc_star produce. Correctness of contraction follows
+    * from that invariant: replacing each batch endpoint by its
+    * standing label keeps every component minimum (the root IS the
+    * standing component's minimum), so CC over the contracted
+    * batch-sized graph yields the same minima as a full recompute
+    * over corpus ∪ batch.
+    *
+    * Scale shape: the standing label table is scanned ONCE with a
+    * broadcast semi-join (batch endpoint set) to pull batch-relevant
+    * labels, CC runs on the contracted graph (batch-sized, O(log)
+    * star rounds), and the standing update is a broadcast root→label
+    * map applied map-side — the corpus-sized relation is never
+    * shuffled and never joined against itself. Daily cost scales
+    * with the batch, exactly like [[Similarity.appendIvfIndex]].
+    */
+  def ccIncrement(standing: DataFrame, newDocs: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val pairs = newPairs.toDF("a", "b").localCheckpoint()
+    val eps = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+    // batch-sized slice of standing labels (one corpus scan, pruned
+    // map-side by the broadcast endpoint set)
+    val epLabels = standing.toDF("doc_id", "cluster_id")
+      .join(broadcast(eps), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // contract endpoints onto their standing roots (new docs stand as
+    // themselves); both attach joins are broadcasts of batch-sized
+    // label slices
+    val contracted = pairs
+      .join(broadcast(epLabels.select(col("doc_id").as("a"),
+        col("cluster_id").as("ca"))), Seq("a"), "left")
+      .join(broadcast(epLabels.select(col("doc_id").as("b"),
+        col("cluster_id").as("cb"))), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("x"),
+        coalesce(col("cb"), col("b")).as("y"))
+    // (contracted node → merged component minimum), batch-sized
+    val merged = ccLargeSmallStar(contracted).localCheckpoint()
+    // standing docs re-label through their ROOT: only roots that took
+    // part in a merge appear in the map, so the update is a map-side
+    // broadcast join over the standing scan
+    val rootMap = merged
+      .select(col("node").as("cluster_id"), col("comp").as("new_cluster"))
+    val standingUpdated = standing.toDF("doc_id", "cluster_id")
+      .join(broadcast(rootMap), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+    // new docs: merged label if any pair touched them, else singleton
+    val newLabels = newDocs.toDF("doc_id")
+      .join(broadcast(merged.select(col("node").as("doc_id"),
+        col("comp"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    standingUpdated.unionAll(newLabels)
+  }
+
   /** Shared oracle prefix: transitive closure over the q31 pair graph
     * as a recursive CTE, `comp` = (doc_id, cluster_id = min reachable).
     */
@@ -774,7 +838,15 @@ object Dedup {
       .select(col("doc_id").as("bid"), col("n").as("nb"), col("h"))
     val shC = sh.filter(!isBatch)
       .select(col("doc_id").as("cid"), col("n").as("nc"), col("h"))
-    val nearIds = shB.join(shC, Seq("h"))
+    // the boundary join is keyed on the shingle, and natural text has
+    // guaranteed hot shingles (stop-word grams present in most docs)
+    // that concentrate the corpus side's postings into single shuffle
+    // partitions AQE cannot split further — salt the corpus side
+    // (Skew.saltedJoin: hot h spreads over `salts` sub-keys; the
+    // BATCH side replicates, which is batch-sized by definition).
+    // Row-for-row equivalent to shB.join(shC, "h"), spec-asserted
+    // under a planted hot key in ScaleSpec.
+    val nearIds = Skew.saltedJoin(shC, shB, "h", salts = 8)
       .groupBy(col("bid"), col("nb"), col("cid"), col("nc"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double")

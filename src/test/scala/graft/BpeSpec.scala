@@ -61,6 +61,63 @@ class BpeSpec extends SparkSpec {
       "distributed loop diverged from the local path")
   }
 
+  test("32k merges (production vocabulary scale): bounded wall-clock, stable 1k prefix, " +
+      "reference-equal head, table round-trips through the tokenizer") {
+    // synthetic Zipf vocabulary with enough symbol mass to sustain a
+    // production-scale merge count (measured yield on random text is
+    // ~0.45 merges per symbol; 12k words × ~9.5 chars ≈ 114k symbols
+    // ⇒ ~51k sustainable merges, comfortably > 32k)
+    val rng = new scala.util.Random(13)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val vocab: Map[String, Long] = (0 until 12000).map { i =>
+      val len = 7 + rng.nextInt(6)
+      val w = (0 until len).map(_ => letters(rng.nextInt(26))).mkString
+      w -> math.max(1L, 10000L / (i + 1))
+    }.toMap
+    val symSeqs = vocab.toSeq.map { case (w, f) =>
+      ((w.map(_.toString): Seq[String]) :+ Bpe.Eow, f)
+    }
+    val n = 32000
+    val t0 = System.nanoTime()
+    val table = Bpe.localTrain(symSeqs, n)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"32k-merge training: ${table.size} merges in $secs%.1f s")
+    assert(table.size === n,
+      s"vocabulary exhausted at ${table.size} of $n merges")
+    assert(secs < 300.0, f"merge loop took $secs%.1f s")
+    // ranks are a contiguous 0.. sequence and merges are unique
+    assert(table.map(_._1) === (0L until n.toLong))
+    assert(table.map(t => (t._2, t._3)).distinct.size === n,
+      "a pair was merged twice")
+    // prefix stability: deeper training never rewrites the head —
+    // this is what makes incremental pair-count bookkeeping
+    // trustworthy at production depth
+    assert(Bpe.localTrain(symSeqs, 1000) === table.take(1000))
+    // head bit-equal to the O(rounds×vocab) from-scratch reference
+    assert(Bpe.referenceTrain(vocab, 200) === table.take(200))
+    // the 32k-entry table round-trips through the (batch-shaped)
+    // streaming tokenizer: losslessness and count consistency on
+    // docs drawn from the trained vocabulary
+    import spark.implicits._
+    val sample = vocab.keys.toSeq.sorted.take(60)
+    val docs = sample.grouped(12).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val toked = graft.streaming.DocStreams.tokenizeOn(spark, docs, table)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    sample.grouped(12).zipWithIndex.foreach { case (ws, i) =>
+      val (nWords, nTok) = toked(i.toLong)
+      assert(nWords === ws.length)
+      val direct = ws.map(w => Bpe.encodeWord(w, table)).toSeq
+      assert(nTok === direct.map(_.length.toLong).sum)
+      // lossless: tokens concatenate back to the word + sentinel
+      ws.zip(direct).foreach { case (w, toks) =>
+        assert(toks.mkString === w + Bpe.Eow)
+      }
+    }
+  }
+
   /** Independent greedy encoder: repeatedly merge the lowest-rank
     * adjacent pair present — the textbook BPE inference formulation,
     * structurally different from encodeWord's rank-order sweep.

@@ -516,6 +516,43 @@ class DedupSpec extends SparkSpec {
     assert(clustered > 0L, "expected non-trivial clusters in the corpus")
   }
 
+  test("ccIncrement: labels after a batch increment equal the full recompute, at batch cost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // standing graph: {1,2,3}, {5,6}, {10,11,12} plus isolated 8
+    val standingEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L),
+      (11L, 12L)).toDF("a", "b")
+    val standing = Dedup.ccLargeSmallStar(standingEdges)
+      .toDF("doc_id", "cluster_id")
+      .unionAll(Seq((8L, 8L)).toDF("doc_id", "cluster_id"))
+      .localCheckpoint()
+    // batch: 20 bridges components 1 and 5; 21 isolated; 22–23 pair
+    // only with each other; 24 attaches to standing 10's component
+    val newDocs = Seq(20L, 21L, 22L, 23L, 24L).toDF("doc_id")
+    val batchPairs = Seq((20L, 3L), (20L, 6L), (22L, 23L), (24L, 12L))
+      .toDF("a", "b")
+    val got = Dedup.ccIncrement(standing, newDocs, batchPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recompute over corpus ∪ batch (isolated nodes appended)
+    val full = Dedup.ccLargeSmallStar(
+      standingEdges.unionAll(batchPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ++
+      Map(8L -> 8L, 21L -> 21L)
+    assert(got === full)
+    // the planted merges actually happened
+    assert(got(5L) === 1L && got(6L) === 1L && got(20L) === 1L)
+    assert(got(22L) === 22L && got(23L) === 22L)
+    assert(got(24L) === 10L)
+    assert(got(8L) === 8L && got(21L) === 21L)
+    // batch-sized cost: the output plan never shuffle-joins the
+    // standing relation — every attach is a broadcast
+    val plan = Dedup.ccIncrement(standing, newDocs, batchPairs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"standing relation was shuffle-joined:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("imperative minhash band keys are bit-equal to the SQL band-key relation") {
     // the streaming near-dup twin relies on the per-row imperative
     // pipeline producing EXACTLY the batch SQL's band keys — same

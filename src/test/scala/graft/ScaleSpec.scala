@@ -97,6 +97,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted join spreads a planted hot key across partitions where the plain join cannot") {
+    import spark.implicits._
+    // q37's boundary-join shape: corpus postings with ONE hot shingle
+    // present in every doc (the stop-gram case), batch postings small
+    val hot = -1L
+    val corpus = ((1 to 2000).map(i => (i.toLong, hot)) ++
+      (1 to 2000).map(i => (i.toLong, i.toLong)))
+      .toDF("cid", "h")
+    val batch = Seq((9001L, hot), (9002L, hot), (9002L, 17L)).toDF("bid", "h")
+    def hotSpread(joined: org.apache.spark.sql.DataFrame): Long = joined
+      .filter(col("h") === hot)
+      .select(spark_partition_id().as("pid")).distinct().count()
+    // measure the SHUFFLE placement: AQE's small-partition coalescing
+    // would legitimately fuse this toy volume back into one partition,
+    // hiding exactly the thing under test
+    val restore = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val plainSpread = hotSpread(corpus.join(batch, Seq("h")))
+      val saltedSpread = hotSpread(Skew.saltedJoin(corpus, batch, "h", salts = 8))
+      assert(plainSpread === 1L,
+        s"fixture broken: plain join spread the hot key over $plainSpread partitions")
+      assert(saltedSpread >= 3L,
+        s"salted join left the hot key in $saltedSpread partitions")
+      // row-for-row equivalence under the planted skew
+      val a = corpus.join(batch, Seq("h")).groupBy("cid", "bid").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val b = Skew.saltedJoin(corpus, batch, "h", salts = 8)
+        .groupBy("cid", "bid").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(a === b)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("keyHistogram surfaces the heaviest keys in order") {
     val h = Skew.keyHistogram(Tables(spark, sf, "lineitem"), "l_suppkey", 5)
       .collect()
