@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Dedup}
+import graft.streaming.DocStreams
+
+/** sf1 (10× the driver's largest SF) soak for the live-ingest
+  * screens: the corpus-side artifacts — the band-bucket Bloom and the
+  * trained merge table — are built from the sf1 corpus, and a
+  * document stream is scored against them. The claims under test are
+  * the 100×-scaling ones: the artifacts stay broadcast-sized, the
+  * screens stay stateless, and ingest throughput holds while the
+  * corpus behind the artifact grows 10×.
+  *
+  * Cancels (not fails) when `local/sf1` is absent — regenerate with
+  * `python3 tools/gen_sf1.py` (derived from the driver's sf0.1).
+  */
+class Sf1SoakSpec extends SparkSpec {
+
+  private val sf1 = "/root/repo/local/sf1"
+  private def sf1Present =
+    new java.io.File(s"$sf1/documents.parquet").exists()
+
+  test("sf1 soak: near-dup screen against the sf1 corpus Bloom — broadcast-sized, stateless, keeps up") {
+    assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
+    val t0 = System.nanoTime()
+    // fpp 1e-6 as in the planted spec: band hits must be exact enough
+    // that corpus members read 16/16 and novels 0/16
+    val bloom = Dedup.bandBucketBloom(spark, sf1, 1e-6)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val mb = bloom.bitSize() / 8.0 / 1e6
+    info(f"sf1 band Bloom: $mb%.1f MB, built in $buildSecs%.1f s")
+    // the artifact the 100 TB story broadcasts must stay broadcastable
+    assert(bloom.bitSize() / 8 < 64L * 1024 * 1024,
+      f"sf1 Bloom is $mb%.1f MB — no longer broadcast territory")
+
+    // stream = 2000 standing docs (self-clones: every band present)
+    // + 50 novel docs (fresh vocabulary: zero band hits w.h.p.)
+    val streamDir = Files.createTempDirectory("graft_sf1_ndup").toString
+    import spark.implicits._
+    val novel = (1 to 50).map(i =>
+      (900000000L + i, (1 to 40).map(j => s"nv${i}_$j").mkString(" "),
+        "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    spark.read.parquet(s"$sf1/documents.parquet")
+      .limit(2000).unionByName(novel, allowMissingColumns = true)
+      .coalesce(4)
+      .write.parquet(s"$streamDir/documents.parquet")
+    val src = DocStreams.source(spark,
+      s"$streamDir/documents.parquet", s"$streamDir/documents*.parquet")
+    val s0 = System.nanoTime()
+    val q = DocStreams.nearDupOn(spark, src, bloom)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sf1_ndup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "near-dup stream must keep no state")
+    } finally q.stop()
+    val soakSecs = (System.nanoTime() - s0) / 1e9
+    val rows = spark.sql(
+      "SELECT doc_id, n_bands, bands_hit, near_dup FROM sf1_ndup_out")
+      .collect()
+    assert(rows.length === 2050)
+    info(f"near-dup screen: ${rows.length} docs in $soakSecs%.1f s " +
+      f"(${rows.length / soakSecs}%.0f docs/s)")
+    assert(soakSecs < 300.0, f"soak took $soakSecs%.1f s for 2050 docs")
+    // every standing doc with a signature is its own corpus clone —
+    // all bands hit; novel docs never flag
+    val standing = rows.filter(_.getLong(0) < 900000000L)
+      .filter(_.getInt(1) > 0)
+    assert(standing.length > 1500, s"only ${standing.length} signatures")
+    standing.foreach { r =>
+      assert(r.getInt(2) === r.getInt(1) && r.getBoolean(3),
+        s"corpus member not self-flagged: $r")
+    }
+    rows.filter(_.getLong(0) >= 900000000L).foreach { r =>
+      assert(!r.getBoolean(3), s"novel doc flagged near-dup: $r")
+    }
+  }
+
+  test("sf1 soak: streaming tokenizer with sf1-trained merges — stateless, matches direct encode, keeps up") {
+    assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainCached(spark, sf1, 30)
+    info(f"sf1 merge table trained in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(merges.size === 30)
+    val streamDir = Files.createTempDirectory("graft_sf1_tok").toString
+    spark.read.parquet(s"$sf1/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(2000).coalesce(4)
+      .write.parquet(s"$streamDir/documents.parquet")
+    val src = DocStreams.source(spark,
+      s"$streamDir/documents.parquet", s"$streamDir/documents*.parquet")
+    val s0 = System.nanoTime()
+    val q = DocStreams.tokenizeOn(spark, src, merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sf1_tok_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "tokenize stream must keep no state")
+    } finally q.stop()
+    val soakSecs = (System.nanoTime() - s0) / 1e9
+    val live = spark.sql(
+      "SELECT doc_id, n_words, n_tokens FROM sf1_tok_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(live.size === 2000)
+    info(f"tokenizer: ${live.size} docs in $soakSecs%.1f s " +
+      f"(${live.size / soakSecs}%.0f docs/s)")
+    assert(soakSecs < 300.0, f"soak took $soakSecs%.1f s for 2000 docs")
+    // spot-check 100 docs against a direct driver-side encode
+    val sample = spark.read.parquet(s"$streamDir/documents.parquet")
+      .limit(100).collect().map(r => r.getLong(0) -> r.getString(1))
+    sample.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      val nTok = words.map(w => Bpe.encodeWord(w, merges).length.toLong).sum
+      assert(live(id) === ((words.length.toLong, nTok)),
+        s"doc $id diverges from direct encode")
+    }
+  }
+}
