@@ -572,7 +572,7 @@ object Curation {
     * by chance (~30⁻⁵ per aligned pair) but dense inside the planted
     * near-dup families, so the coverage signal separates cleanly.
     */
-  private val SpanN = 5
+  private[graft] val SpanN = 5
 
   /** Positional word [[SpanN]]-grams of one document — shared by the
     * batch q72 pass and the streaming dup-span twin so both score the

@@ -58,6 +58,59 @@ object DocStreams {
       .withColumn("flagged", col("dup_frac") > flagAt)
   }
 
+  /** Streaming exact-substring CUT SPANS — the LIVE twin of
+    * [[Curation.q100]] / [[Curation.cutSpansOn]]: each arriving
+    * document emits its duplicated-token intervals [start_pos,
+    * end_pos] (positions, not just a coverage score) against the
+    * STANDING corpus's gram Bloom ([[Curation.corpusGramBloom]], the
+    * same nightly artifact [[dupSpanOn]] uses) — the ingest-time form
+    * of the Lee '21 cut step: decide what to strip from a doc BEFORE
+    * admitting it, without touching the corpus.
+    *
+    * Scale shape: map-only, no join, no shuffle, NO state — the
+    * sketch rides the closure and per-doc work is linear in grams
+    * (island merge is a single left-to-right sweep over window
+    * starts). Same one-sided semantics as every Bloom twin: a
+    * present-gram test errs only positive (spurious/overlong spans ≤
+    * fpp in expectation, never a missed span), and membership is
+    * corpus-presence (df ≥ 1), not the batch operator's corpus-
+    * internal ≥ 2 occurrences — both deltas inherent to the live
+    * setting and documented, not hidden.
+    */
+  def cutSpanOn(spark: SparkSession, src: DataFrame, bloom: BloomFilter,
+      minLen: Int = Curation.CutMinTokens): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val gs = Curation.spanGramsOf(text)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        // islands of consecutive duplicated window starts (1-based),
+        // emitted when token length >= minLen — the same merge rule
+        // as the batch gaps-and-islands, computed in one sweep
+        var start = -1L
+        var last = -1L
+        def close(): Unit = if (start > 0) {
+          val end = last + Curation.SpanN - 1
+          val len = end - start + 1
+          if (len >= minLen) out += ((id, start, end, len))
+        }
+        var i = 0
+        while (i < gs.length) {
+          if (bloom.mightContainString(gs(i))) {
+            val pos = i + 1L
+            if (start < 0) { start = pos; last = pos }
+            else if (pos == last + 1) last = pos
+            else { close(); start = pos; last = pos }
+          }
+          i += 1
+        }
+        close()
+        out.iterator
+      }
+      .toDF("doc_id", "start_pos", "end_pos", "span_tokens")
+  }
+
   /** Streaming MinHash near-dup screen — the LIVE twin of
     * [[graft.operators.Dedup.q32]] (ingest-time continuation of the
     * §7b streaming set): each arriving document's LSH band keys are

@@ -168,6 +168,45 @@ class StreamingSpec extends SparkSpec {
     assert(got(12L) === ((4L, 1L, 0.25, false)), s"half-copy: ${got(12L)}")
   }
 
+  test("streaming cut spans emit the planted duplicated intervals with exact positions, stateless") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_cut_c").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cut_s").toString
+    val run = (1 to 14).map(i => s"dup$i").mkString(" ")
+    Seq((1L, s"c0 c1 $run c2 c3"),
+        (2L, (1 to 30).map(i => s"k$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$corpusDir/documents.parquet")
+    // fpp 1e-6: spurious islands can't flake the exact positions
+    val bloom = graft.operators.Curation.corpusGramBloom(spark, corpusDir, 1e-6)
+    Seq(
+      // carries the corpus run at token positions 3..16 → one island:
+      // duplicated window starts 3..12, end = 12 + 4
+      (10L, s"z0 z1 $run z2 z3 z4"),
+      // novel text: no island
+      (11L, (1 to 25).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$streamDir/documents.parquet")
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$streamDir/documents.parquet", s"$streamDir/documents*.parquet")
+    val q = graft.streaming.DocStreams.cutSpanOn(spark, src, bloom)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cut_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "cut-span stream must keep no state")
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, start_pos, end_pos, span_tokens FROM cut_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSet === Set((10L, 3L, 16L, 14L)),
+      s"streamed spans: ${got.toSeq}")
+  }
+
   test("streaming minhash near-dup screen flags corpus clones, passes novel docs, stateless") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
