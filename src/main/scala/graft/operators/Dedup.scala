@@ -1520,7 +1520,7 @@ object Dedup {
     */
   def q99(spark: SparkSession, dir: String, tau: Double = SemTau): DataFrame = {
     import spark.implicits._
-    // tiny (NumCells × dims) literal table, ships in the closure
+    // tiny (k × dims) literal table, ships in the closure
     val cents = Similarity.centroidArrays(spark, dir).map(_.toArray)
     Similarity.ivfAssigned(spark, dir)
       .select(col("cell"), col("vec_id"), col("v"), col("nrm"))

@@ -205,7 +205,7 @@ object Similarity {
     * for assignment. Queries probe their NProbe nearest cells and rank
     * candidates by exact cosine. At scale the assignment is a
     * write-once partitioning of the corpus (store `cell` as a
-    * partition column) and each query touches NProbe/NumCells of the
+    * partition column) and each query touches nprobe/k of the
     * data. Probabilistic recall ⇒ rows-only; SimilaritySpec measures
     * recall against exact q40 and the quantizer's balance vs the
     * unrefined seed.
@@ -271,16 +271,16 @@ object Similarity {
       .empty[(String, Int, Int), Seq[Seq[Double]]]
 
   /** Coarse-quantizer training: spherical k-means, driver-orchestrated
-    * but corpus-distributed. Seeds are the NumCells smallest vec_ids
+    * but corpus-distributed. Seeds are the k smallest vec_ids
     * (unit-normalized); each of `iters` Lloyd's rounds is ONE corpus
-    * scan — all NumCells cosines evaluate as literal-array dot
+    * scan — all k cosines evaluate as literal-array dot
     * products in codegen and the argmax picks the cell, so the only
-    * shuffle is NumCells×dims decimal partial sums. Per-dimension sums
+    * shuffle is k×dims decimal partial sums. Per-dimension sums
     * go through DECIMAL(28,12): decimal addition is exact and
     * associative, so the update — unlike float k-means — cannot be
     * perturbed by partitioning or aggregation order, and the trained
     * centroids are bit-identical on every run at every parallelism.
-    * The driver only ever sees the NumCells×(dims+1) aggregate row set.
+    * The driver only ever sees the k×(dims+1) aggregate row set.
     * Empty cells keep their previous centroid.
     */
   private[operators] def centroidArrays(spark: SparkSession, dir: String,
@@ -455,14 +455,14 @@ object Similarity {
     * candidates (the thing that costs), not in cells.
     *
     * No custom iterator needed: the per-cell population histogram is
-    * index metadata (NumCells rows — KBs at any corpus size; computed
+    * index metadata (k rows — KBs at any corpus size; computed
     * here with one narrow count aggregate), it broadcast-joins onto
     * the probe ranking, and a per-query cumulative-sum window over
     * that tiny relation keeps exactly the minimal ranked prefix whose
     * total meets the budget (`cum − size < budget`: a cell survives
     * only if the cells ranked before it haven't already met the
     * budget; rank 1 always survives). Everything runs on
-    * queries × NumCells rows — the corpus is untouched until the
+    * queries × k rows — the corpus is untouched until the
     * selected cells scan.
     */
   def ivfProbesAdaptive(spark: SparkSession, dir: String, budget: Long,
@@ -665,7 +665,7 @@ object Similarity {
 
   /** Materialize the IVF index on disk: the corpus written ONCE,
     * partitioned by cell — at 100 TB this is the difference between an
-    * ANN query scanning everything and scanning NProbe/NumCells of the
+    * ANN query scanning everything and scanning nprobe/k of the
     * data via plain partition pruning (no serving system needed; any
     * Spark reader gets the pruning for free).
     */
