@@ -13,11 +13,12 @@ import graft.Tables
   * top-k per query via window rank — at 1000 executors this is one
   * pass over the vectors with no shuffle of the big side.
   *
-  * q41 is the scale path: 16 deterministic random-hyperplane sign bits
-  * bucket the vectors; queries probe only their own bucket (plus
-  * hamming-1 neighbors), cutting the candidate set ~2¹⁶-fold at equal
-  * recall for high-similarity neighbors. Probabilistic ⇒ rows-only;
-  * SimilaritySpec measures recall vs q40.
+  * q41 is the scale path: 8 tables × 4 deterministic random-hyperplane
+  * sign bits bucket the vectors; a query probes its own bucket in
+  * every table and the per-table unions form the candidate set —
+  * ~16× fewer candidates per table with multi-table union holding
+  * recall. Probabilistic ⇒ rows-only; SimilaritySpec measures recall
+  * vs q40.
   */
 object Similarity {
 
