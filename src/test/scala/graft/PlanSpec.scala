@@ -106,6 +106,17 @@ class PlanSpec extends SparkSpec {
       s"gram relation shuffled twice:\n$p")
   }
 
+  test("q100: the positional-gram exchange is reused by the occurrence join") {
+    // same shape as q72: occurrences group by gram, the join back is
+    // keyed on gram — one gram shuffle, not two; islands then form on
+    // narrow (doc_id, pos) rows only
+    val df = graft.operators.Curation.q100(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("(reuse"),
+      s"gram relation shuffled twice:\n$p")
+  }
+
   test("q43: PQ candidate stage ranks on codes, vectors join only the shortlist") {
     val p = plan(Similarity.q43(spark, sf))
     // the corpus side reaches the approx ranking via broadcast probe
