@@ -670,8 +670,10 @@ object Similarity {
     * data via plain partition pruning (no serving system needed; any
     * Spark reader gets the pruning for free).
     */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val assigned = ivfAssigned(spark, dir).localCheckpoint()
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      kOverride: Int = 0): Unit = {
+    val assigned = ivfAssigned(spark, dir, KMeansIters, kOverride)
+      .localCheckpoint()
     assigned.write.partitionBy("cell").mode("overwrite").parquet(indexPath)
     // persist the coarse quantizer WITH the index (the underscore
     // prefix hides it from data-file discovery): probes and appends
@@ -681,7 +683,7 @@ object Similarity {
     // row also records its BUILD-TIME assignment quality (member
     // count + avg cosine-to-centroid): the yardstick appendIvfIndex
     // measures drift against.
-    val cents = ivfCentroidDf(spark, dir, KMeansIters)
+    val cents = ivfCentroidDf(spark, dir, KMeansIters, kOverride)
     val quality = assigned.join(broadcast(cents), Seq("cell"))
       .withColumn("cos", expr("dot_d(v, cv)") / (col("nrm") * col("cnrm")))
       .groupBy(col("cell"))

@@ -83,6 +83,55 @@ class Sf1SoakSpec extends SparkSpec {
     }
   }
 
+  test("sf1 on-disk IVF index: broadcast-arm build at 300 cells, pruned probes, append drift report") {
+    assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
+    import graft.operators.Similarity
+    // no local corpus is big enough to cross the 256-literal cap
+    // naturally (sf1 = 20k vectors → 20 cells), so the index builds
+    // at an explicit k above it: every assignment in the build — 5
+    // Lloyd's rounds + the final write — runs the TorrentBroadcast
+    // arm, and probe/append work against the stored 300-cell quantizer
+    val k = 300
+    assert(k > Similarity.LiteralAssignMaxCells)
+    val idx = Files.createTempDirectory("graft_sf1_ivf").toString
+    val t0 = System.nanoTime()
+    Similarity.buildIvfIndex(spark, sf1, idx, kOverride = k)
+    info(f"sf1 index ($k cells): built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val allCells = spark.read.parquet(idx).select("cell").distinct().count()
+    // k-means may leave a few cells empty; the partitioned layout
+    // must still carry the large-k granularity
+    assert(allCells > 200 && allCells <= k, s"$allCells populated cells")
+    val probed = Similarity.probeIvfIndex(spark, sf1, idx)
+    val scanned = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f.selectedPartitions.partitionCount
+    }.head
+    // 5 queries × √k probes of ~489 cells — the scan must touch a
+    // small fraction of the index, that's what the partitioning buys
+    assert(scanned < allCells / 2,
+      s"probe scanned $scanned of $allCells partitions")
+    val rows = probed.collect()
+    assert(rows.length === Similarity.QueryIds.size * Similarity.K)
+    // append through the same stored quantizer: clones of the query
+    // vectors must land healthy (their cells match the build geometry)
+    val clones = Tables(spark, sf1, "embeddings")
+      .filter(col("vec_id").isInCollection(Similarity.QueryIds))
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    val report = Similarity.appendIvfIndex(spark, idx, clones).collect()
+    assert(report.map(_.getAs[Long]("n_appended")).sum ===
+      Similarity.QueryIds.size)
+    // a clone lands in a build-populated cell on the right side of
+    // the sphere; the retrain flag itself is exact-math-spec'd at
+    // small sf (an INDIVIDUAL vector may sit below its cell's
+    // average, so no per-cell retrain assertion here)
+    report.foreach { r =>
+      assert(r.getAs[Double]("avg_cos") > 0.0, s"clone far from centroid: $r")
+      assert(!r.isNullAt(r.fieldIndex("build_avg_cos")),
+        s"clone landed in a never-populated cell: $r")
+    }
+  }
+
   test("sf1 soak: streaming tokenizer with sf1-trained merges — stateless, matches direct encode, keeps up") {
     assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
     val t0 = System.nanoTime()
