@@ -389,8 +389,70 @@ object Dedup {
     else q34Lsh(spark, dir, tau)
   }
 
-  /** Exact small-corpus path (the oracle twin). */
+  /** Exact path (the oracle twin): every pair's cosine, upper
+    * triangle only. The vector matrix is a bounded artifact of the
+    * exact contract (n×dims doubles — 10 MB at 20k vectors; the
+    * [[q34]] dispatcher routes corpora past [[ExactPairsLimit]] to
+    * LSH), so it collects once, broadcasts, and row BLOCKS of the
+    * triangle compute in parallel with primitive dot loops — the
+    * block index is CYCLIC (row i goes to task i mod blocks) so the
+    * shrinking-triangle work stays balanced across tasks. Doubles are
+    * composed exactly as the SQL formulation ([[q34ExactJoin]],
+    * spec-asserted bit-equal): index-order dot, then s / (na * nb).
+    * Profiled at sf1 (20k vectors): 26.7 s as a broadcast-nested-loop
+    * SQL join (2×10⁸ codegen row pairs) → ~2 s as a blocked kernel.
+    */
   def q34Exact(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
+    import spark.implicits._
+    val rows: Array[(Long, Array[Double], Double)] =
+      embeddingVectors(spark, dir)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)]
+        .collect()
+    java.util.Arrays.sort(rows,
+      Ordering.by((r: (Long, Array[Double], Double)) => r._1))
+    // unboxed parallel arrays: the inner loop touches ids/norms 2×10⁸
+    // times at 20k vectors — tuple fields would box every access
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2)
+    val nrms = rows.map(_._3)
+    val bc = spark.sparkContext.broadcast((ids, vecs, nrms))
+    val blocks = spark.sparkContext.defaultParallelism * 4
+    spark.range(0, blocks).as[Long]
+      .flatMap { b =>
+        val (mIds, mVecs, mNrms) = bc.value
+        val n = mIds.length
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        var i = b.toInt
+        while (i < n) {
+          val ia = mIds(i); val va = mVecs(i); val na = mNrms(i)
+          var j = i + 1
+          while (j < n) {
+            val vb = mVecs(j)
+            // same index-order sum and same divide as the SQL twin:
+            // dot_d(va, vb) / (na * nb)
+            var s = 0.0
+            var d = 0
+            while (d < va.length) { s += va(d) * vb(d); d += 1 }
+            val cos = s / (na * mNrms(j))
+            if (cos >= tau) out += ((ia, mIds(j), cos))
+            j += 1
+          }
+          i += blocks
+        }
+        out.iterator
+      }
+      .toDF("ia", "ib", "cosine")
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** The declarative SQL formulation of the exact path (broadcast
+    * join + codegen dot), kept as the bit-equality yardstick for the
+    * blocked kernel above.
+    */
+  private[graft] def q34ExactJoin(spark: SparkSession, dir: String,
+      tau: Double = 0.42): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = embeddingVectors(spark, dir)
     val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
@@ -411,6 +473,49 @@ object Dedup {
       .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
   }
 
+  /** Expected rows per LSH bucket the granularity derivation targets:
+    * in-bucket verification is O(m²) dots, so holding m ≈ this
+    * constant keeps per-task verify work flat as the corpus grows.
+    */
+  private[graft] val LshTargetBucketRows = 256L
+  private[graft] val LshMinBits = 8
+  private[graft] val LshMaxBits = 20
+  /** The recall yardstick: hold ≥ [[LshTargetRecall]] for pairs at
+    * cosine [[LshRefCos]] (the regime embedding near-dup actually
+    * hunts — exact/near clones) as `bits` grows with the corpus.
+    */
+  private[graft] val LshRefCos = 0.9
+  private[graft] val LshTargetRecall = 0.93
+  private[graft] val LshMaxTables = 48
+
+  /** Hyperplane bits for an n-vector corpus: enough that expected
+    * bucket population n/2^bits ≤ [[LshTargetBucketRows]] — the
+    * `numCellsFor` derivation one family over (in-bucket verify is
+    * quadratic at FIXED bits, the r6 scale-killer). Floor at 8 keeps
+    * oracle-scale corpora on the proven small config; cap at 20
+    * bounds table replication cost.
+    */
+  def lshBitsFor(n: Long): Int =
+    math.max(LshMinBits, math.min(LshMaxBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / LshTargetBucketRows))
+        / math.log(2.0)).toInt))
+
+  /** Tables needed to hold recall ≥ [[LshTargetRecall]] at cosine
+    * [[LshRefCos]] given `bits`: recall = 1−(1−p^bits)^tables with
+    * p = 1 − acos(cos)/π, so tables = ⌈ln(1−R)/ln(1−p^bits)⌉. At
+    * bits = 8 this reproduces the historical 8-table config (p =
+    * 0.856, recall 0.93); at 16 bits (10⁷ vectors) it grows to 31
+    * tables — total verify work stays ~tables × n ×
+    * [[LshTargetBucketRows]] dots, LINEAR in n with a slowly growing
+    * constant, where fixed 8-bit buckets were quadratic.
+    */
+  def lshTablesFor(bits: Int): Int = {
+    val p = 1.0 - math.acos(LshRefCos) / math.Pi
+    val pb = math.pow(p, bits)
+    math.min(LshMaxTables, math.max(1,
+      math.ceil(math.log1p(-LshTargetRecall) / math.log1p(-pb)).toInt))
+  }
+
   /** Scale path for q34: multi-table random-hyperplane LSH. Every
     * vector gets `tables` bucket ids (one `bits`-bit sign pattern
     * each); candidate pairs are vectors sharing any (table, bucket) —
@@ -419,16 +524,25 @@ object Dedup {
     * filters. The corpus is never broadcast and never compared
     * all-pairs; recall for high-cosine pairs is (1-(1-p^bits)^tables),
     * p = 1 - acos(cos)/π — e.g. ≥0.9-cosine pairs at 8×8 ⇒ ~93%.
-    * Raise `bits` with corpus size to keep buckets bounded.
+    * `tables`/`bits` default to 0 = CORPUS-DERIVED ([[lshBitsFor]] /
+    * [[lshTablesFor]]): buckets hold ~[[LshTargetBucketRows]] rows
+    * and the table count holds the [[LshRefCos]] recall target at any
+    * n. Borderline pairs near τ itself see lower recall at every
+    * granularity (quantified in DedupSpec's planted borderline spec)
+    * — the operator's contract is the high-cosine clone regime.
     */
   def q34Lsh(spark: SparkSession, dir: String, tau: Double = 0.42,
-      tables: Int = 8, bits: Int = 8): DataFrame = {
+      tables: Int = 0, bits: Int = 0): DataFrame = {
     import spark.implicits._
+    val nCorpus = corpusCount.getOrElseUpdate(dir,
+      Tables(spark, dir, "embeddings").count())
+    val bitsUse = if (bits > 0) bits else lshBitsFor(nCorpus)
+    val tablesUse = if (tables > 0) tables else lshTablesFor(bitsUse)
     val dims = 64
     val rng = new scala.util.Random(4242)
     // same sign sequence (plane-major, then dim) as the original
     // literal-plane formulation — bucket assignments are unchanged
-    val planes: Array[Array[Double]] = Array.fill(tables * bits)(
+    val planes: Array[Array[Double]] = Array.fill(tablesUse * bitsUse)(
       Array.fill(dims)(if (rng.nextBoolean()) 1.0 else -1.0))
     // Profiled shape (sf1, 20k vectors: 16-18 s → ~3 s). The previous
     // plan hashed via 64 literal-array plane columns (5.7 s per
@@ -443,18 +557,18 @@ object Dedup {
     // its own members locally with primitive dots — no pair join, no
     // megarow distinct; only the thresholded near-dup pairs (output-
     // sized, not candidate-sized) reach the final dedup. Bucket
-    // population is n/2^bits in expectation — grow `bits` with log2(n)
-    // to hold per-group work constant at larger corpora.
+    // population is n/2^bits in expectation — bits/tables now DERIVE
+    // from the corpus count above, holding per-group work ~constant.
     val keyed = embeddingVectors(spark, dir)
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
         it.flatMap { case (id, v, nrm) =>
-          (0 until tables).iterator.map { t =>
+          (0 until tablesUse).iterator.map { t =>
             var bucket = 0L
             var j = 0
-            while (j < bits) {
-              val p = planes(t * bits + j)
+            while (j < bitsUse) {
+              val p = planes(t * bitsUse + j)
               var s = 0.0
               var d = 0
               while (d < dims) { s += v(d) * p(d); d += 1 }

@@ -511,7 +511,21 @@ object Similarity {
 
   private val PqM = 8 // subspaces
   private val PqKsub = 16 // centroids per subspace (4-bit codes)
-  private val PqRerank = 50 // exact re-rank depth per query
+  private val PqRerankFloor = 50 // minimum exact re-rank depth per query
+
+  /** Exact re-rank depth tracks the candidate volume instead of being
+    * a fixed constant (the q34/numCells lesson): a query's PQ stage
+    * ranks ~nprobe × [[TargetCellRows]] candidates, and re-ranking a
+    * fixed 50 of them lets the 16-centroid LUT approximation bury
+    * true neighbors as the pool grows (measured at sf1: recall@10
+    * 0.18 at depth 50 over ~4k candidates). Holding the re-rank at
+    * 1/16 of the candidate estimate keeps the exact-fetch:code-scan
+    * ratio — the IO trade PQ exists for — constant at every corpus
+    * size.
+    */
+  private[operators] def pqRerankFor(k: Int): Int =
+    math.max(PqRerankFloor,
+      nProbeFor(k) * TargetCellRows.toInt / 16)
 
   /** Memo for PQ sub-quantizers, deterministic per (dir, iters). */
   private val pqCache =
@@ -592,7 +606,7 @@ object Similarity {
     * vector instead of 256 bytes of floats. At 100 TB this relation
     * IS the serving index: candidate ranking scans codes only (32×
     * less IO than the embeddings) and full vectors are fetched for
-    * the top-[[PqRerank]] per query alone.
+    * the top-[[pqRerankFor]] per query alone.
     */
   private[operators] def pqEncoded(spark: SparkSession, dir: String,
       iters: Int = KMeansIters): DataFrame = {
@@ -614,7 +628,7 @@ object Similarity {
     * subvector with each codebook centroid, evaluated as literal
     * arrays in codegen on the tiny broadcast side; candidate score =
     * Σ_m LUT[m][code_m], touching only the 8-byte code); the top
-    * [[PqRerank]] per query re-rank EXACTLY against their true
+    * [[pqRerankFor]] per query re-rank EXACTLY against their true
     * vectors. Approximate ⇒ rows-only; SimilaritySpec measures
     * recall@10 vs exact q40 and asserts the PQ stage beats
     * approximation-free truncation at equal depth.
@@ -644,7 +658,7 @@ object Similarity {
         s"""aggregate(sequence(0, ${PqM - 1}), CAST(0.0 AS DOUBLE),
            |  (acc, m) -> acc + lut[m][code[m]])""".stripMargin))
       .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= PqRerank)
+      .filter(col("arank") <= pqRerankFor(numCells(spark, dir)))
       .select(col("query_id"), col("vec_id"))
     // exact re-rank: true vectors are read for shortlist rows only
     val qset = vectors(spark, dir)

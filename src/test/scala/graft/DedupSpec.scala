@@ -109,6 +109,115 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f below 0.7")
   }
 
+  test("q34 blocked exact kernel is bit-equal to the declarative SQL join twin") {
+    val kernel = Dedup.q34Exact(spark, sf, 0.3).collect()
+    val join = Dedup.q34ExactJoin(spark, sf, 0.3).collect()
+    assert(kernel.nonEmpty)
+    assert(kernel.length === join.length)
+    kernel.zip(join).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getLong(1) === b.getLong(1))
+      assert(java.lang.Double.doubleToRawLongBits(a.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(b.getDouble(2)),
+        s"cosine bits differ at (${a.getLong(0)},${a.getLong(1)})")
+    }
+  }
+
+  test("q34 LSH granularity derives from corpus size: bucket bound holds, table count holds the recall target") {
+    // oracle-scale corpora stay on the proven floor config, and the
+    // derivation at 8 bits reproduces the historical 8-table setting
+    assert(Dedup.lshBitsFor(500) === 8)
+    assert(Dedup.lshBitsFor(20000) === 8)
+    assert(Dedup.lshTablesFor(8) === 8)
+    // at 10⁷ vectors buckets would hold ~40k rows at fixed 8 bits
+    // (quadratic verify); derived bits keep them ≤ the target
+    val bits7 = Dedup.lshBitsFor(10L * 1000 * 1000)
+    assert(bits7 === 16)
+    assert(1e7 / math.pow(2, bits7) <= Dedup.LshTargetBucketRows)
+    val p = 1.0 - math.acos(Dedup.LshRefCos) / math.Pi
+    val t7 = Dedup.lshTablesFor(bits7)
+    val recall7 = 1.0 - math.pow(1.0 - math.pow(p, bits7), t7)
+    assert(recall7 >= Dedup.LshTargetRecall,
+      f"derived $t7 tables at $bits7 bits give clone-regime recall $recall7%.3f")
+    // bucket bound holds across the derivation range (until the bits
+    // cap intentionally trades bucket size for replication cost)
+    for (n <- Seq(100000L, 1000000L, 100000000L)) {
+      val b = Dedup.lshBitsFor(n)
+      assert(b >= Dedup.LshMinBits && b <= Dedup.LshMaxBits)
+      if (b < Dedup.LshMaxBits)
+        assert(n.toDouble / math.pow(2, b) <= Dedup.LshTargetBucketRows,
+          s"bucket bound broken at n=$n, bits=$b")
+    }
+  }
+
+  test("q34 planted borderline-cosine recall: derived granularity holds the clone regime, near-τ loss quantified at both granularities") {
+    import spark.implicits._
+    // plant pairs at a controlled cosine: b = cosθ·u + sinθ·w with
+    // w ⊥ u — 200 pairs at 0.45 (borderline, just above τ=0.42) and
+    // 200 at 0.95 (the clone regime the operator exists for)
+    val rnd = new scala.util.Random(20260814L)
+    val dims = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def partner(u: Array[Double], cos: Double): Array[Double] = {
+      val r = unit()
+      val d = (0 until dims).map(i => r(i) * u(i)).sum
+      val w0 = (0 until dims).map(i => r(i) - d * u(i)).toArray
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      val sin = math.sqrt(1 - cos * cos)
+      (0 until dims).map(i => cos * u(i) + sin * w0(i) / wn).toArray
+    }
+    val nPairs = 200
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Int)]
+    val borderIds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val cloneIds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    for (i <- 0 until nPairs) {
+      val u = unit(); val b = partner(u, 0.45)
+      rows += ((id, u.map(_.toFloat).toSeq, 0)); rows += ((id + 1, b.map(_.toFloat).toSeq, 0))
+      borderIds += ((id, id + 1)); id += 2
+      val u2 = unit(); val c2 = partner(u2, 0.95)
+      rows += ((id, u2.map(_.toFloat).toSeq, 1)); rows += ((id + 1, c2.map(_.toFloat).toSeq, 1))
+      cloneIds += ((id, id + 1)); id += 2
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_recall").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def recallOf(found: Set[(Long, Long)], planted: Seq[(Long, Long)]): Double =
+      planted.count(found.contains).toDouble / planted.size
+    def run(tables: Int, bits: Int): Set[(Long, Long)] =
+      Dedup.q34Lsh(spark, dir, 0.42, tables = tables, bits = bits)
+        .select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the historical fixed config vs the granularity a 10⁷ corpus derives
+    val fixed = run(8, 8)
+    val bitsBig = Dedup.lshBitsFor(10L * 1000 * 1000)
+    val derived = run(Dedup.lshTablesFor(bitsBig), bitsBig)
+    val cloneFixed = recallOf(fixed, cloneIds.toSeq)
+    val cloneDerived = recallOf(derived, cloneIds.toSeq)
+    val borderFixed = recallOf(fixed, borderIds.toSeq)
+    val borderDerived = recallOf(derived, borderIds.toSeq)
+    info(f"clone-regime (cos 0.95) recall: 8×8 $cloneFixed%.3f, " +
+      f"${Dedup.lshTablesFor(bitsBig)}×$bitsBig $cloneDerived%.3f")
+    info(f"borderline (cos 0.45 ≈ τ) recall: 8×8 $borderFixed%.3f, " +
+      f"${Dedup.lshTablesFor(bitsBig)}×$bitsBig $borderDerived%.3f " +
+      "— the loss the fixed config's oracle pass silently relied on")
+    // the derivation's contract: clone-regime recall holds as bits
+    // grow (expected 0.989 at 8×8, 0.934 at 16×31)
+    assert(cloneFixed >= 0.9, f"8×8 clone recall $cloneFixed%.3f")
+    assert(cloneDerived >= 0.85, f"derived clone recall $cloneDerived%.3f")
+    // the quantified borderline loss: ~0.22 expected at 8×8 (the
+    // analytic 1-(1-p⁸)⁸ at p=0.649), lower still at finer buckets —
+    // near-τ pairs are NOT the LSH path's contract at any granularity
+    assert(borderFixed >= 0.08 && borderFixed <= 0.42,
+      f"8×8 borderline recall $borderFixed%.3f outside the analytic band")
+    assert(borderDerived <= borderFixed + 0.05,
+      f"finer granularity cannot raise borderline recall: $borderDerived%.3f vs $borderFixed%.3f")
+  }
+
   test("q34 cosine pairs are symmetric-free and above threshold") {
     val rows = Dedup.q34(spark, sf, 0.3).collect()
     rows.foreach { r =>

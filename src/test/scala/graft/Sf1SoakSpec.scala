@@ -132,6 +132,75 @@ class Sf1SoakSpec extends SparkSpec {
     }
   }
 
+  test("sf1 soak: q34 exact kernel wall-time + LSH recall telemetry at 20k vectors") {
+    assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
+    val t0 = System.nanoTime()
+    val ex = Dedup.q34Exact(spark, sf1).collect()
+    val exactSecs = (System.nanoTime() - t0) / 1e9
+    info(f"q34 exact blocked kernel: ${ex.length} pairs in $exactSecs%.1f s " +
+      "(was 26.7 s as a broadcast-nested-loop join in r6)")
+    assert(ex.length > 10000)
+    // the blocked kernel must stay far under the r6 join wall even on
+    // the 4-thread test session (26.7 s was measured at local[32])
+    assert(exactSecs < 60.0, f"exact kernel took $exactSecs%.1f s")
+    val exPairs = ex.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exHigh = ex.filter(_.getDouble(2) >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t1 = System.nanoTime()
+    val lsh = Dedup.q34Lsh(spark, sf1).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSecs = (System.nanoTime() - t1) / 1e9
+    assert(lsh.subsetOf(exPairs), "LSH can only miss, never invent")
+    val overall = lsh.size.toDouble / exPairs.size
+    val highRecall =
+      if (exHigh.isEmpty) 1.0
+      else exHigh.count(lsh.contains).toDouble / exHigh.size
+    info(f"q34 LSH (derived granularity) at sf1: ${lsh.size} pairs in " +
+      f"$lshSecs%.1f s — overall recall $overall%.3f, clone-regime " +
+      f"(cos ≥ 0.9) recall $highRecall%.3f")
+    // the honest contract, measured at the rehearsal scale: this
+    // corpus's true pairs sit NEAR τ (borderline regime — overall
+    // recall ~0.22, the analytic hyperplane-LSH number quantified in
+    // DedupSpec's planted spec), which is exactly why the oracle
+    // entry pins the exact path; the clone regime the LSH path exists
+    // for must stay near-complete
+    assert(highRecall >= 0.9,
+      f"clone-regime recall $highRecall%.3f at sf1")
+    assert(overall >= 0.1, f"overall recall $overall%.3f collapsed")
+  }
+
+  test("sf1 soak: ANN recall floors vs exact q40 at the corpus-derived granularity") {
+    assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
+    import graft.operators.Similarity
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    def recallVs(exact: Map[Long, Set[Long]],
+        approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ev) =>
+        approx.getOrElse(q, Set.empty).count(ev.contains).toDouble / ev.size
+      }
+      per.sum / per.size
+    }
+    val exact = topk(Similarity.q40(spark, sf1))
+    assert(exact.nonEmpty)
+    // floors sit ~0.1 under the measured values (0.72 / 0.62 / 0.48)
+    // so box noise can't flake them while a real plan/derivation
+    // regression still trips. q43 ≤ q42 by construction (same probed
+    // cells, PQ-LUT truncation inside them — the IO-for-recall trade
+    // PQ makes; the corpus-derived re-rank depth lifted it 0.18→0.48)
+    for ((name, df, floor) <- Seq(
+        ("q41 hyperplane-LSH", Similarity.q41(spark, sf1), 0.60),
+        ("q42 IVF √k-probe", Similarity.q42(spark, sf1), 0.55),
+        ("q43 IVF-PQ rerank", Similarity.q43(spark, sf1), 0.40))) {
+      val r = recallVs(exact, topk(df))
+      info(f"$name recall@${Similarity.K} vs exact at sf1 (20k vectors): $r%.3f")
+      assert(r >= floor, f"$name sf1 recall $r%.3f below floor $floor")
+    }
+  }
+
   test("sf1 soak: streaming tokenizer with sf1-trained merges — stateless, matches direct encode, keeps up") {
     assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
     val t0 = System.nanoTime()
