@@ -813,4 +813,127 @@ object Curation {
         (id, kept.mkString(" "))
       }.toDF("doc_id", "text")
   }
+
+  /** A token starting with one of these first-char residues ends a
+    * content-defined "line" (see [[cdcLinesOf]]). Mod 4 over the
+    * first character's code point breaks after ~1/4 of tokens on the
+    * synthetic vocabulary — ~5-token lines, the C4 sentence scale.
+    */
+  private[graft] val LineBreakMod = 4
+
+  /** Content-defined "lines" of a document — the line surrogate for
+    * a corpus whose documents carry no physical newlines (production
+    * text splits on `\n` first; this segmentation applies per
+    * physical line). A line is a maximal token run ending at a
+    * BREAKER token (first character's code point ≡ 0 mod
+    * [[LineBreakMod]]) or at end of document.
+    *
+    * Why content-defined rather than fixed-width chunks: boundaries
+    * depend only on the tokens themselves, so deleting a whole line
+    * never re-aligns any other line — the rsync/CDC-storage
+    * invariant. That makes [[lineDedupOn]] exactly idempotent: a
+    * second pass over its own output finds zero duplicated lines
+    * (spec-asserted), the line-granularity analogue of q100's
+    * Lee '21 acceptance check. Fixed-width chunking cannot promise
+    * this (boundary shift after a drop mints new chunks).
+    */
+  private[graft] def cdcLinesOf(text: String): Array[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty
+    else {
+      val out = Array.newBuilder[String]
+      val sb = new StringBuilder
+      var i = 0
+      while (i < toks.length) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(toks(i))
+        if (toks(i).charAt(0).toInt % LineBreakMod == 0) {
+          out += sb.result(); sb.clear()
+        }
+        i += 1
+      }
+      if (sb.nonEmpty) out += sb.result()
+      out.result()
+    }
+  }
+
+  /** q101: line-granularity exact dedup — the C4-style cheap member
+    * of the Lee '21 family (q100 cuts 5-gram spans; this drops whole
+    * duplicated lines). Every content-defined line (see
+    * [[cdcLinesOf]]) occurring ≥ 2 times in the CORPUS (total
+    * occurrences — a doc's own repeat counts both copies, matching
+    * q100's corpus semantics) is dropped from every document, and
+    * the text is rebuilt from the kept lines in order. One row per
+    * document: `(doc_id, n_lines, n_dup_lines, text)`.
+    *
+    * Scale shape (q100's, one granularity up): one map-side
+    * segmentation pass, one shuffle keyed on the line whose exchange
+    * is REUSED by the membership join back (same key — PlanSpec-
+    * asserted), then a per-doc aggregate rebuilds the text. The line
+    * text stays the shuffle key only so DuckDB groups identically —
+    * production keys on fingerprint64(line) and never shuffles the
+    * text. At 100 TB the line relation is corpus-sized but each
+    * task's state is one doc's lines; nothing is quadratic anywhere.
+    */
+  def lineDedupOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        cdcLinesOf(text).iterator.zipWithIndex
+          .map { case (l, i) => (id, i.toLong, l) }
+      }.toDF("doc_id", "line_id", "line")
+    val occ = segs.groupBy(col("line")).agg(count(lit(1)).as("n"))
+    val per = segs.join(occ, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        array_join(transform(
+          array_sort(collect_list(when(col("n") < 2,
+            struct(col("line_id"), col("line"))))),
+          x => x.getField("line")), " ").as("text"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("text"), lit("")).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[lineDedupOn]] over the corpus `documents` table. */
+  def q101(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOn(Tables(spark, dir, "documents"))
+
+  val q101Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[CAST(u.i AS INT)] AS tk
+       |  FROM t, UNNEST(range(1, len(w)+1)) AS u(i)),
+       |lid AS (
+       |  SELECT doc_id, pos, tk,
+       |    COALESCE(SUM(CASE WHEN ascii(tk) % $LineBreakMod = 0
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS line_id
+       |  FROM tok),
+       |seg AS (
+       |  SELECT doc_id, line_id, string_agg(tk, ' ' ORDER BY pos) AS line
+       |  FROM lid GROUP BY doc_id, line_id),
+       |occ AS (SELECT line, COUNT(*) AS n FROM seg GROUP BY line),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_lines,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_lines,
+       |    string_agg(CASE WHEN n < 2 THEN line END, ' ' ORDER BY line_id)
+       |      AS text
+       |  FROM seg JOIN occ USING (line) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(p.n_lines, 0) AS n_lines,
+       |  COALESCE(p.n_dup_lines, 0) AS n_dup_lines,
+       |  COALESCE(p.text, '') AS text
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

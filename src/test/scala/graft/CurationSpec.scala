@@ -214,6 +214,45 @@ class CurationSpec extends SparkSpec {
       "eval_doc", "rep_reject", "contaminated", "over_cap", "kept")))
   }
 
+  test("q101 line dedup: planted duplicate lines drop everywhere, CDC re-scan is exactly empty") {
+    import spark.implicits._
+    // Breakers end a content-defined line: tokens whose first char's
+    // code point ≡ 0 mod 4 ('d','h','l','p','t','x'…). Planted:
+    // docs 0 and 1 share the line "cc dd"; doc 2 is one unique tail
+    // line; doc 3 repeats a line INTERNALLY (corpus count 2 — both
+    // copies must drop, q100's total-occurrence semantics).
+    val docs = Seq(
+      (0L, "aa bb tt cc dd"),          // lines: [aa bb tt][cc dd]
+      (1L, "zz tt cc dd qq"),          // lines: [zz tt][cc dd][qq]
+      (2L, "mm nn oo"),                // lines: [mm nn oo] (tail only)
+      (3L, "ee tt ee tt")              // lines: [ee tt][ee tt]
+    ).toDF("doc_id", "text")
+    // the segmentation helper behaves as documented
+    assert(Curation.cdcLinesOf("aa bb tt cc dd").toSeq ===
+      Seq("aa bb tt", "cc dd"))
+    assert(Curation.cdcLinesOf("mm nn oo").toSeq === Seq("mm nn oo"))
+    assert(Curation.cdcLinesOf("").isEmpty)
+    val got = Curation.lineDedupOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) === ((2L, 1L, "aa bb tt")))
+    assert(got(1L) === ((3L, 1L, "zz tt qq")))
+    assert(got(2L) === ((1L, 0L, "mm nn oo")))
+    assert(got(3L) === ((2L, 2L, "")))
+    // C4 acceptance, exact thanks to content-defined boundaries:
+    // deleting whole lines cannot re-align surviving lines, so a
+    // second pass over the cleaned output finds ZERO duplicates —
+    // asserted on the real corpus, not just the planted one
+    val cleaned = Curation.q101(spark, sf).select(col("doc_id"), col("text"))
+    val rescan = Curation.lineDedupOn(cleaned)
+    assert(rescan.agg(sum(col("n_dup_lines"))).collect().head.getLong(0) === 0L,
+      "line dedup is not idempotent: re-scan found duplicated lines")
+    // and the first pass actually fired on the corpus
+    val first = Curation.q101(spark, sf)
+      .agg(sum(col("n_dup_lines"))).collect().head.getLong(0)
+    assert(first > 0L, "corpus contains no duplicated lines — spec is vacuous")
+  }
+
   test("q100 cut spans: bit-equal to a local brute force on planted overlaps") {
     import spark.implicits._
     // A/B share a 14-token run (cross-doc); C is unique; D repeats a

@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
       s"gram relation shuffled twice:\n$p")
   }
 
+  test("q101: the line exchange is reused by the occurrence join") {
+    // q100's shape at line granularity: occurrences group by line,
+    // the membership join back is keyed on line — one line shuffle
+    val df = graft.operators.Curation.q101(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("(reuse"),
+      s"line relation shuffled twice:\n$p")
+  }
+
   test("q43: PQ candidate stage ranks on codes, vectors join only the shortlist") {
     val p = plan(Similarity.q43(spark, sf))
     // the corpus side reaches the approx ranking via broadcast probe
