@@ -337,9 +337,15 @@ object Curation {
     * window anywhere: at 10⁹ documents the offsets come from one
     * numPartitions-row collect, and everything else is partition-local.
     */
-  def q93(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text")))
+  def q93(spark: SparkSession, dir: String): DataFrame =
+    packOn(Tables(spark, dir, "documents"))
+
+  /** q93's packing over an arbitrary `(doc_id, text)` relation — the
+    * body is shared with [[q103]], which packs the span-cut kept
+    * corpus instead of the raw table.
+    */
+  def packOn(relation: DataFrame): DataFrame = {
+    val docs = Tables.spread(relation.select(col("doc_id"), col("text")))
       .select(col("doc_id"), size(wsTokens).cast("long").as("n_tokens"))
     Distributed.orderedPrefix(docs, Seq(col("doc_id")), col("n_tokens"))
       .withColumn("start_tok", col("cum_w") - col("n_tokens"))
@@ -494,8 +500,11 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val q75Sql: String =
-    s"""WITH t AS (
+  /** q75's verdict chain as a SQL CTE block — shared by [[q75Sql]]
+    * and the composed-pipeline oracle [[q103Sql]].
+    */
+  private def verdictCtes: String =
+    s"""t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
        |rep AS (
        |  SELECT doc_id,
@@ -548,7 +557,10 @@ object Curation {
        |         WHEN s.contaminated THEN 'contaminated'
        |         WHEN k.src_rank > $SourceCap THEN 'over_cap'
        |         ELSE 'kept' END AS verdict
-       |  FROM staged s LEFT JOIN ranked k USING (doc_id)),
+       |  FROM staged s LEFT JOIN ranked k USING (doc_id))""".stripMargin
+
+  val q75Sql: String =
+    s"""WITH $verdictCtes,
        |kc AS (
        |  SELECT lang, COUNT(*) AS lang_kept FROM verdicts
        |  WHERE verdict = 'kept' GROUP BY lang),
@@ -936,4 +948,78 @@ object Curation {
        |  COALESCE(p.text, '') AS text
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q103: the composed production pipeline — verdict, CUT, pack.
+    * q75's verdict chain selects the kept corpus, [[cleanedDocuments]]
+    * removes every duplicated ≥ [[CutMinTokens]]-token span WITHIN
+    * the kept corpus (occurrence counts over kept docs only — cutting
+    * before packing, the order every production pipeline uses so
+    * training windows never contain text the dedup stage already
+    * condemned), and [[packOn]] lays the span-cut text into
+    * [[PackWindow]]-token training windows. Output schema is q93's,
+    * over kept docs only.
+    *
+    * Full-chain DuckDB oracle: the SQL recomputes verdicts (shared
+    * CTE block with q75), spans over kept docs, and packs on
+    * `len(tokens) − Σ span_tokens` — islands are disjoint, so the
+    * cleaned token count needs no text rebuild.
+    */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val keptIds = q75(spark, dir)
+      .filter(col("verdict") === "kept").select(col("doc_id"))
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    packOn(cleanedDocuments(kept))
+  }
+
+  val q103Sql: String =
+    s"""WITH $verdictCtes,
+       |kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'kept'),
+       |kt AS (SELECT t.doc_id, t.w FROM t JOIN kept USING (doc_id)),
+       |kg AS (
+       |  SELECT doc_id, u.pos, u.gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(w) - ${SpanN - 2}),
+       |      i -> {'pos': CAST(i AS BIGINT),
+       |            'gram': concat_ws(' ', list_slice(w, i, i + ${SpanN - 1}))}
+       |    )) AS u
+       |    FROM kt WHERE len(w) >= $SpanN) s),
+       |kocc AS (SELECT gram, COUNT(*) AS n FROM kg GROUP BY gram),
+       |kdup AS (
+       |  SELECT doc_id, pos FROM kg JOIN kocc USING (gram) WHERE kocc.n >= 2),
+       |kisl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM kdup),
+       |kspans AS (
+       |  SELECT doc_id, MIN(pos) AS start_pos,
+       |    MAX(pos) + ${SpanN - 1} AS end_pos
+       |  FROM kisl GROUP BY doc_id, grp),
+       |kcut AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(end_pos - start_pos + 1) AS BIGINT) AS cut_toks
+       |  FROM kspans
+       |  WHERE end_pos - start_pos + 1 >= $CutMinTokens
+       |  GROUP BY doc_id),
+       |kc2 AS (
+       |  SELECT kt.doc_id,
+       |    CAST(len(kt.w) AS BIGINT) - COALESCE(kcut.cut_toks, 0) AS n_tokens
+       |  FROM kt LEFT JOIN kcut USING (doc_id)),
+       |pre AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+       |  FROM kc2),
+       |win AS (
+       |  SELECT doc_id, n_tokens, start_tok,
+       |    start_tok // $PackWindow AS first_win,
+       |    CASE WHEN n_tokens > 0
+       |      THEN (start_tok + n_tokens - 1) // $PackWindow
+       |      ELSE start_tok // $PackWindow END AS last_win
+       |  FROM pre)
+       |SELECT doc_id, n_tokens, start_tok, first_win, last_win,
+       |  last_win - first_win + 1 AS n_windows
+       |FROM win
+       |ORDER BY doc_id""".stripMargin
 }

@@ -214,6 +214,49 @@ class CurationSpec extends SparkSpec {
       "eval_doc", "rep_reject", "contaminated", "over_cap", "kept")))
   }
 
+  test("q103 verdict-cut-pack: packs exactly the kept corpus with spans removed, offsets contiguous") {
+    import spark.implicits._
+    val q75 = Curation.q75(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    val keptIds = q75.collect { case (id, "kept") => id }.toSet
+    val out = Curation.q103(spark, sf).collect()
+    // stage wiring: exactly the kept docs are packed, in doc_id order
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === keptIds)
+    // offsets are an exclusive prefix sum over the CLEANED lengths:
+    // contiguous, starting at zero
+    var expectOff = 0L
+    out.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+      assert(r.getAs[Long]("start_tok") === expectOff)
+      expectOff += r.getAs[Long]("n_tokens")
+    }
+    // the cut stage actually ran between verdict and pack: packed
+    // lengths are raw minus that doc's span cut (recomputed here from
+    // cutSpansOn over the kept corpus), and at least one doc shrank
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val kept = docs.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val rawLen = kept.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong).toMap
+    val cutBy = Curation.cutSpansOn(kept).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(3)).sum }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") ===
+        rawLen(id) - cutBy.getOrElse(id, 0L), s"doc $id")
+    }
+    assert(cutBy.nonEmpty, "no spans cut in the kept corpus — spec is vacuous")
+    // window arithmetic follows from offsets (q93's contract)
+    out.foreach { r =>
+      val st = r.getAs[Long]("start_tok"); val n = r.getAs[Long]("n_tokens")
+      val fw = st / 512
+      val lw = if (n > 0) (st + n - 1) / 512 else fw
+      assert(r.getAs[Long]("first_win") === fw)
+      assert(r.getAs[Long]("last_win") === lw)
+      assert(r.getAs[Long]("n_windows") === lw - fw + 1)
+    }
+  }
+
   test("q101 line dedup: planted duplicate lines drop everywhere, CDC re-scan is exactly empty") {
     import spark.implicits._
     // Breakers end a content-defined line: tokens whose first char's
