@@ -30,6 +30,36 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Cheap content-version stamp for `dir/name.parquet`: an
+    * order-independent hash of every data file's (name, length,
+    * mtime), from one driver-side filesystem LISTING — no data scan,
+    * no Spark job. Session-lifetime dispatch caches (q34's corpus
+    * size, the IVF cell count) key on this, so REPLACING the data
+    * under a dir invalidates them automatically — the same
+    * metadata-versioning contract Spark's own FileStatusCache uses.
+    * Collision would need a rewrite that preserves every file name,
+    * byte length, and ms-mtime — not a practical replace.
+    */
+  def versionStamp(spark: SparkSession, dir: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return 0L
+    def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var acc = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      acc ^= mix(st.getPath.getName.hashCode.toLong * 1000003L ^
+        st.getLen * 31L ^ st.getModificationTime)
+    }
+    acc
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long and floor-divide to micros —
     * identical to DuckDB's ns→µs truncation, so oracle compares stay

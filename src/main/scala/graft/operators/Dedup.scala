@@ -370,21 +370,30 @@ object Dedup {
   /** Corpus sizes already counted this JVM — the dispatch below needs
     * one number per dataset, not a fresh scan job every time the
     * DataFrame is merely constructed (Bench builds each query twice).
-    * The cache is a per-JVM snapshot: if the data under a dir is
-    * REPLACED in a long-lived session, call [[invalidateCorpusCounts]]
-    * or the exact/LSH dispatch keeps using the stale size.
+    * Keyed on (dir, [[Tables.versionStamp]]): replacing the data
+    * under a dir changes the stamp, so the next query re-counts and
+    * takes the correct dispatch arm with no manual invalidation
+    * (spec-asserted). [[invalidateCorpusCounts]] remains as a
+    * belt-and-braces escape hatch.
     */
   private val corpusCount =
-    new scala.collection.concurrent.TrieMap[String, Long]
+    new scala.collection.concurrent.TrieMap[(String, Long), Long]
 
   /** Drop cached corpus sizes (data under a previously-seen dir
-    * changed).
+    * changed). Usually unnecessary: the cache keys on a filesystem
+    * metadata stamp and self-invalidates on replace.
     */
   def invalidateCorpusCounts(): Unit = corpusCount.clear()
 
-  def q34(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
-    val n = corpusCount.getOrElseUpdate(dir,
+  /** Embedding-corpus size for `dir`, memoized per content version. */
+  private[graft] def corpusSizeOf(spark: SparkSession, dir: String): Long = {
+    val stamp = Tables.versionStamp(spark, dir, "embeddings")
+    corpusCount.getOrElseUpdate((dir, stamp),
       Tables(spark, dir, "embeddings").count())
+  }
+
+  def q34(spark: SparkSession, dir: String, tau: Double = 0.42): DataFrame = {
+    val n = corpusSizeOf(spark, dir)
     if (n <= ExactPairsLimit) q34Exact(spark, dir, tau)
     else q34Lsh(spark, dir, tau)
   }
@@ -534,8 +543,7 @@ object Dedup {
   def q34Lsh(spark: SparkSession, dir: String, tau: Double = 0.42,
       tables: Int = 0, bits: Int = 0): DataFrame = {
     import spark.implicits._
-    val nCorpus = corpusCount.getOrElseUpdate(dir,
-      Tables(spark, dir, "embeddings").count())
+    val nCorpus = corpusSizeOf(spark, dir)
     val bitsUse = if (bits > 0) bits else lshBitsFor(nCorpus)
     val tablesUse = if (tables > 0) tables else lshTablesFor(bitsUse)
     val dims = 64

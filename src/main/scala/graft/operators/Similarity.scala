@@ -177,16 +177,20 @@ object Similarity {
       .toInt
 
   private val corpusCellCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
 
   /** Corpus-derived cell count for `dir` (one metadata-only count per
-    * dir, memoized). Every quantizer consumer — ivf_index/append/
-    * probe, q42/q43, q99 SemDeDup, semdedup_incr — resolves its k
-    * here, so they agree on granularity per corpus.
+    * content version, memoized). Every quantizer consumer —
+    * ivf_index/append/probe, q42/q43, q99 SemDeDup, semdedup_incr —
+    * resolves its k here, so they agree on granularity per corpus.
+    * Keyed on (dir, [[Tables.versionStamp]]): replacing the data
+    * under a dir re-derives k automatically (spec-asserted).
     */
-  def numCells(spark: SparkSession, dir: String): Int =
-    corpusCellCache.getOrElseUpdate(dir,
+  def numCells(spark: SparkSession, dir: String): Int = {
+    val stamp = Tables.versionStamp(spark, dir, "embeddings")
+    corpusCellCache.getOrElseUpdate((dir, stamp),
       numCellsFor(Tables(spark, dir, "embeddings").count()))
+  }
 
   /** Probes per query: fixed floor at small k, √k growth above it —
     * probing 4 of 16 cells and 4 of 65536 are very different recall

@@ -11,6 +11,23 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1)
       .map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
 
+  test("dispatch caches self-invalidate when data under a dir is replaced") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stamp").toString
+    (0L until 100L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(graft.operators.Dedup.corpusSizeOf(spark, tmp) === 100L)
+    assert(Similarity.numCells(spark, tmp) === 16) // MinCells floor
+    // REPLACE the corpus — no invalidateCorpusCounts() anywhere: the
+    // (dir, versionStamp) key must re-derive both numbers by itself
+    (0L until 20480L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(graft.operators.Dedup.corpusSizeOf(spark, tmp) === 20480L)
+    assert(Similarity.numCells(spark, tmp) === 20) // ceil(20480/1024)
+    // unchanged data keeps hitting the cache (same stamp, same value)
+    assert(graft.operators.Dedup.corpusSizeOf(spark, tmp) === 20480L)
+  }
+
   test("q40 brute-force: k results per query, descending cosine") {
     val rows = Similarity.q40(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
