@@ -5,6 +5,59 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** (wall_sec, shuffle_mb) per query from a bench detail line —
+    * the tolerant inverse of the writer below (numeric sections only;
+    * our own keys carry no escapes).
+    */
+  private[graft] def parseDetail(json: String): Map[String, (Double, Double)] = {
+    def section(key: String): Map[String, Double] =
+      (s""""$key":\\{([^}]*)\\}""").r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("").split(",").iterator
+        .map(_.trim).filter(_.nonEmpty)
+        .flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.replace("\"", "") -> v.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+    val walls = section("queries")
+    val sh = section("shuffle_mb")
+    walls.map { case (k, w) => k -> (w, sh.getOrElse(k, 0.0)) }
+  }
+
+  /** The "sf" stamp of a detail line — deltas are only meaningful
+    * against a run at the same scale factor.
+    */
+  private[graft] def sfOf(json: String): Option[String] =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Regression classification vs the previous committed detail,
+    * per the round-6 phantom-regression analysis: a SHUFFLE delta is
+    * a plan change (kind "plan" — bytes through the exchange don't
+    * move with env noise); a wall blow-up at EQUAL shuffle is
+    * environment noise (kind "noise" — JIT storm / shared box); a
+    * query present before and absent now is kind "gone". New queries
+    * are not regressions. Values are (prev, cur) of the tripping
+    * metric: shuffle MB for "plan", wall seconds for "noise"/"gone".
+    */
+  private[graft] def regressionsOf(
+      prev: Map[String, (Double, Double)],
+      cur: Map[String, (Double, Double)]): Seq[(String, String, Double, Double)] = {
+    val tripped = cur.toSeq.sortBy(_._1).flatMap { case (q, (w, s)) =>
+      prev.get(q).flatMap { case (pw, ps) =>
+        val shuffleMoved = math.abs(s - ps) > math.max(0.05, 0.02 * ps)
+        if (shuffleMoved) Some((q, "plan", ps, s))
+        else if (w > pw * 1.5 && w - pw > 0.5) Some((q, "noise", pw, w))
+        else None
+      }
+    }
+    tripped ++ prev.keySet.diff(cur.keySet).toSeq.sorted
+      .map(q => (q, "gone", prev(q)._1, 0.0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -99,6 +152,23 @@ object Bench {
     val errsCompact = errsList.take(5).mkString("{", ",", "}")
     val totalSpill = ok.map(_._4).sum
     val total = ok.map(_._2).sum
+    // regression tripwire: diff (wall, shuffle) against the PREVIOUS
+    // committed detail — read before this run overwrites it, compared
+    // only when the scale factor matches
+    val prevRun = try {
+      val src = scala.io.Source.fromFile("bench_detail_last.json")
+      try Some(src.mkString) finally src.close()
+    } catch { case _: Throwable => None }
+    val prevMap = prevRun.filter(p => sfOf(p).contains(sfDir))
+      .map(parseDetail).getOrElse(Map.empty)
+    val curMap = ok.map { case (k, v, s, _, _) =>
+      k -> (v, math.rint(s * 10) / 10) // shuffle at the file's 0.1 MB grain
+    }.toMap
+    val regs = regressionsOf(prevMap, curMap)
+    def regsJson(n: Int): String = regs.take(n).map { case (q, kind, p, c) =>
+      s"""{"q":"$q","kind":"$kind","prev":${math.rint(p * 1000) / 1000},""" +
+      s""""cur":${math.rint(c * 1000) / 1000}}"""
+    }.mkString("[", ",", "]")
     // Full detail (per-query seconds + shuffle for every query) goes
     // to STDERR + a file, never stdout: it's >4 KB, and four rounds of
     // BENCH artifacts came back "parsed": null because stdout grew
@@ -109,7 +179,8 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
-      s""""errors":$errs,"sf":"$sfDir"}"""
+      s""""errors":$errs,"regressions":${regsJson(8)},""" +
+      s""""n_reg":${regs.size},"sf":"$sfDir"}"""
     Console.err.println(detail)
     try {
       val w = new java.io.PrintWriter("bench_detail_last.json")
@@ -130,7 +201,8 @@ object Bench {
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n":${ok.size},"queries":$slow,"shuffle_mb":$shTop,""" +
       s""""spill_mb":${f"$totalSpill%.1f"},"errors":$errsCompact,""" +
-      s""""n_err":${errsList.size},"sf":"$sfDir"}""")
+      s""""n_err":${errsList.size},"regressions":${regsJson(4)},""" +
+      s""""n_reg":${regs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
