@@ -795,10 +795,17 @@ object Curation {
        |WHERE end_pos - start_pos + 1 >= $CutMinTokens
        |ORDER BY doc_id, start_pos""".stripMargin
 
-  /** The "cleaned corpus": every [[cutSpansOn]] interval removed from
-    * its document (all copies — re-scanning the output finds no
-    * duplicated span ≥ minLen, the Lee '21 acceptance check, spec-
-    * asserted). The cut relation is narrow (doc_id + interval pairs)
+  /** The "cleaned corpus": every [[cutSpansOn]] interval (the UNION
+    * of intervals when nearby islands overlap in token space) removed
+    * from its document, all copies. One-pass caveat: splicing the cut
+    * flanks together can in principle mint a NEW duplicated span that
+    * crosses the splice point — the Lee '21 acceptance check
+    * (re-scanning the output finds no duplicated span ≥ minLen) is
+    * therefore a property of the corpus, not a structural guarantee;
+    * it is spec-asserted on the planted corpus and on the real
+    * synthetic corpus, and a production pipeline re-runs the nightly
+    * pass anyway, which converges any residue. The cut relation is
+    * narrow (doc_id + interval pairs)
     * but corpus-proportional, so the attach is a plain equi-join on
     * doc_id — AQE broadcasts it when it fits, shuffles narrow rows
     * when it doesn't; the text column rides the join once either way.
@@ -961,8 +968,15 @@ object Curation {
     *
     * Full-chain DuckDB oracle: the SQL recomputes verdicts (shared
     * CTE block with q75), spans over kept docs, and packs on
-    * `len(tokens) − Σ span_tokens` — islands are disjoint, so the
-    * cleaned token count needs no text rebuild.
+    * `len(tokens) − |union of cut intervals|`. Islands are disjoint
+    * in window-start POSITIONS but their token intervals
+    * [start, last_start + SpanN − 1] can OVERLAP when two islands
+    * sit fewer than SpanN positions apart — [[cleanedDocuments]]
+    * removes the UNION of intervals, so the SQL merges overlapping
+    * [start_pos, end_pos] ranges per doc (classic gaps-and-islands
+    * over a running MAX(end_pos)) before summing; a plain
+    * Σ span_tokens would double-count the overlap and undercount
+    * n_tokens.
     */
   def q103(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -996,11 +1010,27 @@ object Curation {
        |  SELECT doc_id, MIN(pos) AS start_pos,
        |    MAX(pos) + ${SpanN - 1} AS end_pos
        |  FROM kisl GROUP BY doc_id, grp),
+       |kf AS (
+       |  SELECT doc_id, start_pos, end_pos FROM kspans
+       |  WHERE end_pos - start_pos + 1 >= $CutMinTokens),
+       |km AS (
+       |  SELECT doc_id, start_pos, end_pos,
+       |    CASE WHEN start_pos <= MAX(end_pos) OVER (
+       |        PARTITION BY doc_id ORDER BY start_pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 0 ELSE 1 END AS newgrp
+       |  FROM kf),
+       |kmg AS (
+       |  SELECT doc_id, start_pos, end_pos,
+       |    SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY start_pos
+       |      ROWS UNBOUNDED PRECEDING) AS mgrp
+       |  FROM km),
        |kcut AS (
        |  SELECT doc_id,
-       |    CAST(SUM(end_pos - start_pos + 1) AS BIGINT) AS cut_toks
-       |  FROM kspans
-       |  WHERE end_pos - start_pos + 1 >= $CutMinTokens
+       |    CAST(SUM(mend - mstart + 1) AS BIGINT) AS cut_toks
+       |  FROM (SELECT doc_id, mgrp, MIN(start_pos) AS mstart,
+       |          MAX(end_pos) AS mend
+       |        FROM kmg GROUP BY doc_id, mgrp) mrg
        |  GROUP BY doc_id),
        |kc2 AS (
        |  SELECT kt.doc_id,

@@ -237,9 +237,13 @@ class CurationSpec extends SparkSpec {
     val kept = docs.filter(col("doc_id").isin(keptIds.toSeq: _*))
     val rawLen = kept.collect().map(r => r.getLong(0) ->
       r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong).toMap
+    // UNION of covered positions, not Σ span_tokens: token intervals
+    // of position-disjoint islands can overlap (< SpanN apart), and
+    // cleanedDocuments removes the union
     val cutBy = Curation.cutSpansOn(kept).collect()
       .groupBy(_.getLong(0))
-      .map { case (id, rs) => id -> rs.map(_.getLong(3)).sum }
+      .map { case (id, rs) => id ->
+        rs.flatMap(r => r.getLong(1) to r.getLong(2)).distinct.length.toLong }
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       assert(r.getAs[Long]("n_tokens") ===
@@ -354,6 +358,30 @@ class CurationSpec extends SparkSpec {
     val cutTokens = got.toSeq.filter(_._1 == 0L).map(_._4).sum
     assert(after(0L).trim.split("\\s+").length ===
       toks(0L).length - cutTokens)
+  }
+
+  test("q100/q103 overlapping islands: cleaning removes the interval UNION, not the sum") {
+    import spark.implicits._
+    // doc 0 carries w1..w17; doc 1 duplicates its first 10 tokens,
+    // doc 2 its last 10. Doc 0's duplicated window starts are {1..6}
+    // and {8..13} (window 7 = w7..w11 occurs once) — two position-
+    // disjoint islands whose TOKEN intervals [1,10] and [8,17]
+    // overlap at 8..10. Union = 17 tokens (the whole doc); a naive
+    // Σ span_tokens = 20 > doc length would imply negative n_tokens.
+    val w = (1 to 17).map(i => s"w$i")
+    val docs = Seq(
+      (0L, w.mkString(" ")),
+      (1L, w.take(10).mkString(" ")),
+      (2L, w.drop(7).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Curation.cutSpansOn(docs).collect()
+      .filter(_.getLong(0) == 0L).map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(spans === Seq((1L, 10L), (8L, 17L)))
+    assert(spans.map { case (s, e) => e - s + 1 }.sum === 20L)
+    assert(spans.flatMap { case (s, e) => s to e }.distinct.length === 17)
+    val cleaned = Curation.cleanedDocuments(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(0L) === "", "union of overlapping cuts must empty doc 0")
   }
 
   test("q47 weights are a proper tempered distribution") {
