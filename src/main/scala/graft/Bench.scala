@@ -37,11 +37,17 @@ object Bench {
   /** Regression classification vs the previous committed detail,
     * per the round-6 phantom-regression analysis: a SHUFFLE delta is
     * a plan change (kind "plan" — bytes through the exchange don't
-    * move with env noise); a wall blow-up at EQUAL shuffle is
-    * environment noise (kind "noise" — JIT storm / shared box); a
-    * query present before and absent now is kind "gone". New queries
-    * are not regressions. Values are (prev, cur) of the tripping
-    * metric: shuffle MB for "plan", wall seconds for "noise"/"gone".
+    * move with env noise); a wall blow-up at EQUAL shuffle is kind
+    * "wall" — deliberately NEUTRAL, not "noise": equal shuffle means
+    * the PLAN didn't change, but the cause can be either environment
+    * (JIT storm / shared box, the common case here) or a genuine
+    * same-plan compute regression (slower closure/expression, bigger
+    * driver collect), and the tripwire cannot tell them apart from
+    * one sample. Reading rule: a "wall" trip that persists across
+    * consecutive runs is real — re-run before dismissing. A query
+    * present before and absent now is kind "gone". New queries are
+    * not regressions. Values are (prev, cur) of the tripping metric:
+    * shuffle MB for "plan", wall seconds for "wall"/"gone".
     */
   private[graft] def regressionsOf(
       prev: Map[String, (Double, Double)],
@@ -50,7 +56,7 @@ object Bench {
       prev.get(q).flatMap { case (pw, ps) =>
         val shuffleMoved = math.abs(s - ps) > math.max(0.05, 0.02 * ps)
         if (shuffleMoved) Some((q, "plan", ps, s))
-        else if (w > pw * 1.5 && w - pw > 0.5) Some((q, "noise", pw, w))
+        else if (w > pw * 1.5 && w - pw > 0.5) Some((q, "wall", pw, w))
         else None
       }
     }

@@ -23,13 +23,9 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
       .TypeCheckFailure(s"fingerprint64 needs STRING, got ${child.dataType}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    var h = 1125899906842597L // seed
-    var i = 0
-    while (i < bytes.length) { h = h * 1000003L + bytes(i); i += 1 }
-    java.lang.Long.valueOf(h)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      Fingerprint64.hash(v.asInstanceOf[UTF8String].getBytes))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -48,6 +44,24 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Fingerprint64 =
     copy(child = c)
+}
+
+object Fingerprint64 {
+  /** The hash shared by interpreted eval, codegen (same formula
+    * inlined in [[Fingerprint64.doGenCode]]), and Scala closures.
+    */
+  private[graft] def hash(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L // seed
+    var i = 0
+    while (i < bytes.length) { h = h * 1000003L + bytes(i); i += 1 }
+    h
+  }
+
+  /** Scala twin of the `fingerprint64` expression — bit-identical
+    * over the same string (spec-asserted), so a closure-side key and
+    * a column-side key always join. */
+  def of(s: String): Long =
+    hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
 object GraftFunctions {

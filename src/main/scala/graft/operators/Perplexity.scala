@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Fingerprint64
 
 /** CCNet-style perplexity quality filtering (Wenzek et al. 2019): a
   * word 5-gram language model trained on a high-quality seed corpus
@@ -33,19 +34,36 @@ import graft.Tables
   * verbatim by both execution arms, so results are bit-stable and
   * arm-independent (spec-asserted).
   *
-  * Scale shape: training is one flatMap over seed docs emitting all
-  * orders 1..5 and one groupBy — q97's distributed count pass one
-  * abstraction up. Scoring dispatches on LM size:
+  * Scale shape: training is ONE flatMap over seed docs emitting all
+  * orders 1..5 and one groupBy, materialized once behind a
+  * `localCheckpoint` barrier (the row-count/unigram-total aggregate
+  * and the scoring arm both read the checkpoint — round 7 re-executed
+  * the training pass three times). Gram STRINGS never enter a scoring
+  * exchange or a broadcast: every LM row is keyed by
+  * `fingerprint64(gram)` ([[lmKey]] — 8 bytes, q73's witness-key
+  * discipline; sound because a k-gram's string determines k, tokens
+  * being whitespace-free, and 64-bit collisions at G distinct grams
+  * are ~G²/2⁶⁵ — the randomized-LM trade Talbot & Brants publish,
+  * taken identically by BOTH arms so they cannot diverge). Scoring
+  * dispatches on LM size:
   *
-  *  - LM ≤ [[BroadcastLmLimit]] rows → the count map broadcasts and
-  *    scoring is a single map-side pass (CCNet ships its pruned KenLM
-  *    to workers the same way);
-  *  - larger → the Brants '07 join shape: positional gram rows LEFT
-  *    JOIN the count relation on (k, gram) — the count groupBy's
-  *    exchange is REUSED by the join — then one per-doc fold. The
+  *  - LM ≤ [[BroadcastLmLimit]] rows → the counts compact into a
+  *    [[LongLongMap]] (open-addressing long→long, ~34 B/entry) that
+  *    broadcasts, and scoring is a single map-side pass (CCNet ships
+  *    its pruned KenLM to workers the same way);
+  *  - larger → the Brants '07 join shape: positional rows
+  *    `(doc_id, pos, k, gk)` — all 8-byte columns — LEFT JOIN the
+  *    fingerprint-keyed count relation, then one per-doc fold. The
   *    context denominator needs NO second join: the (k−1)-context of
   *    the gram at position p is exactly the (k−1)-gram at p−1, whose
   *    count the same join already delivered.
+  *
+  * Lifecycle: [[persistLm]] writes the count table as the nightly
+  * artifact (q97's merge-table pattern one level up); [[loadLm]]
+  * compacts it (optionally count-pruned, CCNet-style) for
+  * [[graft.streaming.DocStreams.pplOn]], the map-only ingest-time
+  * scoring twin — bit-equal to the batch broadcast arm by
+  * construction (same [[scoreDoc]]).
   */
 object Perplexity {
 
@@ -56,10 +74,68 @@ object Perplexity {
   val BackoffLog10: Double = math.log10(0.4)
 
   /** LM row count at or under which scoring broadcasts the count map
-    * instead of joining. 1M (k, gram) rows is a few tens of MB —
-    * comfortably a torrent broadcast, far past any test corpus.
+    * instead of joining. Sized against the compact [[LongLongMap]]
+    * broadcast form (~34 B/entry with 2× open-addressing headroom):
+    * 1M rows ≈ 34 MB of driver and per-executor heap — honestly "a
+    * few tens of MB" with JVM overhead counted, where the boxed
+    * `Map[(Int,String),Long]` this replaced would have been
+    * 150–300 MB at the same row count.
     */
   val BroadcastLmLimit: Long = 1L << 20
+
+  /** Open-addressing long→long hash map (linear probing, power-of-two
+    * capacity ≥ 2× entries): the compact broadcast form of the LM.
+    * Two primitive long arrays plus one occupancy byte per slot — no
+    * boxing, no per-entry objects, serialization-friendly.
+    */
+  private[graft] final class LongLongMap(expected: Int)
+      extends Serializable {
+    private[this] val cap = {
+      var c = 16
+      while (c < (expected max 1) * 2) c <<= 1
+      c
+    }
+    private[this] val mask = cap - 1
+    private[this] val ks = new Array[Long](cap)
+    private[this] val vs = new Array[Long](cap)
+    private[this] val occ = new Array[Boolean](cap)
+    private[this] var n = 0
+    private def slot(k: Long): Int = {
+      var h = k * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32)
+      var i = h.toInt & mask
+      while (occ(i) && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        n += 1
+        require(n * 2 <= cap, s"LongLongMap over capacity: $n > ${cap / 2}")
+      }
+      ks(i) = k; vs(i) = v; occ(i) = true
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k)
+      if (occ(i)) vs(i) else dflt
+    }
+    def size: Int = n
+  }
+
+  /** The broadcastable LM: fingerprint-keyed counts + the unigram
+    * total N (always the UNPRUNED total, so pruning thins the
+    * numerator table without rescaling the base distribution).
+    */
+  final case class Lm(counts: LongLongMap, nTrain: Long)
+      extends Serializable
+
+  /** 8-byte key of an LM row: `fingerprint64(gram)`. The gram string
+    * determines its order k (k tokens joined by single spaces, tokens
+    * whitespace-free), so (k, gram) needs no k in the key. Closures
+    * use this; column-side the registered `fingerprint64` expression
+    * computes the identical value (FingerprintSpec asserts the twin).
+    */
+  private[graft] def lmKey(gram: String): Long = Fingerprint64.of(gram)
 
   private def toksOf(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
@@ -162,45 +238,113 @@ object Perplexity {
   private def pplOf(n: Long, s: Double): java.lang.Double =
     if (n == 0) null else math.pow(10.0, -s / n)
 
+  /** Score one document against a compact LM — THE code path of the
+    * batch broadcast arm and the streaming twin alike, so the two are
+    * bit-equal by construction. */
+  private[graft] def scoreDoc(lm: Lm,
+      text: String): (Long, Option[Double]) = {
+    val toks = toksOf(text)
+    val (n, s) = foldLog10(componentsOf(toks,
+      (_: Int, g: String) => lm.counts.getOrElse(lmKey(g), -1L),
+      lm.nTrain).iterator)
+    (n, Option(pplOf(n, s)).map(_.doubleValue))
+  }
+
+  /** Compact a count relation (k, gram, cnt) into the broadcastable
+    * [[Lm]]: one aggregate for (row count, unpruned unigram total),
+    * one fingerprint-projected collect. `minCount` > 1 prunes rare
+    * grams CCNet-style; the guard refuses LMs past `limit` rows
+    * post-prune rather than OOM-ing the driver.
+    */
+  private[graft] def compactLm(counts: DataFrame, minCount: Long = 1L,
+      limit: Long = BroadcastLmLimit): Lm = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val kept = counts.filter(col("cnt") >= minCount)
+    val head = counts.agg(
+      coalesce(sum(when(col("cnt") >= minCount, 1L)), lit(0L)).as("rows"),
+      coalesce(sum(when(col("k") === 1, col("cnt"))), lit(0L)).as("n"))
+      .collect().head
+    val rows = head.getLong(0)
+    val nTrain = head.getLong(1)
+    require(rows <= limit,
+      s"LM has $rows rows after minCount=$minCount prune, past the " +
+        s"broadcast limit $limit — raise minCount or score via the join arm")
+    val lm = new LongLongMap(rows.toInt)
+    kept.select(expr("fingerprint64(gram)"), col("cnt"))
+      .as[(Long, Long)].collect()
+      .foreach { case (gk, c) => lm.put(gk, c) }
+    Lm(lm, nTrain)
+  }
+
+  /** Persist the LM count table (k, gram, cnt) as the nightly
+    * artifact — q97's merge-table lifecycle one level up. Gram text
+    * stays IN the artifact (debuggable, keys re-derivable); loaders
+    * compact to fingerprints. */
+  def persistLm(train: DataFrame, path: String): Unit =
+    ngramCounts(train).write.mode("overwrite").parquet(path)
+
+  /** Load a [[persistLm]] artifact into its compact broadcastable
+    * form, optionally count-pruned (CCNet ships a pruned KenLM the
+    * same way; nTrain stays the unpruned unigram total). */
+  def loadLm(spark: SparkSession, path: String, minCount: Long = 1L,
+      limit: Long = BroadcastLmLimit): Lm =
+    compactLm(spark.read.parquet(path), minCount, limit)
+
   /** Score every document against an LM trained on `train`:
     * one row per doc, `(doc_id, n_scored, ppl)` (ppl null for empty
     * docs). Dispatches broadcast-map vs join on LM size — both arms
-    * bit-equal by construction (shared [[foldLog10]]), spec-asserted.
+    * bit-equal by construction (shared [[foldLog10]] and identical
+    * fingerprint keys), spec-asserted.
     */
   def perplexityOn(docs: DataFrame, train: DataFrame,
       broadcastLimit: Long = BroadcastLmLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = ngramCounts(train)
-    val lmRows = counts.count()
-    val nTrain = counts.filter(col("k") === 1)
-      .agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
+    graft.functions.GraftFunctions.register(spark)
+    // ONE training pass: the counts relation materializes behind a
+    // localCheckpoint barrier; the aggregate below and the
+    // collect/join both read the checkpoint (round 7 re-ran the
+    // flatMap+groupBy three times per invocation)
+    val counts = ngramCounts(train).localCheckpoint()
+    val head = counts.agg(count(lit(1)).as("rows"),
+      coalesce(sum(when(col("k") === 1, col("cnt"))), lit(0L)).as("n"))
+      .collect().head
+    val lmRows = head.getLong(0)
+    val nTrain = head.getLong(1)
     val scored: DataFrame =
       if (lmRows <= broadcastLimit) {
-        val lm = counts.as[(Int, String, Long)].collect()
-          .map { case (k, g, c) => (k, g) -> c }.toMap
+        val lm = {
+          val m = new LongLongMap(lmRows.toInt)
+          counts.select(expr("fingerprint64(gram)"), col("cnt"))
+            .as[(Long, Long)].collect()
+            .foreach { case (gk, c) => m.put(gk, c) }
+          Lm(m, nTrain)
+        }
         val bc = spark.sparkContext.broadcast(lm)
         Tables.spread(docs.select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .map { case (id, text) =>
-            val toks = toksOf(text)
-            val lookup = (k: Int, g: String) =>
-              bc.value.getOrElse((k, g), -1L)
-            val (n, s) = foldLog10(
-              componentsOf(toks, lookup, nTrain).iterator)
-            (id, n, Option(pplOf(n, s)).map(_.doubleValue))
+            val (n, p) = scoreDoc(bc.value, text)
+            (id, n, p)
           }.toDF("doc_id", "n_scored", "ppl")
       } else {
+        // positional rows are ALL 8-byte columns — the gram text is
+        // fingerprinted in the flatMap and never enters the exchange
         val grams = Tables.spread(docs.select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .flatMap { case (id, text) =>
             val toks = toksOf(text)
             (1 to toks.length).iterator.flatMap { p =>
               (1 to math.min(Order, p)).iterator
-                .map(k => (id, p.toLong, k, toks.slice(p - k, p).mkString(" ")))
+                .map(k => (id, p.toLong, k,
+                  lmKey(toks.slice(p - k, p).mkString(" "))))
             }
-          }.toDF("doc_id", "pos", "k", "gram")
-        val perDoc = grams.join(counts, Seq("k", "gram"), "left")
+          }.toDF("doc_id", "pos", "k", "gk")
+        val lmk = counts
+          .select(expr("fingerprint64(gram)").as("gk"), col("cnt"))
+        val perDoc = grams.join(lmk, Seq("gk"), "left")
           .select(col("doc_id"), col("pos"), col("k"), col("cnt"))
           .as[(Long, Long, Int, Option[Long])]
           .groupByKey(_._1)
@@ -244,7 +388,11 @@ object Perplexity {
     * refine into `kept_head` / `kept_middle` / `kept_tail` by
     * perplexity tercile (head = lowest perplexity, CCNet's keep-side)
     * — non-kept docs keep their q75 verdict untouched, so q75's
-    * oracle is unaffected. Terciles come from a global rank via
+    * oracle is unaffected. UNSCOREABLE kept docs (empty text ⇒
+    * n_scored = 0 ⇒ ppl null) are EXCLUDED from the ranking and stay
+    * plain `kept`: an empty doc carries no quality evidence, and
+    * ranking nulls last would silently brand it worst-quality
+    * (round-7 advice). Terciles come from a global rank via
     * [[Distributed.orderedPrefix]] (q49's shape) — ntile WITHOUT the
     * single-task global window, spec-asserted equal to SQL ntile(3).
     * One row per document: `(doc_id, verdict, n_scored, ppl)`.
@@ -264,8 +412,9 @@ object Perplexity {
     // ntileOf as codegen'd integer expressions (the scala twin backs
     // the spec's cross-check against SQL ntile)
     val bucketed = Distributed.orderedPrefix(
-        kept.select(col("doc_id"), col("ppl")),
-        Seq(col("ppl").asc_nulls_last, col("doc_id")), lit(1L))
+        kept.filter(col("ppl").isNotNull)
+          .select(col("doc_id"), col("ppl")),
+        Seq(col("ppl").asc, col("doc_id")), lit(1L))
       .withColumn("q", expr("total_w DIV 3"))
       .withColumn("rem", col("total_w") % 3)
       .select(col("doc_id"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
-import graft.operators.{Bpe, Curation, Dedup}
+import graft.operators.{Bpe, Curation, Dedup, Perplexity}
 
 /** Structured Streaming twins of the document-curation operators — the
   * shapes an ingest pipeline runs on documents as they ARRIVE, against
@@ -148,6 +148,35 @@ object DocStreams {
         }
       }
       .toDF("doc_id", "n_bands", "bands_hit", "near_dup")
+  }
+
+  /** Streaming perplexity scoring — the LIVE twin of
+    * [[graft.operators.Perplexity.q102]]'s scoring stage: arriving
+    * documents score against a compact LM the nightly batch job
+    * published ([[Perplexity.persistLm]] → [[Perplexity.loadLm]],
+    * optionally count-pruned, CCNet's ship-the-pruned-KenLM shape).
+    * This closes the LM lifecycle exactly like the BPE family's
+    * (q97 → merges artifact → [[tokenizeOn]]): train nightly at
+    * corpus scale, score at ingest with zero scan-back.
+    *
+    * Scale shape: MAP-ONLY — the [[Perplexity.LongLongMap]]-backed
+    * LM (~34 B/row) rides the closure, no join, no shuffle, NO
+    * state; per-doc work is linear in tokens × order. Per-row
+    * outputs are bit-equal to the batch broadcast arm on the same
+    * doc by construction — both call [[Perplexity.scoreDoc]] — and
+    * spec-asserted against a batch run.
+    */
+  def pplOn(spark: SparkSession, src: DataFrame,
+      lm: Perplexity.Lm): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (n, p) = Perplexity.scoreDoc(lm, text)
+          (id, n, p)
+        }
+      }
+      .toDF("doc_id", "n_scored", "ppl")
   }
 
   /** Streaming BPE tokenization — the LIVE twin of

@@ -32,11 +32,11 @@ class BenchSpec extends AnyFunSuite {
     assert(regs === Seq(("q31", "plan", 24.7, 43.6)))
   }
 
-  test("a wall blow-up at EQUAL shuffle is kind=noise, never plan") {
+  test("a wall blow-up at EQUAL shuffle is kind=wall (env OR same-plan compute), never plan") {
     val prev = Map("q31" -> (1.2, 24.7))
     val cur = Map("q31" -> (6.8, 24.7)) // JIT storm / shared box
     val regs = Bench.regressionsOf(prev, cur)
-    assert(regs === Seq(("q31", "noise", 1.2, 6.8)))
+    assert(regs === Seq(("q31", "wall", 1.2, 6.8)))
   }
 
   test("jitter trips nothing; new queries are not regressions; gone queries are") {

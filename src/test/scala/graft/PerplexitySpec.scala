@@ -78,6 +78,76 @@ class PerplexitySpec extends SparkSpec {
     assert(joinArm === broadcastArm)
   }
 
+  test("fingerprint64 expression == Fingerprint64.of — the closure/column key twin") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ss = Seq("", "a", "the quick brown", "naïve café ünïcödé",
+      "aa bb cc dd ee", "x\ty z")
+    val got = ss.toDF("s").selectExpr("fingerprint64(s)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === ss.map(graft.functions.Fingerprint64.of))
+  }
+
+  test("LongLongMap: 20k random keys round-trip, misses default") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Array.fill(20000)((rnd.nextLong(), rnd.nextLong()))
+    val m = new Perplexity.LongLongMap(pairs.length)
+    pairs.foreach { case (k, v) => m.put(k, v) }
+    // overwrite wins
+    m.put(pairs(0)._1, 99L)
+    assert(m.getOrElse(pairs(0)._1, -1L) === 99L)
+    pairs.drop(1).foreach { case (k, v) =>
+      assert(m.getOrElse(k, Long.MinValue) === v)
+    }
+    assert(m.getOrElse(1234567L, -7L) === -7L)
+  }
+
+  test("q102 join arm: scoring exchanges carry only 8-byte keys — gram strings never shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val docs = Seq((0L, "aa bb cc dd ee ff gg"), (1L, "aa bb cc dd hh"))
+      .toDF("doc_id", "text")
+    val out = Perplexity.perplexityOn(docs, docs, broadcastLimit = 0L)
+    out.collect() // materialize so AQE's final plan exists
+    def exchanges(p: SparkPlan): Seq[Exchange] = p.collect {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: Exchange => Seq(e)
+    }.flatten
+    val ex = exchanges(out.queryExecution.executedPlan)
+    assert(ex.nonEmpty, out.queryExecution.executedPlan.toString)
+    // Tables.spread's round-robin input repartition legitimately
+    // moves the raw (doc_id, text) once for parallelism — the house
+    // rule targets DERIVED exchanges: every hash/range-partitioned
+    // exchange (the gram join, the per-doc fold, the doc restore)
+    // must be string-free
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    ex.filterNot(_.outputPartitioning
+        .isInstanceOf[RoundRobinPartitioning])
+      .foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+            org.apache.spark.sql.types.StringType),
+          s"string-typed exchange: ${e.output.mkString(", ")}")
+      }
+  }
+
+  test("compactLm: minCount prunes numerators, keeps the unpruned unigram total; limit guards") {
+    import spark.implicits._
+    val counts = Perplexity.ngramCounts(
+      Seq((0L, "aa bb aa bb aa")).toDF("doc_id", "text"))
+    val lm = Perplexity.compactLm(counts, minCount = 2)
+    assert(lm.nTrain === 5L) // aa×3 + bb×2, unpruned
+    assert(lm.counts.getOrElse(Perplexity.lmKey("aa"), -1L) === 3L)
+    assert(lm.counts.getOrElse(Perplexity.lmKey("aa bb"), -1L) === 2L)
+    // 4-grams occur once each — pruned at minCount = 2
+    assert(lm.counts.getOrElse(Perplexity.lmKey("aa bb aa bb"), -1L) === -1L)
+    intercept[IllegalArgumentException] {
+      Perplexity.compactLm(counts, limit = 1L)
+    }
+  }
+
   test("q102 terciles: closed-form ntile matches SQL ntile(3) at awkward sizes") {
     for (n <- Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L, 100L, 101L)) {
       val want = { // SQL ntile(3) contract computed the naive way
@@ -100,19 +170,27 @@ class PerplexitySpec extends SparkSpec {
     assert(out.length === q75.size)
     val byVerdict = out.groupBy(_.getAs[String]("verdict"))
       .map { case (k, v) => k -> v.length }
-    // every q75 'kept' became exactly one tercile; sizes differ by ≤ 1
+    // every SCOREABLE q75 'kept' became exactly one tercile; sizes
+    // differ by ≤ 1. Unscoreable kept docs (n_scored = 0 ⇒ ppl null)
+    // are excluded from the ranking and stay plain 'kept' — an empty
+    // doc carries no quality evidence (round-7 advice)
     val terciles = Seq("kept_head", "kept_middle", "kept_tail")
       .map(byVerdict.getOrElse(_, 0))
-    assert(terciles.sum === q75.values.count(_ == "kept"))
+    val keptScoreable = out.count(r =>
+      q75(r.getAs[Long]("doc_id")) == "kept" && r.getAs[Long]("n_scored") > 0)
+    assert(terciles.sum === keptScoreable)
     assert(terciles.max - terciles.min <= 1,
       s"unbalanced terciles: $terciles")
-    // non-kept docs carry their q75 verdict verbatim
+    // non-kept docs carry their q75 verdict verbatim; unscoreable
+    // kept docs are never branded kept_tail
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       if (q75(id) != "kept") assert(r.getAs[String]("verdict") === q75(id))
-      else assert(terciles.nonEmpty &&
-        Seq("kept_head", "kept_middle", "kept_tail")
-          .contains(r.getAs[String]("verdict")))
+      else if (r.getAs[Long]("n_scored") == 0)
+        assert(r.getAs[String]("verdict") === "kept",
+          s"unscoreable kept doc $id must stay plain 'kept'")
+      else assert(Seq("kept_head", "kept_middle", "kept_tail")
+        .contains(r.getAs[String]("verdict")))
     }
     // head really is the low-perplexity side
     def avgPpl(v: String): Double = {

@@ -276,6 +276,40 @@ class StreamingSpec extends SparkSpec {
     assert(live.size > 100, s"only ${live.size} docs compared")
   }
 
+  test("streaming perplexity equals the batch broadcast arm bit-for-bit, stateless") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // nightly artifact: persist the count table, load it compact
+    val lmDir = java.nio.file.Files
+      .createTempDirectory("graft_lm").toString
+    graft.operators.Perplexity.persistLm(docs, s"$lmDir/lm.parquet")
+    val lm = graft.operators.Perplexity.loadLm(spark, s"$lmDir/lm.parquet")
+    val batch = graft.operators.Perplexity.perplexityOn(docs, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$sf/documents.parquet", s"$sf/documents*.parquet")
+    val q = graft.streaming.DocStreams.pplOn(spark, src, lm)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ppl_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "perplexity stream must keep no state")
+    } finally q.stop()
+    val live = spark.sql("SELECT doc_id, n_scored, ppl FROM ppl_out")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // bit-equal (=== on doubles): same scoreDoc, same fingerprint keys
+    assert(live.keySet === batch.keySet)
+    live.foreach { case (id, v) =>
+      assert(v === batch(id), s"doc $id diverges from batch scoring")
+    }
+    assert(live.size > 100, s"only ${live.size} docs compared")
+  }
+
   test("streaming dedup-within-watermark keeps every unique event id") {
     val q = EventStreams.dedupedEvents(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("dedup_out").start()
