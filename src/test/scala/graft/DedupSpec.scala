@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f below 0.7")
   }
 
+  test("q34 dispatch: wall-budget-derived limit — pairs term at thin dims, memory term at fat") {
+    // n²/2 ≤ 30 s × 10⁸ pairs/s ⇒ ≈ 77k at dims where memory is slack
+    assert(Dedup.exactPairsLimitFor(64) ===
+      math.sqrt(2.0 * Dedup.ExactWallBudgetSec * Dedup.ExactPairsPerSec).toLong)
+    assert(Dedup.exactPairsLimitFor(64) > 70000L)
+    // fat embeddings hit the broadcast cap first: 256 MB / (1024·8 B)
+    assert(Dedup.exactPairsLimitFor(1024) ===
+      Dedup.ExactBroadcastBudgetBytes / (1024L * 8L))
+    assert(Dedup.exactPairsLimitFor(1024) < Dedup.exactPairsLimitFor(64))
+    // the library API dispatches this corpus (500 × dims 64) EXACT —
+    // identical pairs to the oracle twin
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.q34(spark, sf)) === pairs(Dedup.q34Exact(spark, sf)))
+  }
+
   test("q34 blocked exact kernel is bit-equal to the declarative SQL join twin") {
     val kernel = Dedup.q34Exact(spark, sf, 0.3).collect()
     val join = Dedup.q34ExactJoin(spark, sf, 0.3).collect()

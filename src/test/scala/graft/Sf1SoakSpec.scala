@@ -134,6 +134,14 @@ class Sf1SoakSpec extends SparkSpec {
 
   test("sf1 soak: q34 exact kernel wall-time + LSH recall telemetry at 20k vectors") {
     assume(sf1Present, "local/sf1 not generated (tools/gen_sf1.py)")
+    // which arm does the library dispatch take at this scale? Under
+    // the r8 wall-budget limit the 20k-vector rehearsal corpus runs
+    // EXACT (recall 1.0 by construction) — LSH remains the >77k path
+    val (n1, d1) = Dedup.corpusStatsOf(spark, sf1)
+    assert(n1 <= Dedup.exactPairsLimitFor(d1),
+      s"sf1 ($n1 vectors, dims $d1) must dispatch EXACT under the wall budget")
+    info(s"q34 dispatch at sf1: EXACT arm (n=$n1 ≤ " +
+      s"limit=${Dedup.exactPairsLimitFor(d1)} at dims=$d1)")
     val t0 = System.nanoTime()
     val ex = Dedup.q34Exact(spark, sf1).collect()
     val exactSecs = (System.nanoTime() - t0) / 1e9

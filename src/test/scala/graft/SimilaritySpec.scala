@@ -86,6 +86,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("append onto a LEGACY quantizer (no build-quality columns): retrain-on-sight, no failure") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_leg").toString
+    Similarity.buildIvfIndex(spark, sf, idx)
+    // rewrite the quantizer in the pre-r6 schema: just (cell, cv, cnrm)
+    val legacy = spark.read.parquet(s"$idx/_quantizer")
+      .select("cell", "cv", "cnrm").collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacy.toIndexedSeq),
+        spark.read.parquet(s"$idx/_quantizer")
+          .select("cell", "cv", "cnrm").schema)
+      .write.mode("overwrite").parquet(s"$idx/_quantizer")
+    val clones = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id").isInCollection(Similarity.QueryIds))
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val report = Similarity.appendIvfIndex(spark, idx, clones).collect()
+    assert(report.nonEmpty)
+    // no yardstick anywhere ⇒ every touched cell recommends retraining
+    report.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("build_avg_cos")))
+      assert(r.getAs[Boolean]("retrain"),
+        s"legacy cell ${r.getAs[Int]("cell")} must retrain on sight")
+    }
+  }
+
+  test("centroid broadcast is cached: same handle across calls, distinct matrices distinct") {
+    val cs1: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val cs2: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, -1.0))
+    // two calls over the same matrix reuse ONE TorrentBroadcast (the
+    // r7-advice leak was one new broadcast per call); a different
+    // matrix gets its own
+    val b1 = Similarity.centroidBroadcast(spark, cs1)
+    val b2 = Similarity.centroidBroadcast(spark, cs1.map(_.map(identity)))
+    val b3 = Similarity.centroidBroadcast(spark, cs2)
+    assert(b1 eq b2, "same centroid content must reuse the broadcast")
+    assert(!(b1 eq b3), "distinct centroid content must not collide")
+    // and the cached handle still assigns correctly
+    import spark.implicits._
+    val rows = Seq((0L, Seq(0.9, 0.1), 1.0), (1L, Seq(0.1, 0.9), 1.0))
+      .toDF("vec_id", "v", "nrm")
+    val got = Similarity.assignCellsBroadcast(spark, rows, cs1).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1))
+  }
+
   test("on-disk IVF index: pruned probe reads match in-flight q42 exactly") {
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     Similarity.buildIvfIndex(spark, sf, idx)
