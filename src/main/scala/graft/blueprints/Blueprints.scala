@@ -44,7 +44,11 @@ object Blueprints {
       password: String,
       retries: Int,
       backoffMs: Long,
-      resume: Boolean)
+      resume: Boolean,
+      protocol: String = "ftp",
+      tlsInsecure: Boolean = false,
+      truststore: Option[String] = None,
+      truststorePassword: Option[String] = None)
 
   /** argparse twin: `--flag value` pairs only, reference flag names.
     * Delete uses `--file-name-match-type` (delete_file.py:29); the
@@ -81,7 +85,18 @@ object Blueprints {
       // initial backoff; see FileOps.withRetries for the policy
       retries = m.getOrElse("--retries", "0").toInt,
       backoffMs = m.getOrElse("--backoff-ms", "1000").toLong,
-      resume = m.get("--resume").exists(_.toBoolean))
+      resume = m.get("--resume").exists(_.toBoolean),
+      // FTPS (RFC 4217) — beyond the reference (plain ftplib.FTP),
+      // because production credentialed FTP is overwhelmingly FTPS
+      protocol = {
+        val p = m.getOrElse("--protocol", "ftp").toLowerCase
+        require(p == "ftp" || p == "ftps",
+          s"--protocol must be ftp|ftps, got $p")
+        p
+      },
+      tlsInsecure = m.get("--tls-insecure").exists(_.toBoolean),
+      truststore = m.get("--truststore"),
+      truststorePassword = m.get("--truststore-password"))
   }
 
   /** Configure the session's gftp connector for this job's server;
@@ -89,11 +104,23 @@ object Blueprints {
     */
   def ftpUri(spark: SparkSession, a: Args): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    conf.set("fs.gftp.impl", "graft.sources.ftp.GraftFtpFileSystem")
-    conf.set("fs.gftp.impl.disable.cache", "true")
-    conf.set("fs.gftp.user", a.username)
-    conf.set("fs.gftp.password", a.password)
-    s"gftp://${a.host}:${a.port}"
+    val (scheme, impl) =
+      if (a.protocol == "ftps")
+        ("gftps", "graft.sources.ftp.GraftFtpsFileSystem")
+      else ("gftp", "graft.sources.ftp.GraftFtpFileSystem")
+    conf.set(s"fs.$scheme.impl", impl)
+    conf.set(s"fs.$scheme.impl.disable.cache", "true")
+    conf.set(s"fs.$scheme.user", a.username)
+    conf.set(s"fs.$scheme.password", a.password)
+    if (scheme == "gftps") {
+      if (a.tlsInsecure) conf.set("fs.gftps.insecure", "true")
+      a.truststore.foreach { t =>
+        conf.set("fs.gftps.truststore", t)
+        conf.set("fs.gftps.truststore.password",
+          a.truststorePassword.getOrElse(""))
+      }
+    }
+    s"$scheme://${a.host}:${a.port}"
   }
 
   /** Shared driver shell: run the blueprint body, map the reference's

@@ -13,6 +13,21 @@ import java.nio.charset.StandardCharsets
   * Passive mode only (the reference also forces PASV,
   * download_file.py:220). One in-flight data transfer per control
   * connection, as the protocol requires.
+  *
+  * FTPS (`tls = true`): explicit TLS per RFC 4217 — `AUTH TLS` before
+  * login upgrades the control connection in place (the client speaks
+  * first in a TLS handshake, so no read-ahead race with the 234
+  * reply), then `PBSZ 0` + `PROT P` protect every data connection.
+  * Data sockets connect in the clear (PASV) and upgrade AFTER the
+  * transfer command's 1xx preliminary reply, matching ftplib's
+  * `FTP_TLS.ntransfercmd` ordering — servers only begin the data-side
+  * handshake once the transfer starts. Certificate verification uses
+  * `sslContext` (or the JVM default truststore) WITH hostname
+  * endpoint identification; [[FtpClient.trustAllContext]] exists as
+  * the documented curl `-k` analogue for self-signed intra-net
+  * servers and disables endpoint identification too. The cleartext
+  * path is byte-identical to round 7 — `tls = false` touches no TLS
+  * code at all.
   */
 object FtpClient {
   final case class FtpReply(code: Int, text: String) {
@@ -21,21 +36,85 @@ object FtpClient {
 
   final case class FtpEntry(name: String, isDir: Boolean, size: Long,
     modifyMs: Long)
+
+  /** An SSLContext that trusts ANY server certificate — the explicit
+    * opt-in for self-signed FTPS servers (curl's `-k`, lftp's
+    * `ssl:verify-certificate no`). Never the default.
+    */
+  def trustAllContext(): javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(
+            c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(
+            c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }), new java.security.SecureRandom())
+    ctx
+  }
 }
 
 class FtpClient(host: String, port: Int, user: String, password: String,
-    timeoutMs: Int = 30000) extends AutoCloseable {
+    timeoutMs: Int = 30000, tls: Boolean = false,
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    verifyHostname: Boolean = true) extends AutoCloseable {
   import FtpClient.{FtpEntry, FtpReply}
 
-  private val control = new Socket()
+  private var control: Socket = new Socket()
   control.connect(new InetSocketAddress(host, port), timeoutMs)
   control.setSoTimeout(timeoutMs)
-  private val in = new BufferedReader(
+  private var in = new BufferedReader(
     new InputStreamReader(control.getInputStream, StandardCharsets.UTF_8))
-  private val out = control.getOutputStream
+  private var out: OutputStream = control.getOutputStream
 
   expect(readReply(), 220)
+  if (tls) startTls()
   login()
+  if (tls) {
+    // RFC 4217: PBSZ must precede PROT; 0 is the only value for TLS
+    expect(cmd("PBSZ 0"), 200)
+    expect(cmd("PROT P"), 200)
+  }
+
+  private def sslSocketFactory: javax.net.ssl.SSLSocketFactory =
+    sslContext.getOrElse(javax.net.ssl.SSLContext.getDefault).getSocketFactory
+
+  /** Upgrade an existing socket to TLS client-side. `HTTPS`-style
+    * endpoint identification (hostname check against the cert) is on
+    * unless the caller opted out (trust-all deployments).
+    */
+  private def upgrade(plain: Socket): javax.net.ssl.SSLSocket = {
+    val ssl = sslSocketFactory
+      .createSocket(plain, host, port, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    ssl.setUseClientMode(true)
+    ssl.setSoTimeout(timeoutMs)
+    if (verifyHostname) {
+      val p = ssl.getSSLParameters
+      p.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(p)
+    }
+    ssl.startHandshake()
+    ssl
+  }
+
+  private def startTls(): Unit = {
+    expect(cmd("AUTH TLS"), 234)
+    val ssl = upgrade(control)
+    control = ssl
+    in = new BufferedReader(
+      new InputStreamReader(ssl.getInputStream, StandardCharsets.UTF_8))
+    out = ssl.getOutputStream
+  }
+
+  /** TLS-protect a data connection (no-op in cleartext mode). Called
+    * AFTER the transfer command's preliminary reply — RFC 4217 data
+    * handshakes begin when the transfer does.
+    */
+  private def secureData(plain: Socket): Socket =
+    if (!tls) plain else upgrade(plain)
 
   private def readReply(): FtpReply = {
     val first = in.readLine()
@@ -115,9 +194,10 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     * hit exactly this).
     */
   def retrieveStream(path: String, offset: Long): InputStream = {
-    val data = pasv()
+    val plain = pasv()
     if (offset > 0) expect(cmd(s"REST $offset"), 350)
     expect(cmd(s"RETR $path"), 150, 125)
+    val data = secureData(plain)
     new java.io.FilterInputStream(data.getInputStream) {
       private var sawEof = false
       override def read(): Int = {
@@ -164,9 +244,10 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     * writes into the existing file starting at `offset`.
     */
   def storeStream(path: String, offset: Long): OutputStream = {
-    val data = pasv()
+    val plain = pasv()
     if (offset > 0) expect(cmd(s"REST $offset"), 350)
     expect(cmd(s"STOR $path"), 150, 125)
+    val data = secureData(plain)
     new java.io.FilterOutputStream(data.getOutputStream) {
       override def close(): Unit = {
         super.close(); data.close()
@@ -181,8 +262,9 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     * download_file.py:147).
     */
   def nlst(path: String): Seq[String] = {
-    val data = pasv()
+    val plain = pasv()
     expect(cmd(if (path.isEmpty) "NLST" else s"NLST $path"), 150, 125)
+    val data = secureData(plain)
     val r = new BufferedReader(new InputStreamReader(
       data.getInputStream, StandardCharsets.UTF_8))
     val names = Iterator.continually(r.readLine()).takeWhile(_ != null).toList
@@ -196,13 +278,14 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     * `exists()` probes behave.
     */
   def mlsd(path: String): Seq[FtpEntry] = {
-    val data = pasv()
+    val plain = pasv()
     val rep = cmd(if (path.isEmpty) "MLSD" else s"MLSD $path")
     if (rep.code >= 400) {
-      data.close()
+      plain.close()
       throw new java.io.FileNotFoundException(s"$path: ${rep.code} ${rep.text}")
     }
     expect(rep, 150, 125)
+    val data = secureData(plain)
     val r = new BufferedReader(new InputStreamReader(
       data.getInputStream, StandardCharsets.UTF_8))
     val lines = Iterator.continually(r.readLine()).takeWhile(_ != null).toList

@@ -29,10 +29,10 @@ import org.apache.hadoop.util.Progressable
 class GraftFtpFileSystem extends FileSystem {
 
   private var uri: URI = _
-  private var host: String = _
-  private var port: Int = 21
-  private var user: String = "anonymous"
-  private var password: String = ""
+  protected var host: String = _
+  protected var port: Int = 21
+  protected var user: String = "anonymous"
+  protected var password: String = ""
   private var workingDir: Path = new Path("/")
 
   override def getScheme: String = "gftp"
@@ -40,23 +40,26 @@ class GraftFtpFileSystem extends FileSystem {
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
+    val scheme = getScheme
     host = name.getHost
-    port = if (name.getPort > 0) name.getPort else conf.getInt("fs.gftp.port", 21)
+    port =
+      if (name.getPort > 0) name.getPort
+      else conf.getInt(s"fs.$scheme.port", 21)
     Option(name.getUserInfo).foreach { ui =>
       val parts = ui.split(":", 2)
       user = parts(0)
       if (parts.length > 1) password = parts(1)
     }
-    user = conf.get("fs.gftp.user", user)
-    password = conf.get("fs.gftp.password", password)
+    user = conf.get(s"fs.$scheme.user", user)
+    password = conf.get(s"fs.$scheme.password", password)
     // keep the full authority (incl. userinfo) — Path.checkPath
     // compares authorities verbatim
-    uri = URI.create(s"gftp://${name.getAuthority}")
+    uri = URI.create(s"$scheme://${name.getAuthority}")
   }
 
   override def getUri: URI = uri
 
-  private def client(): FtpClient = new FtpClient(host, port, user, password)
+  protected def client(): FtpClient = new FtpClient(host, port, user, password)
 
   private def withClient[A](f: FtpClient => A): A = {
     val c = client()
@@ -218,5 +221,48 @@ class GraftFtpFileSystem extends FileSystem {
         new FileStatus(e.size, e.isDir, 1, 65536, e.modifyMs, makeQualified(p))
       case None => throw new FileNotFoundException(path)
     }
+  }
+}
+
+/** FTPS (explicit TLS, RFC 4217) twin of [[GraftFtpFileSystem]]:
+  * register `fs.gftps.impl` → this class and every Spark source/sink
+  * works over `gftps://`. Same verbs, same REST-resume seek path —
+  * only the transport differs: AUTH TLS on the control connection,
+  * PROT P on every data connection.
+  *
+  * Trust configuration (per-scheme Hadoop conf):
+  *  - default: the JVM truststore, WITH hostname verification — the
+  *    correct posture against a public server;
+  *  - `fs.gftps.truststore` (+ `.password`, optional `.type`
+  *    defaulting PKCS12): a dedicated truststore for private CAs —
+  *    how a real deployment pins its FTPS endpoint;
+  *  - `fs.gftps.insecure = true`: trust ANY certificate and skip
+  *    hostname checks — curl's `-k`, lftp's `ssl:verify-certificate
+  *    no`; for self-signed intra-net servers only, never a default.
+  */
+class GraftFtpsFileSystem extends GraftFtpFileSystem {
+  override def getScheme: String = "gftps"
+
+  override protected def client(): FtpClient = {
+    val conf = getConf
+    val insecure = conf.getBoolean("fs.gftps.insecure", false)
+    val ctx: Option[javax.net.ssl.SSLContext] =
+      if (insecure) Some(FtpClient.trustAllContext())
+      else Option(conf.get("fs.gftps.truststore")).map { path =>
+        val ks = java.security.KeyStore.getInstance(
+          conf.get("fs.gftps.truststore.type", "PKCS12"))
+        val is = new java.io.FileInputStream(path)
+        try ks.load(is,
+          conf.get("fs.gftps.truststore.password", "").toCharArray)
+        finally is.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val c = javax.net.ssl.SSLContext.getInstance("TLS")
+        c.init(null, tmf.getTrustManagers, null)
+        c
+      }
+    new FtpClient(host, port, user, password, tls = true,
+      sslContext = ctx, verifyHostname = !insecure)
   }
 }

@@ -11,8 +11,16 @@ import scala.util.control.NonFatal
 /** In-process FTP server for specs: serves one local directory over
   * RFC 959 + MLSD, passive mode only, loopback only. Protocol support
   * mirrors exactly what [[graft.sources.ftp.FtpClient]] speaks.
+  *
+  * FTPS test mode: pass a server-side `tlsContext` and the server
+  * advertises and accepts `AUTH TLS` (RFC 4217), upgrading the
+  * control connection in place; `PBSZ 0` / `PROT P` then TLS-wrap
+  * every data connection. Cleartext sessions on the same server stay
+  * untouched unless `requireTls` forces 530s before AUTH.
   */
-class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
+class MiniFtpServer(root: Path, requiredPassword: Option[String] = None,
+    tlsContext: Option[javax.net.ssl.SSLContext] = None,
+    requireTls: Boolean = false) {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(true)
   val port: Int = server.getLocalPort
@@ -21,6 +29,14 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
     * the restart path instead of skip-reading.
     */
   val restCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** AUTH TLS upgrades served — lets specs assert the control
+    * connection really was upgraded, not silently cleartext.
+    */
+  val authTlsCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** PROT P data connections served (data-channel TLS wraps). */
+  val protDataCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val acceptor = new Thread(() => {
     while (running.get()) {
@@ -37,10 +53,11 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
 
   def stop(): Unit = { running.set(false); server.close() }
 
-  private def handle(sock: Socket): Unit = {
-    val in = new BufferedReader(new InputStreamReader(
+  private def handle(sock0: Socket): Unit = {
+    var sock: Socket = sock0
+    var in = new BufferedReader(new InputStreamReader(
       sock.getInputStream, StandardCharsets.UTF_8))
-    val out = sock.getOutputStream
+    var out: OutputStream = sock.getOutputStream
     def reply(s: String): Unit = {
       out.write((s + "\r\n").getBytes(StandardCharsets.UTF_8)); out.flush()
     }
@@ -48,6 +65,8 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
     var dataServer: ServerSocket = null
     var renameFrom: Option[Path] = None
     var restOffset = 0L // set by REST, consumed by the next RETR/STOR
+    var tlsActive = false
+    var protP = false
 
     def resolve(p: String): Path = {
       val virtual =
@@ -58,9 +77,23 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
       root.resolve(norm.stripPrefix("/")).normalize()
     }
 
+    // accept the data connection; under PROT P wrap it server-side —
+    // RFC 4217 data handshakes start when the transfer does, which is
+    // exactly when the client calls its secureData
     def openData(): Socket = {
       val d = dataServer.accept()
-      d
+      if (tlsActive && protP) {
+        protDataCount.incrementAndGet()
+        val ssl = tlsContext.get.getSocketFactory
+          .createSocket(d, null, d.getPort, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        // handshake NOW: an empty listing would otherwise close the
+        // socket without ever handshaking (no byte written), and the
+        // client's startHandshake would see a bare EOF
+        ssl.startHandshake()
+        ssl
+      } else d
     }
 
     def mdtm(p: Path): String = {
@@ -78,6 +111,35 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
           if (sp < 0) (line.toUpperCase, "")
           else (line.take(sp).toUpperCase, line.drop(sp + 1))
         c match {
+          case "AUTH" if tlsContext.isDefined &&
+              arg.equalsIgnoreCase("TLS") && !tlsActive =>
+            reply("234 AUTH TLS ok, proceed with handshake")
+            // server side of the in-place upgrade: wrap the accepted
+            // socket, wait for the client's ClientHello
+            val ssl = tlsContext.get.getSocketFactory
+              .createSocket(sock, null, sock.getPort, true)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            ssl.setUseClientMode(false)
+            ssl.startHandshake()
+            sock = ssl
+            in = new BufferedReader(new InputStreamReader(
+              ssl.getInputStream, StandardCharsets.UTF_8))
+            out = ssl.getOutputStream
+            tlsActive = true
+            authTlsCount.incrementAndGet()
+          case "AUTH" => reply("502 AUTH not supported")
+          case "PBSZ" if tlsActive =>
+            if (arg == "0") reply("200 PBSZ 0")
+            else reply("501 only PBSZ 0 under TLS")
+          case "PROT" if tlsActive =>
+            arg.toUpperCase match {
+              case "P" => protP = true; reply("200 PROT P accepted")
+              case "C" => protP = false; reply("200 PROT C accepted")
+              case _ => reply("536 only P or C")
+            }
+          case _ if requireTls && !tlsActive =>
+            // a policy-enforcing server refuses everything before TLS
+            reply("530 TLS required: issue AUTH TLS first")
           case "USER" => reply("331 password required")
           case "PASS" =>
             if (requiredPassword.forall(_ == arg)) reply("230 logged in")
@@ -85,6 +147,9 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
           case "SYST" => reply("215 UNIX Type: L8")
           case "FEAT" =>
             reply("211-Features:"); reply(" MLSD"); reply(" REST STREAM")
+            if (tlsContext.isDefined) {
+              reply(" AUTH TLS"); reply(" PBSZ"); reply(" PROT")
+            }
             reply("211 End")
           case "TYPE" => reply("200 ok")
           case "NOOP" => reply("200 ok")
@@ -134,10 +199,11 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
                       if (n <= 0) toSkip = 0 else toSkip -= n
                     }
                     in.transferTo(d.getOutputStream)
+                    d.getOutputStream.flush()
                     true
                   } finally in.close()
                 } catch { case NonFatal(_) => false }
-                finally d.close()
+                finally { try d.close() catch { case NonFatal(_) => () } }
               if (completed) reply("226 transfer complete")
               else reply("426 transfer aborted")
             }
@@ -161,7 +227,7 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
                   raf.setLength(raf.getFilePointer) // truncate stale tail
                 } finally raf.close()
               }
-            } finally d.close()
+            } finally { try d.close() catch { case NonFatal(_) => () } }
             reply("226 transfer complete")
           case "NLST" =>
             val t = resolve(arg)
@@ -236,5 +302,56 @@ class MiniFtpServer(root: Path, requiredPassword: Option[String] = None) {
       if (dataServer != null) dataServer.close()
       try sock.close() catch { case NonFatal(_) => () }
     }
+  }
+}
+
+/** Self-signed TLS material for FTPS specs: one keytool-generated
+  * localhost keypair per JVM, exposed as a server SSLContext (key
+  * material) and a client SSLContext (trusts exactly that cert —
+  * full-verification path, no trust-all shortcuts in the happy-path
+  * specs) plus the truststore file for `fs.gftps.truststore` tests.
+  */
+object TlsTestMaterial {
+  lazy val (serverContext, clientContext, truststorePath, storePass):
+      (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext, String, String) = {
+    val dir = Files.createTempDirectory("graft_tls")
+    val ks = dir.resolve("server.p12").toString
+    val ts = dir.resolve("trust.p12").toString
+    val cert = dir.resolve("server.crt").toString
+    val pass = "graftpass"
+    val keytool = Paths.get(System.getProperty("java.home"), "bin", "keytool")
+      .toString
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val outText = new String(p.getInputStream.readAllBytes,
+        StandardCharsets.UTF_8)
+      require(p.waitFor() == 0, s"keytool failed: $outText")
+    }
+    run("-genkeypair", "-alias", "graft", "-keyalg", "RSA", "-keysize",
+      "2048", "-validity", "3650", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", pass, "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1")
+    run("-exportcert", "-alias", "graft", "-keystore", ks,
+      "-storepass", pass, "-file", cert)
+    run("-importcert", "-noprompt", "-alias", "graft", "-storetype",
+      "PKCS12", "-keystore", ts, "-storepass", pass, "-file", cert)
+    def load(path: String): java.security.KeyStore = {
+      val k = java.security.KeyStore.getInstance("PKCS12")
+      val is = Files.newInputStream(Paths.get(path))
+      try k.load(is, pass.toCharArray) finally is.close()
+      k
+    }
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(load(ks), pass.toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(load(ts))
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    (serverCtx, clientCtx, ts, pass)
   }
 }
