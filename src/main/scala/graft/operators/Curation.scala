@@ -894,7 +894,15 @@ object Curation {
     * text. At 100 TB the line relation is corpus-sized but each
     * task's state is one doc's lines; nothing is quadratic anywhere.
     */
-  def lineDedupOn(docs: DataFrame): DataFrame = {
+  def lineDedupOn(docs: DataFrame): DataFrame =
+    lineDedupRows(docs).orderBy(col("doc_id"))
+
+  /** [[lineDedupOn]] without the final presentation sort — the form
+    * the composed pipeline ([[q104]]) consumes, where the next stage
+    * re-shuffles anyway and a global sort of the corpus text would be
+    * pure waste at scale.
+    */
+  private[graft] def lineDedupRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val segs = Tables.spread(docs.select(col("doc_id"), col("text")))
@@ -918,7 +926,6 @@ object Curation {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
         coalesce(col("text"), lit("")).as("text"))
-      .orderBy(col("doc_id"))
   }
 
   /** [[lineDedupOn]] over the corpus `documents` table. */
@@ -987,11 +994,15 @@ object Curation {
     packOn(cleanedDocuments(kept))
   }
 
-  val q103Sql: String =
-    s"""WITH $verdictCtes,
-       |kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'kept'),
-       |kt AS (SELECT t.doc_id, t.w FROM t JOIN kept USING (doc_id)),
-       |kg AS (
+  /** The span-cut + pack tail of the composed-pipeline oracles: from
+    * a token CTE named `kt` (`doc_id`, `w` token list — one row per
+    * surviving doc), recompute cut spans over that corpus, merge
+    * overlapping token intervals, and pack. Shared verbatim by
+    * [[q103Sql]] (kt = kept docs) and [[q104Sql]] (kt = kept docs
+    * after line dedup).
+    */
+  private def spanCutPackCtes: String =
+    s"""kg AS (
        |  SELECT doc_id, u.pos, u.gram FROM (
        |    SELECT doc_id, unnest(list_transform(
        |      range(1, len(w) - ${SpanN - 2}),
@@ -1052,4 +1063,78 @@ object Curation {
        |  last_win - first_win + 1 AS n_windows
        |FROM win
        |ORDER BY doc_id""".stripMargin
+
+  val q103Sql: String =
+    s"""WITH $verdictCtes,
+       |kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'kept'),
+       |kt AS (SELECT t.doc_id, t.w FROM t JOIN kept USING (doc_id)),
+       |$spanCutPackCtes""".stripMargin
+
+  /** q104: the FULL composed pipeline, C4 stage order — verdict, LINE
+    * dedup, span CUT, pack. q103 composes verdict → cut → pack; C4
+    * (Raffel '20) and every production pipeline since drop whole
+    * duplicated lines BEFORE the expensive substring pass, because
+    * line dedup is one cheap exact shuffle that deletes most
+    * boilerplate, shrinking the positional-gram relation the span cut
+    * must build. Stages, each over the previous stage's survivors:
+    *
+    *  1. q75's verdict chain selects the kept corpus;
+    *  2. [[lineDedupOn]] drops every content-defined line occurring
+    *     ≥ 2 times among KEPT docs (counts over the kept corpus —
+    *     condemned docs must not veto a line);
+    *  3. [[cleanedDocuments]] cuts every duplicated ≥
+    *     [[CutMinTokens]]-token span within the line-deduped corpus;
+    *  4. [[packOn]] lays the residue into [[PackWindow]]-token
+    *     training windows. Output schema is q93's, kept docs only.
+    *
+    * The line-deduped corpus is `localCheckpoint`'d: it feeds the
+    * span-cut's gram pass AND the text-rebuild join (2 consumers),
+    * and a production pipeline writes that intermediate as the
+    * nightly line-dedup artifact anyway — the barrier is that table
+    * (the q75/§8a precedent). Full-chain DuckDB oracle: same CTE
+    * blocks as q75/q101/q103, line dedup spliced between kept and
+    * the shared [[spanCutPackCtes]] tail.
+    */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val keptIds = q75(spark, dir)
+      .filter(col("verdict") === "kept").select(col("doc_id"))
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val lined = lineDedupRows(kept)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    packOn(cleanedDocuments(lined))
+  }
+
+  val q104Sql: String =
+    s"""WITH $verdictCtes,
+       |kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'kept'),
+       |kt0 AS (SELECT t.doc_id, t.w FROM t JOIN kept USING (doc_id)),
+       |ltok AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[CAST(u.i AS INT)] AS tk
+       |  FROM kt0, UNNEST(range(1, len(w)+1)) AS u(i)),
+       |llid AS (
+       |  SELECT doc_id, pos, tk,
+       |    COALESCE(SUM(CASE WHEN ascii(tk) % $LineBreakMod = 0
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS line_id
+       |  FROM ltok),
+       |lseg AS (
+       |  SELECT doc_id, line_id, string_agg(tk, ' ' ORDER BY pos) AS line
+       |  FROM llid GROUP BY doc_id, line_id),
+       |locc AS (SELECT line, COUNT(*) AS n FROM lseg GROUP BY line),
+       |lper AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN n < 2 THEN line END, ' ' ORDER BY line_id)
+       |      AS text
+       |  FROM lseg JOIN locc USING (line) GROUP BY doc_id),
+       |ltext AS (
+       |  SELECT k.doc_id, COALESCE(p.text, '') AS text
+       |  FROM kept k LEFT JOIN lper p USING (doc_id)),
+       |kt AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM ltext),
+       |$spanCutPackCtes""".stripMargin
 }

@@ -261,6 +261,55 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q104 full pipeline: line dedup runs between verdict and cut, C4 stage order") {
+    import spark.implicits._
+    val q75 = Curation.q75(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    val keptIds = q75.collect { case (id, "kept") => id }.toSet
+    val out = Curation.q104(spark, sf).collect()
+    // stage wiring: exactly the kept docs are packed
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === keptIds)
+    // offsets are an exclusive prefix sum, contiguous from zero
+    var expectOff = 0L
+    out.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+      assert(r.getAs[Long]("start_tok") === expectOff)
+      expectOff += r.getAs[Long]("n_tokens")
+    }
+    // recompose the chain from the stage operators: kept → lineDedupOn
+    // → cutSpansOn over the LINE-DEDUPED corpus → per-doc length
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val kept = docs.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val lined = Curation.lineDedupOn(kept)
+    val linedLen = lined.collect().map(r => r.getLong(0) ->
+      r.getString(3).trim.split("\\s+").count(_.nonEmpty).toLong).toMap
+    val cutBy = Curation.cutSpansOn(lined.select(col("doc_id"), col("text")))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id ->
+        rs.flatMap(r => r.getLong(1) to r.getLong(2)).distinct.length.toLong }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") ===
+        linedLen(id) - cutBy.getOrElse(id, 0L), s"doc $id")
+    }
+    // both intermediate stages actually fired on this corpus: line
+    // dedup dropped lines (kept lengths shrank vs raw), and the span
+    // cut over the line-deduped corpus still found something
+    val rawLen = kept.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong).toMap
+    assert(keptIds.exists(id => linedLen(id) < rawLen(id)),
+      "line dedup dropped nothing in the kept corpus — spec is vacuous")
+    assert(cutBy.nonEmpty,
+      "no spans cut after line dedup — spec is vacuous")
+    // C4 ordering is observable: q104's packed total differs from
+    // q103's (cut-only) whenever line dedup removed anything
+    val q103Total = Curation.q103(spark, sf)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    val q104Total = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(q104Total < q103Total,
+      "q104 packed as many tokens as q103 — line-dedup stage had no effect")
+  }
+
   test("q101 line dedup: planted duplicate lines drop everywhere, CDC re-scan is exactly empty") {
     import spark.implicits._
     // Breakers end a content-defined line: tokens whose first char's
