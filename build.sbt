@@ -53,10 +53,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pin the committed heap — G1 heap-resize cycles showed up as
   // multi-second jitter on the allocation-heavy text pipelines
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
-  // 96 queries × warmup + timed runs push thousands of Janino classes
-  // through the JIT; at the default 240 MB code cache, flushing evicts
-  // hot compiled methods and the evicted query replays in the
-  // interpreter until re-JIT'd — observed as nondeterministic 12×
-  // CPU "storms" (q31: 80 s stage CPU vs 6.5 s steady, zero GC).
-  "-XX:ReservedCodeCacheSize=1g",
+  // 107 queries × warmup + timed runs push thousands of Janino classes
+  // through the JIT; when code-cache flushing evicts hot compiled
+  // methods the evicted query replays in the interpreter until
+  // re-JIT'd — observed as nondeterministic 12× CPU "storms" (q31:
+  // 80 s stage CPU vs 6.5 s steady, zero GC). 1g absorbed it at 100
+  // queries; at 107 (the q100–q107 composed-pipeline block sorts
+  // right before q11–q13) trivial queries regressed 6–25× at
+  // byte-identical shuffle — the same signature, so double it.
+  "-XX:ReservedCodeCacheSize=2g",
 )

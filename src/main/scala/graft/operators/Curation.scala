@@ -1137,4 +1137,134 @@ object Curation {
        |kt AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM ltext),
        |$spanCutPackCtes""".stripMargin
+
+  /** q106: mixture REALIZATION — q47 computes the tempered per-lang
+    * sampling weights; this turns them into the per-document EPOCH
+    * counts a dataloader actually consumes. Each doc's expected copy
+    * count in a [[q47]]-weighted `sampleSize`-doc draw is
+    * `rate = weight × sampleSize / n_docs(lang)`; the realized count
+    * is `floor(rate)` plus one more iff the doc's content-hash
+    * fraction falls below the fractional residue — deterministic
+    * systematic sampling (the q58 principle: never `rand()`, which
+    * resamples per retry/speculative task; the decision depends only
+    * on row content, so it survives re-runs, repartitions and engine
+    * swaps, and E[copies] = rate exactly under a uniform hash).
+    *
+    * Scale shape: the weight table is langs-sized and broadcast; the
+    * corpus side is map-only (hash + compare, no shuffle). Floats:
+    * `rate` reuses q47's exact-integer-recomposed weight, the hash
+    * fraction divides by 2^24 (exact), and the compare is on doubles
+    * built from identical expression trees in both engines.
+    */
+  def q106(spark: SparkSession, dir: String,
+      sampleSize: Int = 10000): DataFrame = {
+    val weights = q47(spark, dir, sampleSize)
+      .select(col("lang"), col("n_docs"), col("expected_docs"))
+    val frac = col("rate") - floor(col("rate"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("rate",
+        col("expected_docs") / col("n_docs").cast("double"))
+      .withColumn("h",
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"))
+      .withColumn("copies",
+        (floor(col("rate")) +
+          when(col("h").cast("double") / lit(16777216.0) < frac, 1.0)
+            .otherwise(0.0)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q106Sql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT SUM(n_docs) AS total FROM c),
+      |s AS (
+      |  SELECT lang, n_docs,
+      |    sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS sp
+      |  FROM c CROSS JOIN t),
+      |d AS (SELECT SUM(CAST(floor(sp * 1e15) AS BIGINT)) AS denom FROM s),
+      |w AS (
+      |  SELECT lang, n_docs,
+      |    sp / (CAST(denom AS DOUBLE) / 1e15) * 10000 AS expected_docs
+      |  FROM s CROSS JOIN d),
+      |r AS (
+      |  SELECT doc_id, documents.lang,
+      |    expected_docs / CAST(n_docs AS DOUBLE) AS rate,
+      |    CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS h
+      |  FROM documents JOIN w USING (lang))
+      |SELECT doc_id, lang, rate,
+      |  CAST(floor(rate) +
+      |    CASE WHEN CAST(h AS DOUBLE) / 16777216.0 < rate - floor(rate)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS copies
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  /** Chunk length in tokens for [[q107]]. */
+  val ChunkWindow = 64L
+
+  /** Chunk stride for [[q107]] — 16-token overlap between chunks. */
+  val ChunkStride = 48L
+
+  /** q107: overlapping document chunking — the RAG/embedding-prep
+    * twin of q93's packing. Each doc splits into
+    * [[ChunkWindow]]-token chunks starting every [[ChunkStride]]
+    * tokens (16-token overlap preserves context across boundaries);
+    * the last chunk is the first one reaching the doc's end, so no
+    * degenerate tail fragments. One row per chunk:
+    * `(doc_id, chunk_id, start_tok, end_tok, n_tokens, text)`.
+    *
+    * Scale shape: map-only — tokenize, integer chunk-count
+    * arithmetic (`(n − W + S − 1) div S + 1`, no float ceil),
+    * `explode(sequence(...))` + `slice`, all whole-stage codegen;
+    * no shuffle, no state, pipelines straight into a writer or an
+    * embedding UDF stage. Empty docs produce zero chunks.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val (wn, st) = (ChunkWindow, ChunkStride)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens.as("w"))
+      .withColumn("n_toks", size(col("w")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("n_chunks",
+        when(col("n_toks") <= wn, 1L)
+          .otherwise(expr(s"(n_toks - $wn + $st - 1) DIV $st") + 1L))
+      .select(col("doc_id"), col("n_toks"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("i"))
+      .withColumn("start_tok", col("i") * st + 1L)
+      .withColumn("end_tok", least(col("start_tok") + (wn - 1L), col("n_toks")))
+      .select(col("doc_id"), (col("i") + 1L).as("chunk_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1L).as("n_tokens"),
+        concat_ws(" ", slice(col("w"), col("start_tok").cast("int"),
+          (col("end_tok") - col("start_tok") + 1L).cast("int"))).as("text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q107Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks
+       |  FROM t WHERE len(w) > 0),
+       |c AS (
+       |  SELECT doc_id, w, n_toks,
+       |    CASE WHEN n_toks <= $ChunkWindow THEN 1
+       |      ELSE (n_toks - $ChunkWindow + $ChunkStride - 1) // $ChunkStride + 1
+       |    END AS n_chunks
+       |  FROM n),
+       |e AS (
+       |  SELECT doc_id, w, n_toks, CAST(u.i AS BIGINT) AS i
+       |  FROM c, UNNEST(range(0, n_chunks)) AS u(i))
+       |SELECT doc_id, i + 1 AS chunk_id,
+       |  i * $ChunkStride + 1 AS start_tok,
+       |  LEAST(i * $ChunkStride + $ChunkWindow, n_toks) AS end_tok,
+       |  LEAST(i * $ChunkStride + $ChunkWindow, n_toks)
+       |    - (i * $ChunkStride + 1) + 1 AS n_tokens,
+       |  array_to_string(list_slice(w, CAST(i * $ChunkStride + 1 AS INT),
+       |    CAST(LEAST(i * $ChunkStride + $ChunkWindow, n_toks) AS INT)), ' ')
+       |    AS text
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
 }

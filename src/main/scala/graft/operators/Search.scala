@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Full-text search over the corpus: an inverted-index build plus
+  * BM25-ranked top-k retrieval — the retrieval half of a RAG/dedup
+  * stack, and the classic IR workload a training-data platform runs
+  * for corpus exploration ("show me the docs about X") and
+  * contamination forensics ("which documents score high against this
+  * benchmark question").
+  *
+  * Spark-first shape: the term-frequency relation (the inverted
+  * index) is ONE explode + groupBy pass over the corpus; corpus
+  * statistics (N, total length) are one 1-row aggregate, document
+  * frequencies one term-keyed aggregate whose exchange is REUSED by
+  * the scoring join (same key). Queries are a KB-sized literal
+  * relation — broadcast onto the postings, so the corpus-sized side
+  * never shuffles for the join; per-query top-k is a rank window
+  * that compiles to `WindowGroupLimit` (each map partition forwards
+  * ≤ k rows per query into the final shuffle, q48's pattern). At
+  * 100 TB the tf relation is the persisted index artifact
+  * (term-bucketed parquet); everything downstream of it touches only
+  * postings for the query's terms.
+  *
+  * Determinism contract (the §4 strategy, q24/q47 precedents): BM25's
+  * `ln`-based idf is NOT cross-engine bit-stable (libm vs JVM differ
+  * in the last ulp), so the idf factor is the RATIONAL `N/df` —
+  * q24's documented substitution, monotone in the same direction on
+  * every corpus (both decrease in df), so ranking quality is
+  * preserved while every factor stays an IEEE-exact operation on
+  * exact integers. k1 = 1.25 and b = 0.75 are chosen exactly
+  * representable in binary (k1+1 = 2.25 exact) so the literal
+  * arithmetic folds identically in both engines. Per-term
+  * contributions are floor-scaled to int64 at 1e9 and summed in the
+  * EXACT integer domain (double sums are shuffle-order-dependent;
+  * int sums are not), the final score recomposed by one division.
+  */
+object Search {
+
+  /** Fixed retrieval queries (literals, the q40 fixed-query-vector
+    * pattern) over the synthetic corpus vocabulary.
+    */
+  val SearchQueries: Seq[(Long, String)] = Seq(
+    (1L, "fast table scan"),
+    (2L, "window agg join"),
+    (3L, "customer order query"),
+    (4L, "hash merge sort batch"),
+    (5L, "stream data column"))
+
+  /** BM25 k1, exactly representable (k1+1 = 2.25 exact). */
+  val BmK1 = 1.25
+
+  /** BM25 b, exactly representable. */
+  val BmB = 0.75
+
+  /** Results per query. */
+  val SearchTopK = 10
+
+  /** Score scale: contributions are floor(score × 1e9) int64s. */
+  private val ScoreScale = 1e9
+
+  /** The inverted index + per-doc length over a `(doc_id, text)`
+    * relation: one row per (term, doc_id) with the term frequency,
+    * plus `dl` (doc token count) on every row. This is the relation a
+    * production deployment persists term-bucketed; [[q105]] builds it
+    * in-flight per the query contract.
+    */
+  private[graft] def tfIndex(docs: DataFrame): DataFrame =
+    Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** q105: BM25-lite top-[[SearchTopK]] retrieval for each of
+    * [[SearchQueries]] — `(query_id, rank, doc_id, score)`.
+    */
+  def q105(spark: SparkSession, dir: String): DataFrame =
+    bm25On(Tables(spark, dir, "documents"), SearchQueries)
+
+  /** [[q105]]'s retrieval over an arbitrary `(doc_id, text)` relation
+    * and query set — the form the spec feeds planted corpora.
+    */
+  def bm25On(relation: DataFrame,
+      queries: Seq[(Long, String)],
+      topK: Int = SearchTopK): DataFrame = {
+    val spark = relation.sparkSession
+    import spark.implicits._
+    val docs = relation.select(col("doc_id"), col("text"))
+    val tf = tfIndex(docs)
+    // 1-row corpus statistics: N docs, total token count (exact ints)
+    val stats = docs
+      .select(col("doc_id"), size(expr(
+        "regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // document frequency per term; its exchange is reused by the
+    // scoring join below (same key)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // query terms: a literal KB relation, broadcast onto the postings
+    val qterms = queries
+      .flatMap { case (qid, q) =>
+        q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(df_, Seq("term"))
+      .crossJoin(broadcast(stats))
+      // dl/avgdl = dl*N/total_len — avgdl never materializes as a
+      // rounded intermediate; every operand is an exact int64 cast
+      .withColumn("dl_norm",
+        col("dl").cast("double") * col("n_docs").cast("double") /
+          col("total_len").cast("double"))
+      .withColumn("contrib_scaled", floor(
+        (col("n_docs").cast("double") / col("df").cast("double")) *
+          (col("tf").cast("double") * lit(BmK1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(BmK1) * (lit(1.0) - lit(BmB) + lit(BmB) * col("dl_norm"))) *
+          lit(ScoreScale)).cast("long"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_scaled")).as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("score_scaled").cast("double") / lit(ScoreScale)).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q105Sql: String = {
+    val qvals = SearchQueries
+      .flatMap { case (qid, q) =>
+        q.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => s"(CAST($qid AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl,
+       |      unnest(regexp_extract_all(text, '\\S+')) AS term
+       |    FROM documents) x
+       |  GROUP BY doc_id, dl, term),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+       |      AS total_len
+       |  FROM documents),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |qt(query_id, term) AS (VALUES $qvals),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor(
+       |      (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+       |      (CAST(tf AS DOUBLE) * ($BmK1 + 1.0)) /
+       |      (CAST(tf AS DOUBLE) +
+       |        $BmK1 * (1.0 - $BmB + $BmB *
+       |          (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+       |           CAST(total_len AS DOUBLE)))) *
+       |      1e9) AS BIGINT) AS contrib_scaled
+       |  FROM tf
+       |  JOIN qt USING (term)
+       |  JOIN dfreq USING (term)
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(SUM(contrib_scaled) AS BIGINT) AS score_scaled
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_scaled,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id,
+       |  CAST(score_scaled AS DOUBLE) / 1e9 AS score
+       |FROM ranked
+       |WHERE rank <= $SearchTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -310,6 +310,89 @@ class CurationSpec extends SparkSpec {
       "q104 packed as many tokens as q103 — line-dedup stage had no effect")
   }
 
+  test("q106 mixture realization: copies follow the floor+hash-bump rule, totals track expectations") {
+    val weights = Curation.q47(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("expected_docs"))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = Curation.q106(spark, sf).collect()
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lang, text) = docs(id)
+      val (nDocs, expected) = weights(lang)
+      val rate = expected / nDocs.toDouble
+      assert(r.getAs[Double]("rate") === rate, s"doc $id rate")
+      // the content-hash bump recomputed independently (JDK MD5)
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bump = if (h.toDouble / 16777216.0 < rate - math.floor(rate)) 1L else 0L
+      assert(r.getAs[Long]("copies") === math.floor(rate).toLong + bump,
+        s"doc $id copies")
+    }
+    // realized totals sit between Σfloor(rate) and Σceil(rate), and
+    // the bump actually fires both ways on this corpus
+    val copies = out.map(_.getAs[Long]("copies")).sum
+    val rates = out.map(_.getAs[Double]("rate"))
+    assert(copies >= rates.map(math.floor(_).toLong).sum)
+    assert(copies <= rates.map(math.ceil(_).toLong).sum)
+    assert(out.exists(r => r.getAs[Long]("copies") >
+      math.floor(r.getAs[Double]("rate")).toLong), "no doc ever bumped")
+    assert(out.exists(r => r.getAs[Long]("copies") ===
+      math.floor(r.getAs[Double]("rate")).toLong), "every doc bumped")
+  }
+
+  test("q107 chunking: boundary lengths, 16-token overlap, lossless reconstruction") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(10)), (2L, mk(64)), (3L, mk(65)), (4L, mk(160)), (5L, ""))
+      .toDF("doc_id", "text")
+    // route the planted frame through the same column program
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = Curation.q107(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val byDoc = out.groupBy(_._1)
+    // chunk counts at the boundaries: ≤W → 1; W+1 → 2; the last chunk
+    // REACHES the end instead of spawning a tail fragment
+    assert(byDoc(1L).length === 1 && byDoc(2L).length === 1)
+    assert(byDoc(3L).length === 2 && byDoc(4L).length === 3)
+    assert(!byDoc.contains(5L))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSet === Set((1L, 64L), (49L, 65L)))
+    byDoc.values.foreach { chunks =>
+      val sorted = chunks.sortBy(_._2).toSeq
+      // starts advance by the stride; texts are the exact token slices
+      sorted.zipWithIndex.foreach { case ((_, cid, st, en, n, text), i) =>
+        assert(cid === i + 1L)
+        assert(st === i * 48L + 1L)
+        assert(n === en - st + 1L)
+        assert(text.split(" ").length.toLong === n)
+      }
+      // consecutive chunks overlap by exactly W − S = 16 tokens
+      // (except a clamped last chunk, which overlaps MORE)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 - b._3 + 1L >= 16L)
+        case _ =>
+      }
+      // reconstruction: stitching each chunk's non-overlapping suffix
+      // onto the first rebuilds the document exactly
+      val doc = (1 to sorted.last._4.toInt).map(i => s"t$i").mkString(" ")
+      val rebuilt = sorted.head._6 +: sorted.sliding(2).collect {
+        case Seq(a, b) if b._4 > a._4 =>
+          b._6.split(" ").drop((a._4 - b._3 + 1L).toInt).mkString(" ")
+      }.toSeq
+      assert(rebuilt.filter(_.nonEmpty).mkString(" ") === doc)
+    }
+  }
+
   test("q101 line dedup: planted duplicate lines drop everywhere, CDC re-scan is exactly empty") {
     import spark.implicits._
     // Breakers end a content-defined line: tokens whose first char's
