@@ -135,6 +135,67 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The KB-sized index-statistics artifact the streaming scorer
+    * consumes: corpus size, total token count, and document
+    * frequencies for the STANDING query set's terms only (queries are
+    * KBs; the full df table stays distributed). The nightly batch job
+    * publishes this; [[graft.streaming.DocStreams.searchOn]] tags
+    * arriving docs against it with zero scan-back.
+    */
+  final case class BmStats(nDocs: Long, totalLen: Long,
+      df: Map[String, Long])
+
+  /** Collect [[BmStats]] for a query set over a `(doc_id, text)`
+    * relation. Two narrow aggregates; the collects are bounded by the
+    * query vocabulary (≤ terms rows) and one stats row.
+    */
+  def bmStatsOf(relation: DataFrame,
+      queries: Seq[(Long, String)] = SearchQueries): BmStats = {
+    val terms = queries.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      .distinct
+    val docs = relation.select(col("doc_id"), col("text"))
+    val stats = docs
+      .select(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .collect().head
+    val dfRows = docs
+      .select(explode(array_distinct(
+        expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    BmStats(stats.getLong(0), stats.getLong(1), dfRows)
+  }
+
+  /** Imperative per-doc scoring kernel — the closure twin of
+    * [[bm25On]]'s Catalyst expression tree (same left-associated
+    * IEEE operations in the same order, so per-(doc, query) scaled
+    * scores are bit-equal by construction; spec-asserted against the
+    * batch relation, the `minhashBandKeysOf` precedent). Returns
+    * `(query_id, score_scaled)` for every query with ≥ 1 term hit.
+    */
+  private[graft] def scoreDocBm25(stats: BmStats,
+      queries: Seq[(Long, String)], text: String): Seq[(Long, Long)] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val dl = toks.length.toLong
+    val dlNorm = dl.toDouble * stats.nDocs.toDouble / stats.totalLen.toDouble
+    val tfMap = toks.groupBy(identity).map { case (t, a) => t -> a.length }
+    queries.flatMap { case (qid, q) =>
+      val contribs = q.split("\\s+").filter(_.nonEmpty).distinct.flatMap {
+        term =>
+          val tf = tfMap.getOrElse(term, 0)
+          stats.df.get(term).filter(_ => tf > 0).map { df =>
+            val c = (stats.nDocs.toDouble / df.toDouble) *
+              (tf.toDouble * (BmK1 + 1.0)) /
+              (tf.toDouble + BmK1 * (1.0 - BmB + BmB * dlNorm)) * 1e9
+            math.floor(c).toLong
+          }
+      }
+      if (contribs.isEmpty) None else Some(qid -> contribs.sum)
+    }
+  }
+
   val q105Sql: String = {
     val qvals = SearchQueries
       .flatMap { case (qid, q) =>

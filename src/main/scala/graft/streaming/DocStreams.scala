@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
-import graft.operators.{Bpe, Curation, Dedup, Perplexity}
+import graft.operators.{Bpe, Curation, Dedup, Perplexity, Search}
 
 /** Structured Streaming twins of the document-curation operators — the
   * shapes an ingest pipeline runs on documents as they ARRIVE, against
@@ -177,6 +177,38 @@ object DocStreams {
         }
       }
       .toDF("doc_id", "n_scored", "ppl")
+  }
+
+  /** Streaming BM25 relevance tagging — the LIVE twin of
+    * [[graft.operators.Search.q105]]'s scoring stage: arriving
+    * documents are scored against the STANDING query set using the
+    * KB-sized index-statistics artifact the nightly batch job
+    * published ([[Search.bmStatsOf]]: corpus N, total length, and
+    * query-term document frequencies). The production shape is
+    * ingest-time relevance tagging / contamination screening: every
+    * new doc is tagged with how strongly it matches each standing
+    * probe query, with zero scan-back into the corpus.
+    *
+    * Scale shape: MAP-ONLY — stats and queries ride the closure (no
+    * join, no shuffle, NO state); per-doc work is linear in tokens.
+    * Per-(doc, query) scaled scores are bit-equal to the batch
+    * Catalyst expression by construction ([[Search.scoreDocBm25]] is
+    * its closure twin) — spec-asserted against an un-truncated batch
+    * run. Semantic delta vs batch q105, documented: the stream emits
+    * EVERY matching (doc, query) score as docs arrive — a global
+    * static top-k is meaningless mid-stream; rank selection belongs
+    * to whoever consumes the scores.
+    */
+  def searchOn(spark: SparkSession, src: DataFrame,
+      stats: Search.BmStats,
+      queries: Seq[(Long, String)] = Search.SearchQueries): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Search.scoreDocBm25(stats, queries, text)
+          .map { case (qid, s) => (id, qid, s / 1e9) }
+      }
+      .toDF("doc_id", "query_id", "score")
   }
 
   /** Streaming BPE tokenization — the LIVE twin of

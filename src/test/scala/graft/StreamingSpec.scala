@@ -276,6 +276,39 @@ class StreamingSpec extends SparkSpec {
     assert(live.size > 100, s"only ${live.size} docs compared")
   }
 
+  test("streaming BM25 tagging equals the un-truncated batch scorer bit-for-bit, stateless") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Search
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // nightly artifact: corpus stats + query-term dfs (KB-sized)
+    val stats = Search.bmStatsOf(docs)
+    // batch reference WITHOUT top-k truncation: every (doc, query)
+    // score the Catalyst expression tree produces
+    val batch = Search.bm25On(docs, Search.SearchQueries, Int.MaxValue)
+      .collect().map(r => (r.getLong(2), r.getLong(0)) -> r.getDouble(3))
+      .toMap
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$sf/documents.parquet", s"$sf/documents*.parquet")
+    val q = graft.streaming.DocStreams.searchOn(spark, src, stats)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("search_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "search stream must keep no state")
+    } finally q.stop()
+    val live = spark.sql("SELECT query_id, doc_id, score FROM search_out")
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2))
+      .toMap
+    assert(live.keySet === batch.keySet)
+    live.foreach { case (k, s) =>
+      assert(s === batch(k), s"(doc, query) $k diverges from batch")
+    }
+    assert(live.size > 500, s"only ${live.size} pairs compared")
+  }
+
   test("streaming perplexity equals the batch broadcast arm bit-for-bit, stateless") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
