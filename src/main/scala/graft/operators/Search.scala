@@ -107,9 +107,20 @@ object Search {
       .flatMap { case (qid, q) =>
         q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    rankContributions(tf, df_, stats, qterms, topK)
+  }
+
+  /** The scoring + ranking tail shared by [[bm25On]] (in-flight index)
+    * and [[searchBmIndex]] (on-disk index) — ONE expression tree, so
+    * the two paths are bit-equal by construction. `tf` carries
+    * `(doc_id, dl, term, tf)`, `dfRel` `(term, df)`, `stats` one row
+    * of `(n_docs, total_len)`, `qterms` `(query_id, term)`.
+    */
+  private def rankContributions(tf: DataFrame, dfRel: DataFrame,
+      stats: DataFrame, qterms: DataFrame, topK: Int): DataFrame = {
     val contrib = tf
       .join(broadcast(qterms), Seq("term"))
-      .join(df_, Seq("term"))
+      .join(dfRel, Seq("term"))
       .crossJoin(broadcast(stats))
       // dl/avgdl = dl*N/total_len — avgdl never materializes as a
       // rounded intermediate; every operand is an exact int64 cast
@@ -133,6 +144,107 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"),
         (col("score_scaled").cast("double") / lit(ScoreScale)).as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Term-hash partition count for the on-disk index. 64 buckets keep
+    * directories coarse (a 100 TB tf relation still writes GB-sized
+    * partitions) while a typical query's ≤ ~20 distinct terms prune
+    * ≥ 2/3 of the index.
+    */
+  val IndexBuckets = 64
+
+  /** Bucket column for a term: xxhash64 mod [[IndexBuckets]] — every
+    * posting for a term lives in exactly one partition, so per-term
+    * df recomputed from a pruned scan is EXACT.
+    */
+  private def bucketOf(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(IndexBuckets.toLong))
+
+  /** Build the on-disk inverted index: the tf relation partitioned by
+    * term-hash bucket (the q105 analogue of [[Similarity.buildIvfIndex]]
+    * — probes become partition predicates), with the 1-row corpus
+    * statistics persisted as the `_stats` artifact. df is NOT stored:
+    * a term's postings live wholly in its bucket, so probes recount
+    * it exactly from the pruned scan — one less table to keep
+    * consistent across appends.
+    */
+  def buildBmIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    tfIndex(docs)
+      .withColumn("bucket", bucketOf(col("term")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexPath)
+    docs
+      .select(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .write.mode("overwrite").parquet(s"$indexPath/_stats")
+  }
+
+  /** Incremental maintenance — the q37/ivf_append/ccincr family
+    * member for text: a new batch's postings append into the existing
+    * bucket partitions (no rewrite of standing data — daily cost
+    * scales with the batch) and the 1-row `_stats` artifact is
+    * re-written with the batch folded in. Returns the per-bucket
+    * append report `(bucket, n_postings, n_docs)`.
+    */
+  def appendBmIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame): DataFrame = {
+    val tf = tfIndex(newDocs.select(col("doc_id"), col("text")))
+      .withColumn("bucket", bucketOf(col("term")))
+      .localCheckpoint()
+    tf.write.partitionBy("bucket").mode("append").parquet(indexPath)
+    val old = spark.read.parquet(s"$indexPath/_stats").collect().head
+    val batch = newDocs
+      .select(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .collect().head
+    import spark.implicits._
+    Seq((old.getLong(0) + batch.getLong(0),
+        old.getLong(1) + batch.getLong(1)))
+      .toDF("n_docs", "total_len")
+      .write.mode("overwrite").parquet(s"$indexPath/_stats")
+    tf.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Top-k retrieval against the ON-DISK index: query-term buckets
+    * become literal partition predicates (the scan touches only
+    * probed partitions — spec-asserted), df recounts exactly within
+    * them, and the shared [[rankContributions]] tail scores — results
+    * bit-equal an in-flight [[bm25On]] over the same corpus. At
+    * 100 TB this is the steady-state search path: no corpus scan, no
+    * explode; per query only its terms' postings move.
+    */
+  def searchBmIndex(spark: SparkSession, indexPath: String,
+      queries: Seq[(Long, String)] = SearchQueries,
+      topK: Int = SearchTopK): DataFrame = {
+    import spark.implicits._
+    val qtermPairs = queries.flatMap { case (qid, q) =>
+      q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+    val qterms = qtermPairs.toDF("query_id", "term")
+    // KB-sized (term → bucket) map, computed with the ENGINE's own
+    // hash so probe predicates can never drift from the writer
+    val buckets = qtermPairs.map(_._2).distinct.toDF("term")
+      .select(bucketOf(col("term")).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val probed = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+    // narrow the pruned scan to the query terms before anything
+    // shuffles — bucket-mates of a query term never leave the scan
+    // (both consumers re-read the PRUNED partitions only, so the
+    // plan's FileSourceScans stay inspectable and cheap)
+    val postings = probed
+      .join(broadcast(qtermPairs.map(_._2).distinct.toDF("term")),
+        Seq("term"))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val df_ = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$indexPath/_stats")
+    rankContributions(postings, df_, stats, qterms, topK)
   }
 
   /** The KB-sized index-statistics artifact the streaming scorer

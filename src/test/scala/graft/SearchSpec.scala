@@ -83,6 +83,57 @@ class SearchSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("on-disk index: build -> search bit-equals in-flight, probes prune, append folds a batch in") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bmidx").toString + "/bm"
+    Search.buildBmIndex(spark, sf, idx)
+    // search through the index == the in-flight scorer, bit-for-bit
+    val fromIndex = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inFlight = Search.q105(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fromIndex.toSeq === inFlight.toSeq)
+    // every index scan in the plan touches only probed partitions
+    val probedPlan = Search.searchBmIndex(spark, idx)
+      .queryExecution.sparkPlan
+    val scans = probedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f.selectedPartitions.partitionCount
+    }
+    val allBuckets = spark.read.parquet(idx)
+      .select("bucket").distinct().count()
+    assert(scans.nonEmpty)
+    scans.foreach(n => assert(n < allBuckets,
+      s"scan read $n of $allBuckets buckets — no pruning"))
+    // append a batch: a doc saturated with a query term must surface
+    // at rank 1, and the whole result set must equal an in-flight run
+    // over the UNION corpus (stats folded in exactly)
+    val batch = Seq((900001L, "fast fast fast fast fast scan fast"))
+      .toDF("doc_id", "text")
+    val report = Search.appendBmIndex(spark, idx, batch).collect()
+    assert(report.map(_.getAs[Long]("n_postings")).sum === 2L) // fast, scan
+    val after = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val union = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).union(batch)
+    val expected = Search.bm25On(union, Search.SearchQueries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSeq === expected.toSeq)
+    // the stats artifact folded the batch in exactly (one more doc,
+    // seven more tokens) — the bit-equality above already depends on
+    // this, but assert it directly so a failure names the culprit
+    val stats = spark.read.parquet(s"$idx/_stats").collect().head
+    val base = Tables(spark, sf, "documents")
+      .agg(count(lit(1)), sum(size(split(col("text"), "\\s+")))).collect()
+    assert(stats.getLong(0) === base.head.getLong(0) + 1L)
+    // and the un-truncated union scorer sees the appended doc
+    val full = Search.bm25On(union, Search.SearchQueries, Int.MaxValue)
+      .filter(col("doc_id") === 900001L).collect()
+    assert(full.nonEmpty, "appended doc invisible to the union scorer")
+  }
+
   test("q105 plan: query terms broadcast, top-k is a map-side group limit") {
     val plan = Search.q105(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
