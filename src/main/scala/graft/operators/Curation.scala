@@ -1267,4 +1267,76 @@ object Curation {
        |    AS text
        |FROM e
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q108: the deterministic TRAINING MANIFEST — q106's epoch counts
+    * exploded into one row per (doc, epoch) and laid into a
+    * reproducible global shuffle order. Training pipelines must
+    * shuffle, and the shuffle must be DETERMINISTIC (resumable mid-
+    * run, identical across retries, clusters and engines), so the
+    * order key is content-derived — `md5(doc_id ':' epoch)` (the q58
+    * engine-portable-hash principle; a seeded RNG order would differ
+    * per engine and per task retry) — which both decorrelates
+    * neighbors and interleaves a doc's epochs apart from each other.
+    * Output: `(global_pos, order_key, doc_id, epoch)` — the shard map
+    * a dataloader consumes (shard i of S = rows with
+    * global_pos % S = i).
+    *
+    * Scale shape: the explode is map-only (copies is small by
+    * construction); the global rank is [[Distributed.orderedPrefix]]
+    * over the md5 total order — range-partition + partition-local
+    * windows, no single-task sort anywhere. At 10⁹ manifest rows
+    * this is one range shuffle of 40-byte rows.
+    */
+  def q108(spark: SparkSession, dir: String,
+      sampleSize: Int = 10000): DataFrame = {
+    val epochs = q106(spark, dir, sampleSize)
+      .filter(col("copies") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .withColumn("order_key", md5(concat(
+        col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"))))
+    Distributed.orderedPrefix(epochs,
+        Seq(col("order_key"), col("doc_id")), lit(1L))
+      .select(col("rank").as("global_pos"), col("order_key"),
+        col("doc_id"), col("epoch"))
+      .orderBy(col("global_pos"))
+  }
+
+  val q108Sql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT SUM(n_docs) AS total FROM c),
+      |s AS (
+      |  SELECT lang, n_docs,
+      |    sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS sp
+      |  FROM c CROSS JOIN t),
+      |d AS (SELECT SUM(CAST(floor(sp * 1e15) AS BIGINT)) AS denom FROM s),
+      |w AS (
+      |  SELECT lang, n_docs,
+      |    sp / (CAST(denom AS DOUBLE) / 1e15) * 10000 AS expected_docs
+      |  FROM s CROSS JOIN d),
+      |r AS (
+      |  SELECT doc_id, documents.lang,
+      |    expected_docs / CAST(n_docs AS DOUBLE) AS rate,
+      |    CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS h
+      |  FROM documents JOIN w USING (lang)),
+      |cp AS (
+      |  SELECT doc_id,
+      |    CAST(floor(rate) +
+      |      CASE WHEN CAST(h AS DOUBLE) / 16777216.0 < rate - floor(rate)
+      |        THEN 1 ELSE 0 END AS BIGINT) AS copies
+      |  FROM r),
+      |e AS (
+      |  SELECT doc_id, CAST(u.e AS BIGINT) AS epoch,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.e AS VARCHAR))
+      |      AS order_key
+      |  FROM cp, UNNEST(range(1, copies + 1)) AS u(e)
+      |  WHERE copies > 0)
+      |SELECT
+      |  CAST(ROW_NUMBER() OVER (ORDER BY order_key, doc_id) AS BIGINT)
+      |    AS global_pos,
+      |  order_key, doc_id, epoch
+      |FROM e
+      |ORDER BY global_pos""".stripMargin
 }

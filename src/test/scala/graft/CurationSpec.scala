@@ -393,6 +393,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q108 manifest: contiguous global order, exactly q106's epochs, decorrelated neighbors") {
+    val out = Curation.q108(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions are exactly 1..N in order-key order
+    assert(out.map(_._1).toSeq === (1L to out.length).toSeq)
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq)
+    // the manifest realizes exactly q106's copy counts: doc d appears
+    // with epochs 1..copies(d), each exactly once
+    val copies = Curation.q106(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("copies")).toMap
+    val byDoc = out.groupBy(_._3)
+    assert(byDoc.keySet === copies.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (d, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to copies(d)).toSeq, s"doc $d")
+    }
+    // the shuffle decorrelates: consecutive epochs of the same doc
+    // are NOT adjacent in the global order for the vast majority of
+    // docs (hash interleaving), and docs do not appear in id order
+    val adjacentSameDoc = out.toSeq.sliding(2).count {
+      case Seq(a, b) => a._3 == b._3
+      case _ => false
+    }
+    assert(adjacentSameDoc < out.length / 20,
+      s"$adjacentSameDoc adjacent same-doc pairs — not shuffled")
+    assert(out.map(_._3).toSeq !== out.map(_._3).sorted.toSeq)
+    // determinism: a second run is identical
+    val again = Curation.q108(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("q101 line dedup: planted duplicate lines drop everywhere, CDC re-scan is exactly empty") {
     import spark.implicits._
     // Breakers end a content-defined line: tokens whose first char's
