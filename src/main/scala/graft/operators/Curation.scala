@@ -866,7 +866,14 @@ object Curation {
       while (i < toks.length) {
         if (sb.nonEmpty) sb.append(' ')
         sb.append(toks(i))
-        if (toks(i).charAt(0).toInt % LineBreakMod == 0) {
+        // codePointAt, not charAt: the oracle twins (q101Sql/q104Sql)
+        // segment on DuckDB `ascii(tk)` = the first CODE POINT, so a
+        // token leading with a non-BMP character (surrogate pair) must
+        // break identically here — charAt(0) would test the high
+        // surrogate and diverge (round-8 advice; the synthetic corpus
+        // is ASCII, where the two coincide, but the contract shouldn't
+        // depend on that)
+        if (toks(i).codePointAt(0) % LineBreakMod == 0) {
           out += sb.result(); sb.clear()
         }
         i += 1

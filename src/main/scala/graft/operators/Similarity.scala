@@ -376,11 +376,19 @@ object Similarity {
     * per distinct centroid matrix (content-fingerprinted), not one
     * per call — round-7 advice: each [[assignCellsBroadcast]] call
     * re-broadcast the matrix and the handle lingered until the next
-    * GC-driven ContextCleaner sweep. Keyed on (context, fingerprint)
-    * so a restarted session never resurrects a dead broadcast.
+    * GC-driven ContextCleaner sweep. Keyed on (context, fingerprint);
+    * the value carries its owning SparkContext so every lookup can
+    * (a) purge entries whose context has stopped — a long-lived JVM
+    * restarting sessions no longer pins dead broadcast blocks forever
+    * — and (b) detect an identityHashCode collision between a new
+    * context and a dead one (the stored context is compared by
+    * REFERENCE, so a colliding key re-broadcasts instead of
+    * resurrecting a destroyed handle). Size is bounded by the purge:
+    * live entries are one per distinct quantizer of the live session.
     */
   private val centroidBcCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Long), org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
+    (Int, Long), (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])]()
 
   private[graft] def centroidBroadcast(spark: SparkSession, cs: Seq[Seq[Double]])
       : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
@@ -388,9 +396,12 @@ object Similarity {
     cs.foreach(_.foreach { d =>
       h = h * 1000003L + java.lang.Double.doubleToLongBits(d)
     })
-    centroidBcCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), h),
-      _ => spark.sparkContext.broadcast(cs.map(_.toArray).toArray))
+    val it = centroidBcCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1.isStopped) it.remove()
+    val sc = spark.sparkContext
+    centroidBcCache.compute((System.identityHashCode(sc), h), (_, cur) =>
+      if (cur != null && (cur._1 eq sc)) cur
+      else (sc, sc.broadcast(cs.map(_.toArray).toArray)))._2
   }
 
   /** The large-k arm of [[assignCells]], exposed for the bit-equality

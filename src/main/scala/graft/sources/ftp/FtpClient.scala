@@ -183,6 +183,22 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     s
   }
 
+  /** Run the transfer-command/TLS-upgrade sequence for an already-open
+    * PASV socket, closing that socket if any step throws — a REST or
+    * RETR/STOR/NLST/MLSD rejection (or a failed data-channel TLS
+    * handshake) must not leak the data socket: against a flaky server,
+    * repeated command failures would otherwise exhaust file
+    * descriptors (round-8 advice; previously only `mlsd` closed the
+    * socket, and only on its 4xx path).
+    */
+  private def withDataSocket(plain: Socket)(body: => Socket): Socket =
+    try body
+    catch {
+      case e: Throwable =>
+        try plain.close() catch { case _: java.io.IOException => () }
+        throw e
+    }
+
   /** RETR as a stream; closing it drains the 226 completion reply. */
   def retrieveStream(path: String): InputStream = retrieveStream(path, 0L)
 
@@ -195,9 +211,11 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     */
   def retrieveStream(path: String, offset: Long): InputStream = {
     val plain = pasv()
-    if (offset > 0) expect(cmd(s"REST $offset"), 350)
-    expect(cmd(s"RETR $path"), 150, 125)
-    val data = secureData(plain)
+    val data = withDataSocket(plain) {
+      if (offset > 0) expect(cmd(s"REST $offset"), 350)
+      expect(cmd(s"RETR $path"), 150, 125)
+      secureData(plain)
+    }
     new java.io.FilterInputStream(data.getInputStream) {
       private var sawEof = false
       override def read(): Int = {
@@ -245,9 +263,11 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     */
   def storeStream(path: String, offset: Long): OutputStream = {
     val plain = pasv()
-    if (offset > 0) expect(cmd(s"REST $offset"), 350)
-    expect(cmd(s"STOR $path"), 150, 125)
-    val data = secureData(plain)
+    val data = withDataSocket(plain) {
+      if (offset > 0) expect(cmd(s"REST $offset"), 350)
+      expect(cmd(s"STOR $path"), 150, 125)
+      secureData(plain)
+    }
     new java.io.FilterOutputStream(data.getOutputStream) {
       override def close(): Unit = {
         super.close(); data.close()
@@ -263,8 +283,10 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     */
   def nlst(path: String): Seq[String] = {
     val plain = pasv()
-    expect(cmd(if (path.isEmpty) "NLST" else s"NLST $path"), 150, 125)
-    val data = secureData(plain)
+    val data = withDataSocket(plain) {
+      expect(cmd(if (path.isEmpty) "NLST" else s"NLST $path"), 150, 125)
+      secureData(plain)
+    }
     val r = new BufferedReader(new InputStreamReader(
       data.getInputStream, StandardCharsets.UTF_8))
     val names = Iterator.continually(r.readLine()).takeWhile(_ != null).toList
@@ -279,13 +301,14 @@ class FtpClient(host: String, port: Int, user: String, password: String,
     */
   def mlsd(path: String): Seq[FtpEntry] = {
     val plain = pasv()
-    val rep = cmd(if (path.isEmpty) "MLSD" else s"MLSD $path")
-    if (rep.code >= 400) {
-      plain.close()
-      throw new java.io.FileNotFoundException(s"$path: ${rep.code} ${rep.text}")
+    val data = withDataSocket(plain) {
+      val rep = cmd(if (path.isEmpty) "MLSD" else s"MLSD $path")
+      if (rep.code >= 400)
+        throw new java.io.FileNotFoundException(
+          s"$path: ${rep.code} ${rep.text}")
+      expect(rep, 150, 125)
+      secureData(plain)
     }
-    expect(rep, 150, 125)
-    val data = secureData(plain)
     val r = new BufferedReader(new InputStreamReader(
       data.getInputStream, StandardCharsets.UTF_8))
     val lines = Iterator.continually(r.readLine()).takeWhile(_ != null).toList

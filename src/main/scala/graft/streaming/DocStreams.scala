@@ -182,9 +182,13 @@ object DocStreams {
   /** Streaming BM25 relevance tagging — the LIVE twin of
     * [[graft.operators.Search.q105]]'s scoring stage: arriving
     * documents are scored against the STANDING query set using the
-    * KB-sized index-statistics artifact the nightly batch job
-    * published ([[Search.bmStatsOf]]: corpus N, total length, and
-    * query-term document frequencies). The production shape is
+    * KB-sized index-statistics artifact derived from the nightly
+    * PERSISTED index ([[Search.bmStatsFromIndex]]: corpus N + total
+    * length from the index's `_stats` row, query-term document
+    * frequencies recounted from the pruned buckets — ONE source of
+    * truth with [[Search.searchBmIndex]], the persistLm → loadLm →
+    * pplOn lifecycle shape; [[Search.bmStatsOf]] remains the
+    * bootstrap for a corpus with no index yet). The production shape is
     * ingest-time relevance tagging / contamination screening: every
     * new doc is tagged with how strongly it matches each standing
     * probe query, with zero scan-back into the corpus.
