@@ -134,6 +134,92 @@ class SearchSpec extends SparkSpec {
     assert(full.nonEmpty, "appended doc invisible to the union scorer")
   }
 
+  test("index maintenance: compaction right-sizes buckets byte-identically; _stats heals from a crash; duplicate appends rejected") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bmidx2").toString + "/bm"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(bucketDir: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(bucketDir)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    def bucketDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    def results() = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    Search.buildBmIndex(spark, sf, idx)
+    // five nightly appends accrete one small file per touched bucket
+    (0 until 5).foreach { i =>
+      Search.appendBmIndex(spark, idx,
+        Seq((910000L + i, s"fast scan nightly$i payload"))
+          .toDF("doc_id", "text"))
+    }
+    assert(bucketDirs().map(s => dataFiles(s.getPath)).max > 1,
+      "appends did not fragment any bucket — the fixture is broken")
+    val before = results()
+
+    // compaction: fragmented buckets rewritten right-sized, results
+    // byte-identical (rows move between files, never change)
+    val report = Search.compactBmIndex(spark, idx).collect()
+    assert(report.nonEmpty, "no bucket was compacted")
+    report.foreach { r =>
+      assert(r.getInt(2) < r.getInt(1),
+        s"bucket ${r.getLong(0)}: ${r.getInt(1)} -> ${r.getInt(2)} files")
+    }
+    // at the default 128 MB target every bucket collapses to one file,
+    // and no hidden temp/old dir survives the swap
+    bucketDirs().foreach(d => assert(dataFiles(d.getPath) === 1))
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(s => s.getPath.getName.startsWith("_tmp_bucket") ||
+        s.getPath.getName.startsWith("_old_bucket")))
+    assert(results() === before, "compaction changed search results")
+
+    // crash window 1: _stats missing entirely (died between delete and
+    // rename) — reads heal by recomputing from the postings
+    val statsP = new org.apache.hadoop.fs.Path(s"$idx/_stats")
+    val goodStats = Search.readBmStatsRow(spark, idx)
+    fs.delete(statsP, true)
+    assert(results() === before, "search diverged after _stats loss")
+    assert(fs.exists(statsP), "_stats not re-materialized on read")
+    assert(Search.readBmStatsRow(spark, idx) === goodStats)
+
+    // crash window 2: postings appended but stats swap never ran —
+    // the index stays READABLE with stats stale by one batch, and
+    // recomputeBmStats repairs it to the exact folded values
+    Seq((goodStats._1 - 1L, goodStats._2 - 5L))
+      .toDF("n_docs", "total_len")
+      .write.mode("overwrite").parquet(s"$idx/_stats")
+    assert(results().size === before.size,
+      "stale stats made the index unreadable")
+    assert(Search.recomputeBmStats(spark, idx) === goodStats)
+    assert(results() === before)
+
+    // new-docs-only guard: re-appending an indexed doc_id is rejected
+    val dup = Seq((910000L, "fast again")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Search.appendBmIndex(spark, idx, dup, guardDuplicates = true)
+    }
+    assert(e.getMessage.contains("910000"))
+    assert(results() === before, "rejected append mutated the index")
+  }
+
+  test("bmStatsFromIndex: no corpus scan, equal to the bootstrap form, append-aware") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bmidx3").toString + "/bm"
+    Search.buildBmIndex(spark, sf, idx)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    assert(Search.bmStatsFromIndex(spark, idx) === Search.bmStatsOf(docs))
+    // after an append the index-derived stats track the union corpus
+    val batch = Seq((920000L, "fast stream window")).toDF("doc_id", "text")
+    Search.appendBmIndex(spark, idx, batch)
+    assert(Search.bmStatsFromIndex(spark, idx) ===
+      Search.bmStatsOf(docs.union(batch)))
+  }
+
   test("q105 plan: query terms broadcast, top-k is a map-side group limit") {
     val plan = Search.q105(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

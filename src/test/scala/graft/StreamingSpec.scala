@@ -281,8 +281,16 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.Search
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
-    // nightly artifact: corpus stats + query-term dfs (KB-sized)
-    val stats = Search.bmStatsOf(docs)
+    // nightly artifact: the PERSISTED index is the single source of
+    // truth — stats derive from it (round-9; the persistLm → loadLm →
+    // pplOn lifecycle shape), not from a second corpus scan
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_bmidx_stream").toString + "/bm"
+    Search.buildBmIndex(spark, sf, idxDir)
+    val stats = Search.bmStatsFromIndex(spark, idxDir)
+    // index-derived stats equal the bootstrap corpus-scan form exactly
+    assert(stats === Search.bmStatsOf(docs),
+      "index-derived BmStats diverge from the corpus-derived form")
     // batch reference WITHOUT top-k truncation: every (doc, query)
     // score the Catalyst expression tree produces
     val batch = Search.bm25On(docs, Search.SearchQueries, Int.MaxValue)
