@@ -1228,9 +1228,18 @@ object Curation {
     * no shuffle, no state, pipelines straight into a writer or an
     * embedding UDF stage. Empty docs produce zero chunks.
     */
-  def q107(spark: SparkSession, dir: String): DataFrame = {
+  def q107(spark: SparkSession, dir: String): DataFrame =
+    chunksOn(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[q107]]'s chunker over an arbitrary `(doc_id, text)` relation,
+    * without the presentation sort — the form the composed retrieval
+    * pipeline ([[Rag.q109]]) consumes, where the next stage re-keys
+    * anyway.
+    */
+  def chunksOn(docs: DataFrame): DataFrame = {
     val (wn, st) = (ChunkWindow, ChunkStride)
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"), wsTokens.as("w"))
       .withColumn("n_toks", size(col("w")).cast("long"))
       .filter(col("n_toks") > 0)
@@ -1246,7 +1255,6 @@ object Curation {
         (col("end_tok") - col("start_tok") + 1L).as("n_tokens"),
         concat_ws(" ", slice(col("w"), col("start_tok").cast("int"),
           (col("end_tok") - col("start_tok") + 1L).cast("int"))).as("text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   val q107Sql: String =

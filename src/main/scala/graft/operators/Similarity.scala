@@ -291,12 +291,25 @@ object Similarity {
   private[operators] def centroidArrays(spark: SparkSession, dir: String,
       iters: Int = KMeansIters, kOverride: Int = 0): Seq[Seq[Double]] = {
     val k = if (kOverride > 0) kOverride else numCells(spark, dir)
-    centroidCache.getOrElseUpdate((dir, iters, k), {
-      val base = vectors(spark, dir)
-      def unit(v: Seq[Double]): Seq[Double] = {
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / n)
-      }
+    centroidCache.getOrElseUpdate((dir, iters, k),
+      centroidArraysOn(vectors(spark, dir), k, iters))
+  }
+
+  /** The k-means body of [[centroidArrays]] over an ARBITRARY
+    * `(vec_id, v, nrm)` relation — the form [[Rag]] trains chunk-level
+    * quantizers with (round 9). Same determinism contract: decimal
+    * partial sums, k-smallest-vec_id seeds, bit-identical at any
+    * parallelism. Uncached — callers that rebuild per corpus version
+    * (the `dir` form above) layer their own memo.
+    */
+  private[operators] def centroidArraysOn(base: DataFrame, k: Int,
+      iters: Int = KMeansIters): Seq[Seq[Double]] = {
+    val spark = base.sparkSession
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    locally {
       var cs: Seq[Seq[Double]] = base.orderBy(col("vec_id")).limit(k)
         .select(col("v")).collect()
         .map(r => unit(r.getSeq[Double](0))).toSeq
@@ -322,7 +335,7 @@ object Similarity {
         }
       }
       cs
-    })
+    }
   }
 
   /** Argmax-cosine cell id as a codegen expression: centroids are unit

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Rag, Similarity}
+
+class RagSpec extends SparkSpec {
+
+  /** Driver-side brute-force retrieval over the chunked corpus —
+    * independent of the operator's relational plan (imperative loop
+    * over collected chunk vectors), but the same arithmetic contract
+    * (index-order dot, cosine = dot / (nrm × qnrm), ties to the
+    * smallest vec_id) so the full-probe path must match bit-for-bit.
+    */
+  private def bruteForce(
+      chunks: Seq[(Long, Long, Long, Long, Long, Array[Double], Double)],
+      queries: Seq[(Long, String)], topK: Int)
+      : Seq[(Long, Long, Long, Long, Long, Long, Double)] =
+    queries.flatMap { case (qid, text) =>
+      val qv = Rag.embedText(text)
+      var qn = 0.0
+      var i = 0
+      while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+      val qnrm = math.sqrt(qn)
+      chunks.map { case (vid, d, c, s, e, v, nrm) =>
+        var dp = 0.0
+        var j = 0
+        while (j < v.length) { dp += qv(j) * v(j); j += 1 }
+        (vid, d, c, s, e, dp / (nrm * qnrm))
+      }.sortBy { case (vid, _, _, _, _, cos) => (-cos, vid) }
+        .take(topK).zipWithIndex
+        .map { case ((_, d, c, s, e, cos), r) =>
+          (qid, r + 1L, d, c, s, e, cos) }
+    }
+
+  private def collectChunks() =
+    Rag.chunkVectors(Tables(spark, sf, "documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getSeq[Double](5).toArray, r.getDouble(6)))
+      .toSeq
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+
+  test("q109 full-probe retrieval equals brute force over the chunked corpus bit-for-bit") {
+    val chunks = collectChunks()
+    assert(chunks.nonEmpty)
+    val got = rows(Rag.q109(spark, sf, nprobeOverride = Int.MaxValue))
+    val want = bruteForce(chunks, Rag.RagQueries, Rag.RagTopK)
+    assert(got === want)
+  }
+
+  test("on-disk chunk index: probe bit-equals in-flight q109 and scans only probed cells") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ragidx").toString + "/rag"
+    Rag.buildRagIndex(spark, sf, idx)
+    val fromIndex = rows(Rag.probeRagIndex(spark, idx))
+    val inFlight = rows(Rag.q109(spark, sf))
+    assert(fromIndex === inFlight)
+    // partition pruning: every index scan touches fewer partitions
+    // than the index holds cells
+    val plan = Rag.probeRagIndex(spark, idx).queryExecution.sparkPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f.selectedPartitions.partitionCount
+    }
+    val allCells = spark.read.parquet(idx)
+      .select("cell").distinct().count()
+    assert(scans.nonEmpty)
+    scans.foreach(n => assert(n < allCells,
+      s"scan read $n of $allCells cells — no pruning"))
+  }
+
+  test("default probe width holds recall against exact retrieval") {
+    val chunks = collectChunks()
+    val exact = bruteForce(chunks, Rag.RagQueries, Rag.RagTopK)
+      .map { case (qid, _, d, c, _, _, _) => (qid, d, c) }.toSet
+    val approx = rows(Rag.q109(spark, sf))
+      .map { case (qid, _, d, c, _, _, _) => (qid, d, c) }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"q109 recall@${Rag.RagTopK} at derived nprobe: $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+  }
+
+  test("provenance: every hit cites a real q107 chunk, and multi-chunk docs flow through") {
+    val q107 = Curation.q107(spark, sf)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("end_tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val hits = rows(Rag.q109(spark, sf, nprobeOverride = Int.MaxValue))
+    assert(hits.nonEmpty)
+    hits.foreach { case (_, _, d, c, s, e, _) =>
+      assert(q107.get((d, c)) === Some((s, e)),
+        s"hit ($d, $c) cites bounds ($s, $e) not in q107")
+    }
+    // the chunking stage provably fired: more chunks than docs, and
+    // chunk ids beyond 1 exist in the index
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(q107.size > nDocs, "chunker emitted ≤ 1 chunk per doc")
+    assert(q107.keys.exists(_._2 >= 2L))
+  }
+}
