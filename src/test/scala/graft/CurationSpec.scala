@@ -561,4 +561,84 @@ class CurationSpec extends SparkSpec {
       if (p < mean * 0.9) assert(w > p, s"rare lang not up-weighted: p=$p w=$w")
     }
   }
+
+  private def verdictMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("incremental line dedup equals a full recompute on the real corpus; standing side never sort-merge-joins") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val state = Curation.lineDedupState(standing)
+    // the nightly artifact renders exactly the full pass over standing
+    val nightly = verdictMap(
+      Curation.lineVerdictsFrom(standing, state.segments))
+    assert(nightly === verdictMap(Curation.lineDedupOn(standing)))
+    val (newState, reV) = Curation.lineDedupIncrement(state, batch)
+    // increment == full recompute over the union corpus: nightly
+    // verdicts overridden by the re-verdicted docs
+    val full = verdictMap(Curation.lineDedupOn(standing.union(batch)))
+    val incremental = nightly ++ verdictMap(reV)
+    assert(incremental === full)
+    // the re-verdict set is real work, not the whole corpus
+    val nRe = reV.count()
+    assert(nRe >= batch.count(), "batch docs must all be re-verdicted")
+    assert(nRe < docs.count(), "increment re-verdicted everything")
+    // the updated state renders the union verdicts and its counts
+    // equal a from-scratch count
+    assert(verdictMap(Curation.lineVerdictsFrom(docs, newState.segments))
+      === full)
+    val fromScratch = Curation.lineDedupState(standing.union(batch))
+      .counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folded = newState.counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded === fromScratch)
+    // every join in the increment broadcasts — the corpus-sized
+    // standing relations are scanned, never exchanged (ccincr's rule)
+    val plan = reV.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"increment plan sort-merge-joins:\n$plan")
+  }
+
+  test("incremental line dedup planted: bridge flips a standing doc, batch-internal dups drop, already-dup lines don't re-verdict their docs") {
+    import spark.implicits._
+    // token first-code-point mod 4 == 0 ends a line: 'd' (100) and
+    // 'h' (104) are breakers; a/b/e/f/g are not
+    val standing = Seq(
+      (1L, "a b d e f d"),   // lines: "a b d", "e f d"
+      (2L, "g g d"),         // line:  "g g d"
+      (3L, "a b d a b d"))   // "a b d" twice — dup within standing
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "e f d"),        // bridges doc 1's singleton
+      (11L, "h"),            // batch-internal dup with doc 12
+      (12L, "h"),
+      (13L, "a b d"))        // matches an ALREADY-dup standing line
+      .toDF("doc_id", "text")
+    val state = Curation.lineDedupState(standing)
+    val (newState, reV) = Curation.lineDedupIncrement(state, batch)
+    val re = verdictMap(reV)
+    // exactly doc 1 (the bridged standing doc) + the batch re-verdict;
+    // doc 3's line was already dup (no crossing), doc 2 untouched
+    assert(re.keySet === Set(1L, 10L, 11L, 12L, 13L))
+    // doc 1: "a b d" was already corpus-dup nightly, "e f d" now
+    // flips — nothing survives
+    assert(re(1L) === ((2L, 2L, "")))
+    assert(re(10L) === ((1L, 1L, "")))
+    // batch-internal dup: both copies drop
+    assert(re(11L) === ((1L, 1L, "")))
+    assert(re(12L) === ((1L, 1L, "")))
+    assert(re(13L) === ((1L, 1L, "")))
+    // equality with the full recompute, planted edition
+    val full = verdictMap(
+      Curation.lineDedupOn(standing.union(batch)))
+    val nightly = verdictMap(
+      Curation.lineVerdictsFrom(standing, state.segments))
+    assert(nightly ++ re === full)
+    assert(verdictMap(Curation.lineVerdictsFrom(
+      standing.select(col("doc_id")).union(batch.select(col("doc_id"))),
+      newState.segments)) === full)
+  }
 }
