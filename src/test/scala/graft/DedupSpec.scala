@@ -167,11 +167,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("q34 planted borderline-cosine recall: derived granularity holds the clone regime, near-τ loss quantified at both granularities") {
+  /** Plant a borderline/clone-regime recall corpus: pairs at a
+    * controlled cosine (b = cosθ·u + sinθ·w, w ⊥ u) — `nPairs` at
+    * 0.45 (borderline, just above τ=0.42) and `nPairs` at 0.95 (the
+    * clone regime the operator exists for). Deterministic seed;
+    * returns (dir, borderline pairs, clone pairs).
+    */
+  private def plantRecallCorpus(): (String, Seq[(Long, Long)], Seq[(Long, Long)]) = {
     import spark.implicits._
-    // plant pairs at a controlled cosine: b = cosθ·u + sinθ·w with
-    // w ⊥ u — 200 pairs at 0.45 (borderline, just above τ=0.42) and
-    // 200 at 0.95 (the clone regime the operator exists for)
     val rnd = new scala.util.Random(20260814L)
     val dims = 64
     def unit(): Array[Double] = {
@@ -203,6 +206,11 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_recall").toString
     rows.toSeq.toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
+    (dir, borderIds.toSeq, cloneIds.toSeq)
+  }
+
+  test("q34 planted borderline-cosine recall: derived granularity holds the clone regime, near-τ loss quantified at both granularities") {
+    val (dir, borderIds, cloneIds) = plantRecallCorpus()
     def recallOf(found: Set[(Long, Long)], planted: Seq[(Long, Long)]): Double =
       planted.count(found.contains).toDouble / planted.size
     def run(tables: Int, bits: Int): Set[(Long, Long)] =
@@ -233,6 +241,42 @@ class DedupSpec extends SparkSpec {
       f"8×8 borderline recall $borderFixed%.3f outside the analytic band")
     assert(borderDerived <= borderFixed + 0.05,
       f"finer granularity cannot raise borderline recall: $borderDerived%.3f vs $borderFixed%.3f")
+  }
+
+  test("q34 multi-probe LSH: borderline recall materially above single-probe, clone regime intact, still a subset of exact") {
+    val (dir, borderIds, cloneIds) = plantRecallCorpus()
+    def pairsOf(multiprobe: Boolean): Set[(Long, Long)] =
+      Dedup.q34Lsh(spark, dir, 0.42, tables = 8, bits = 8,
+        multiprobe = multiprobe)
+        .select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(found: Set[(Long, Long)], planted: Seq[(Long, Long)]): Double =
+      planted.count(found.contains).toDouble / planted.size
+    val single = pairsOf(multiprobe = false)
+    val multi = pairsOf(multiprobe = true)
+    // multi-probe only ADDS collision opportunities — candidates go
+    // through the same exact-cosine verify, so the pair set can only
+    // grow, and stays inside the exact truth
+    assert(single.subsetOf(multi),
+      s"multi-probe lost pairs: ${single.diff(multi)}")
+    val exact = Dedup.q34Exact(spark, dir, 0.42)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(exact), s"invented: ${multi.diff(exact)}")
+    val borderSingle = recallOf(single, borderIds)
+    val borderMulti = recallOf(multi, borderIds)
+    val cloneMulti = recallOf(multi, cloneIds)
+    info(f"borderline (cos 0.45 ≈ τ ± 0.05) recall: single $borderSingle%.3f" +
+      f" -> multi-probe $borderMulti%.3f at ${1 + Dedup.MultiProbeBits}×" +
+      " emission")
+    info(f"clone-regime recall under multi-probe: $cloneMulti%.3f")
+    // the round-8 residual discharged: borderline recall materially
+    // above the ~0.22 single-probe analytic at a bounded (1 + 4)×
+    // emission factor — margin-ranked Hamming-1 flips capture most of
+    // the full Hamming-1 collision mass
+    assert(borderMulti >= math.max(0.35, 1.5 * borderSingle),
+      f"multi-probe borderline recall $borderMulti%.3f not material over $borderSingle%.3f")
+    assert(cloneMulti >= 0.9, f"clone recall sagged: $cloneMulti%.3f")
   }
 
   test("q34 cosine pairs are symmetric-free and above threshold") {
