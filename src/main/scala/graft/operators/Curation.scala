@@ -804,17 +804,27 @@ object Curation {
     * therefore a property of the corpus, not a structural guarantee;
     * it is spec-asserted on the planted corpus and on the real
     * synthetic corpus, and a production pipeline re-runs the nightly
-    * pass anyway, which converges any residue. The cut relation is
-    * narrow (doc_id + interval pairs)
+    * pass anyway, which converges any residue.
+    * [[cleanedDocumentsFixpoint]] (round 9) is the structural
+    * alternative: iterate splice→re-scan until the span relation is
+    * empty. The cut relation is narrow (doc_id + interval pairs)
     * but corpus-proportional, so the attach is a plain equi-join on
     * doc_id — AQE broadcasts it when it fits, shuffles narrow rows
     * when it doesn't; the text column rides the join once either way.
     */
   def cleanedDocuments(docs: DataFrame,
-      minLen: Int = CutMinTokens): DataFrame = {
+      minLen: Int = CutMinTokens): DataFrame =
+    spliceCuts(docs, cutSpansOn(docs, minLen))
+
+  /** Remove an explicit cut relation `(doc_id, start_pos, end_pos)`
+    * from its documents — the splice stage of [[cleanedDocuments]],
+    * factored so [[cleanedDocumentsFixpoint]] can re-scan and splice
+    * per round without computing the span relation twice.
+    */
+  private def spliceCuts(docs: DataFrame, cutRel: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cuts = cutSpansOn(docs, minLen)
+    val cuts = cutRel
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("cuts"))
     docs.select(col("doc_id"), col("text"))
@@ -831,6 +841,48 @@ object Curation {
         }
         (id, kept.mkString(" "))
       }.toDF("doc_id", "text")
+  }
+
+  /** Ceiling on [[cleanedDocumentsFixpoint]] rounds. Each round
+    * strictly shrinks the corpus token count (it only runs when spans
+    * exist), so termination is guaranteed regardless — the cap bounds
+    * WALL TIME on adversarial inputs; real corpora converge in 1–2.
+    */
+  val CleanFixpointMaxRounds = 6
+
+  /** [[cleanedDocuments]] iterated to a FIXPOINT (round 9 — the
+    * structural discharge of the documented one-pass splice caveat):
+    * splicing cut flanks together can mint a NEW duplicated span
+    * across the splice point, so a single pass guarantees the Lee '21
+    * acceptance check (re-scan finds nothing) only as a corpus
+    * property. This mode re-scans after each splice and cuts again
+    * until the span relation is EMPTY — on return (within the round
+    * cap) the acceptance check holds structurally, spec-asserted on
+    * an adversarial corpus PLANTED to mint a splice span. Rounds are
+    * capped at `maxRounds` ([[CleanFixpointMaxRounds]]): each
+    * iteration strictly reduces total tokens, so the loop always
+    * terminates, and the cap only bounds wall time on pathological
+    * inputs (the driver reads one emptiness probe per round, never
+    * data — the q35/cc_star convergence-loop shape). The real corpus
+    * converges in ONE pass (spec-asserted equal to
+    * [[cleanedDocuments]]), so q103/q104's single-pass default is
+    * unchanged behavior, not a contradiction.
+    */
+  def cleanedDocumentsFixpoint(docs: DataFrame,
+      minLen: Int = CutMinTokens,
+      maxRounds: Int = CleanFixpointMaxRounds): DataFrame = {
+    var cur = docs.select(col("doc_id"), col("text")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val cutRel = cutSpansOn(cur, minLen).localCheckpoint()
+      if (cutRel.isEmpty) converged = true
+      else {
+        cur = spliceCuts(cur, cutRel).localCheckpoint()
+        round += 1
+      }
+    }
+    cur
   }
 
   /** A token starting with one of these first-char residues ends a

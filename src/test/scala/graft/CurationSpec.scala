@@ -562,6 +562,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cleanedDocuments fixpoint: converges a planted splice-minted span the single pass provably leaves; real corpus is a one-pass fixpoint") {
+    import spark.implicits._
+    // adversarial construction: doc 1 = M[1..5] ++ S ++ M[6..10] where
+    // S (10 tokens) duplicates doc 3 — round 1 cuts S from both, and
+    // the splice of doc 1's flanks mints M = m1..m10, duplicating
+    // doc 2. M's halves ARE corpus-duplicated pre-cut, but each is a
+    // 5-token island, below the 10-token cut threshold — only the
+    // splice joins them into a cuttable span.
+    val m = (1 to 10).map(i => s"m$i")
+    val s = (1 to 10).map(i => s"s$i")
+    val docs = Seq(
+      (1L, (m.take(5) ++ s ++ m.drop(5)).mkString(" ")),
+      (2L, m.mkString(" ")),
+      (3L, s.mkString(" ")))
+      .toDF("doc_id", "text")
+    def textsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the single pass leaves the minted span: doc 1 and doc 2 both
+    // read M, and a re-scan finds the 10-token duplicated span
+    val single = Curation.cleanedDocuments(docs)
+    val singleTexts = textsOf(single)
+    assert(singleTexts(1L) === m.mkString(" "))
+    assert(singleTexts(2L) === m.mkString(" "))
+    assert(singleTexts(3L) === "")
+    assert(Curation.cutSpansOn(single).count() > 0,
+      "planted corpus failed to mint a splice span — fixture broken")
+    // the fixpoint converges it: re-scan of the output is EMPTY
+    val fixed = Curation.cleanedDocumentsFixpoint(docs)
+    assert(Curation.cutSpansOn(fixed).count() === 0,
+      "fixpoint output still contains duplicated spans")
+    val fixedTexts = textsOf(fixed)
+    assert(fixedTexts(1L) === "" && fixedTexts(2L) === "" &&
+      fixedTexts(3L) === "")
+    // the real corpus converges in ONE pass: fixpoint == single pass,
+    // so q103/q104's single-pass default is already at the fixpoint
+    val real = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    assert(textsOf(Curation.cleanedDocumentsFixpoint(real)) ===
+      textsOf(Curation.cleanedDocuments(real)))
+  }
+
   private def verdictMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getLong(0) ->
       (r.getLong(1), r.getLong(2), r.getString(3))).toMap
