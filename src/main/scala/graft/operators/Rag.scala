@@ -92,7 +92,7 @@ object Rag {
   /** Index-order L2 norm — the same summation order as `dot_d(v, v)`,
     * so norms are bit-equal however they are computed.
     */
-  private def normOf(v: Array[Double]): Double = {
+  private[graft] def normOf(v: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -141,6 +141,26 @@ object Rag {
         .map { case (cell, _) => (cell, qid, qv.toSeq, qnrm) }
     }
 
+  /** Chunk-quantizer memo keyed on (dir, documents content version,
+    * k) — the [[Similarity]] centroid cache's twin for the chunk
+    * corpus: centroids are a deterministic function of the corpus
+    * content, so reuse across q109 / buildRagIndex calls (and bench
+    * re-runs) is safe and saves the 5-iteration training loop.
+    * Self-invalidates when the data under `dir` changes (the stamp).
+    */
+  private val quantizerCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), Seq[Seq[Double]]]
+
+  private def chunkQuantizer(spark: SparkSession, dir: String,
+      chunks: DataFrame, k: Int): Seq[Seq[Double]] = {
+    val stamp = graft.Tables.versionStamp(spark, dir, "documents")
+    // train on the narrow (vec_id, v, nrm) projection — provenance
+    // columns have no business riding the per-iteration encode/agg
+    quantizerCache.getOrElseUpdate((dir, stamp, k),
+      Similarity.centroidArraysOn(
+        chunks.select(col("vec_id"), col("v"), col("nrm")), k))
+  }
+
   /** The scoring tail shared by [[q109]] (in-flight) and
     * [[probeRagIndex]] (on-disk) — ONE expression tree, so the two
     * paths are bit-equal by construction (the
@@ -178,10 +198,17 @@ object Rag {
     val chunks = chunkVectors(docs).localCheckpoint()
     val n = chunks.count()
     val k = Similarity.numCellsFor(n)
-    val cs = Similarity.centroidArraysOn(chunks, k)
+    val cs = chunkQuantizer(spark, dir, chunks, k)
     val nprobe =
       if (nprobeOverride > 0) nprobeOverride else Similarity.nProbeFor(k)
-    val assigned = Similarity.assignCells(spark, chunks, cs)
+    // the CLOSURE assignment arm, explicitly: at chunk-corpus k (68 at
+    // sf1) the literal-argmax expression fuses into the probe JOIN's
+    // generated stage and blows past codegen limits — profiled 22 s of
+    // interpreted evaluation per run vs ~0.3 s through the closure arm
+    // (round 9; the arms are spec-asserted bit-equal, so results are
+    // unchanged). The same fusion is why [[buildRagIndex]] writes from
+    // the closure arm too.
+    val assigned = Similarity.assignCellsBroadcast(spark, chunks, cs)
     rankCandidates(spark, assigned,
       probesFor(cs, RagQueries, nprobe), RagTopK)
   }
@@ -197,12 +224,59 @@ object Rag {
     val chunks = chunkVectors(Tables(spark, dir, "documents"))
       .localCheckpoint()
     val k = Similarity.numCellsFor(chunks.count())
-    val cs = Similarity.centroidArraysOn(chunks, k)
-    Similarity.assignCells(spark, chunks, cs)
+    val cs = chunkQuantizer(spark, dir, chunks, k)
+    Similarity.assignCellsBroadcast(spark, chunks, cs)
       .write.partitionBy("cell").mode("overwrite").parquet(indexPath)
     cs.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$indexPath/_quantizer")
+  }
+
+  /** Incremental index maintenance — the ivf_append/appendBmIndex
+    * family member at the chunk level: a batch of NEW documents is
+    * chunked and embedded (map-only), assigned with the STORED
+    * quantizer (no retrain, no rewrite of standing cells — daily cost
+    * scales with the batch), and appended into the existing cell
+    * partitions. Same single-writer/new-docs-only contract as
+    * [[Search.appendBmIndex]]. Returns the per-cell append report
+    * `(cell, n_chunks, n_docs)`.
+    */
+  def appendRagIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame): DataFrame = {
+    val cs = spark.read.parquet(s"$indexPath/_quantizer")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).map(_._2).toSeq
+    val assigned = Similarity.assignCellsBroadcast(spark,
+        chunkVectors(newDocs), cs)
+      .localCheckpoint() // pin: written below AND reported on
+    assigned.write.partitionBy("cell").mode("append").parquet(indexPath)
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("cell"))
+  }
+
+  /** The UN-truncated batch chunk scorer — every (chunk, query)
+    * cosine, no cell pruning, no top-k: the reference relation the
+    * streaming twin ([[graft.streaming.DocStreams.ragOn]]) is
+    * spec-asserted bit-equal against, exactly as
+    * [[Search.bm25On]](topK = MaxValue) anchors stream_search.
+    */
+  def scoreAllChunks(docs: DataFrame,
+      queries: Seq[(Long, String)] = RagQueries): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val qRel = queries.map { case (qid, t) =>
+      val qv = embedText(t)
+      (qid, qv.toSeq, normOf(qv))
+    }.toDF("query_id", "qv", "qnrm")
+    chunkVectors(docs)
+      .crossJoin(broadcast(qRel))
+      .withColumn("cosine",
+        expr("dot_d(qv, v)") / (col("nrm") * col("qnrm")))
+      .select(col("doc_id"), col("chunk_id"), col("query_id"),
+        col("cosine"))
   }
 
   /** Probe the on-disk chunk index: cells ranked against the STORED

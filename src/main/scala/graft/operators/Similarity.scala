@@ -315,7 +315,16 @@ object Similarity {
         .map(r => unit(r.getSeq[Double](0))).toSeq
       val dims = cs.head.size
       for (_ <- 1 to iters) {
-        val sums = assignCells(spark, base, cs)
+        // the BROADCAST assignment arm, unconditionally: each Lloyd's
+        // round has NEW centroid values, so the literal arm would
+        // generate (and Janino-compile) a fresh k×dims-literal argmax
+        // class per round — profiled at 137 s for 5 rounds at k=68 /
+        // 69k rows (round 9), vs ~1 s through the closure arm, which
+        // compiles once and only rebroadcasts the matrix. Results are
+        // identical: the arms are spec-asserted bit-equal, so the
+        // trained centroids cannot differ. Single-shot consumers keep
+        // the dispatched assignment (one compile amortizes there).
+        val sums = assignCellsBroadcast(spark, base, cs)
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("n"),
             (0 until dims).map(i =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
-import graft.operators.{Bpe, Curation, Dedup, Perplexity, Search}
+import graft.operators.{Bpe, Curation, Dedup, Perplexity, Rag, Search}
 
 /** Structured Streaming twins of the document-curation operators — the
   * shapes an ingest pipeline runs on documents as they ARRIVE, against
@@ -213,6 +213,47 @@ object DocStreams {
           .map { case (qid, s) => (id, qid, s / 1e9) }
       }
       .toDF("doc_id", "query_id", "score")
+  }
+
+  /** Streaming DENSE relevance tagging — the ingest twin of the RAG
+    * retrieval stack ([[Rag.q109]]'s scoring stage), completing the
+    * ingest-twin family on the dense side the way [[searchOn]] does
+    * for BM25: each arriving document is CHUNKED (the same
+    * [[Curation.chunksOn]] Catalyst stage as batch — stateless
+    * generators work unchanged on a stream), feature-hash EMBEDDED,
+    * and cosine-scored against the standing query set. Emits one row
+    * per (chunk, query): `(doc_id, chunk_id, query_id, cosine)`.
+    *
+    * Scale shape: MAP-ONLY — queries embed once on the driver and
+    * ride the closure (no join, no shuffle, NO state); per-chunk work
+    * is dims × queries. Per-row cosines are bit-equal the batch
+    * [[Rag.scoreAllChunks]] relation by construction: same
+    * [[Rag.embedText]], and the closure's index-order dot is the
+    * `dot_d` expression's exact summation order (the `scoreDocBm25`
+    * precedent) — spec-asserted against the batch run. Rank/top-k
+    * selection belongs to the consumer, as with [[searchOn]].
+    */
+  def ragOn(spark: SparkSession, src: DataFrame,
+      queries: Seq[(Long, String)] = Rag.RagQueries): DataFrame = {
+    import spark.implicits._
+    val qs = queries.map { case (qid, t) =>
+      val qv = Rag.embedText(t)
+      (qid, qv, Rag.normOf(qv))
+    }
+    Curation.chunksOn(src.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_id"), col("text"))
+      .as[(Long, Long, String)]
+      .flatMap { case (d, c, t) =>
+        val v = Rag.embedText(t)
+        val nrm = Rag.normOf(v)
+        qs.map { case (qid, qv, qnrm) =>
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += qv(i) * v(i); i += 1 }
+          (d, c, qid, s / (nrm * qnrm))
+        }
+      }
+      .toDF("doc_id", "chunk_id", "query_id", "cosine")
   }
 
   /** Streaming BPE tokenization — the LIVE twin of

@@ -85,6 +85,42 @@ class RagSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below floor")
   }
 
+  test("appendRagIndex: a batch folds into stored-quantizer cells and full-probe search equals brute force over the union") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ragidx2").toString + "/rag"
+    Rag.buildRagIndex(spark, sf, idx)
+    // the batch plants a clone of query 1's text — its single chunk
+    // embeds IDENTICALLY to the query vector, so it must come back at
+    // rank 1 with cosine ~ 1
+    val qText = Rag.RagQueries.head._2
+    val batch = Seq((950000L, qText), (950001L, "entirely novel payload"))
+      .toDF("doc_id", "text")
+    val report = Rag.appendRagIndex(spark, idx, batch).collect()
+    val quantCells = spark.read.parquet(s"$idx/_quantizer")
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(report.nonEmpty)
+    report.foreach(r => assert(quantCells.contains(r.getInt(0)),
+      s"append created cell ${r.getInt(0)} outside the stored quantizer"))
+    assert(report.map(_.getAs[Long]("n_chunks")).sum === 2L)
+    // full-probe search over the appended index == driver brute force
+    // over the UNION chunk corpus, bit-for-bit
+    val unionChunks = collectChunks() ++
+      Rag.chunkVectors(batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getSeq[Double](5).toArray, r.getDouble(6)))
+    val got = rows(Rag.probeRagIndex(spark, idx,
+      nprobeOverride = Int.MaxValue))
+    val want = bruteForce(unionChunks, Rag.RagQueries, Rag.RagTopK)
+    assert(got === want)
+    // the planted clone surfaces at rank 1 for its query
+    val top = got.find { case (qid, r, _, _, _, _, _) =>
+      qid === Rag.RagQueries.head._1 && r === 1L }.get
+    assert(top._3 === 950000L)
+    assert(top._7 > 0.999999)
+  }
+
   test("provenance: every hit cites a real q107 chunk, and multi-chunk docs flow through") {
     val q107 = Curation.q107(spark, sf)
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),

@@ -317,6 +317,40 @@ class StreamingSpec extends SparkSpec {
     assert(live.size > 500, s"only ${live.size} pairs compared")
   }
 
+  test("streaming dense RAG tagging equals the batch chunk scorer bit-for-bit, stateless") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // batch reference: the un-truncated chunk × query cosine relation
+    val batch = graft.operators.Rag.scoreAllChunks(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$sf/documents.parquet", s"$sf/documents*.parquet")
+    val q = graft.streaming.DocStreams.ragOn(spark, src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rag_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "dense tagging stream must keep no state")
+    } finally q.stop()
+    val live = spark.sql(
+      "SELECT doc_id, chunk_id, query_id, cosine FROM rag_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(live.keySet === batch.keySet)
+    live.foreach { case (k, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(c) ===
+        java.lang.Double.doubleToRawLongBits(batch(k)),
+        s"(doc, chunk, query) $k diverges from batch")
+    }
+    assert(live.size > 1000, s"only ${live.size} triples compared")
+  }
+
   test("streaming perplexity equals the batch broadcast arm bit-for-bit, stateless") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
