@@ -61,5 +61,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries; at 107 (the q100–q107 composed-pipeline block sorts
   // right before q11–q13) trivial queries regressed 6–25× at
   // byte-identical shuffle — the same signature, so double it.
+  // NOTE: 2g is the HotSpot MAXIMUM for this flag (a 3g attempt fails
+  // JVM startup) — storms past this ceiling can only be addressed by
+  // shrinking codegen class volume, not more cache.
   "-XX:ReservedCodeCacheSize=2g",
 )
