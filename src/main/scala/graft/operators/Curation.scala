@@ -1076,6 +1076,12 @@ object Curation {
     * standing ∪ batch). Standing docs NOT returned kept their nightly
     * verdicts — spec-asserted equal to a full recompute over the
     * union corpus.
+    *
+    * Contract (the [[graft.operators.Search.appendBmIndex]] terms):
+    * SINGLE WRITER, NEW DOCS ONLY — a batch containing an
+    * already-standing doc_id would double-fold that doc's line
+    * occurrences into the counts and duplicate its verdict row; feed
+    * the increment only the day's new documents.
     */
   def lineDedupIncrement(state: LineDedupState, batch: DataFrame)
       : (LineDedupState, DataFrame) = {

@@ -316,9 +316,10 @@ object Search {
     * the swap sees the bucket either whole-old or whole-new — never
     * half; the crash window between the two renames leaves the bucket
     * absent but its `_old_bucket_N` payload intact (single-maintainer
-    * contract, same as appends; re-running the compaction after a
-    * crash is NOT the repair — restore the `_old` dir by hand or
-    * rebuild). Search results are byte-identical before and after
+    * contract, same as appends), and [[recoverBmIndexCompaction]]
+    * heals every crash state mechanically — run it before a
+    * maintenance pass, or after any suspect one. Search results are
+    * byte-identical before and after
     * (spec-asserted): compaction moves rows between files, never
     * changes them. Returns `(bucket, files_before, files_after)` for
     * the buckets it rewrote.
@@ -348,6 +349,47 @@ object Search {
     }
     report.toSeq.toDF("bucket", "files_before", "files_after")
       .orderBy(col("bucket"))
+  }
+
+  /** Heal an interrupted [[compactBmIndex]] run. The compaction's
+    * crash states are fully distinguishable from the hidden dirs left
+    * behind, so recovery is mechanical, per bucket `N`:
+    *
+    *  - `bucket=N` present + `_tmp_bucket_N` present: died before the
+    *    first rename — the standing bucket is intact; drop the temp.
+    *  - `bucket=N` present + `_old_bucket_N` present: died between
+    *    the second rename and the old-dir delete — the compacted
+    *    bucket is live; drop the old payload.
+    *  - `bucket=N` ABSENT + `_old_bucket_N` present: died between the
+    *    two renames — restore the old payload as the bucket (and drop
+    *    any `_tmp` twin rather than promote it: the temp's write may
+    *    itself be incomplete without its `_SUCCESS`, and the old
+    *    payload is always whole).
+    *
+    * Returns the healed bucket ids. Idempotent; a clean index returns
+    * empty. Run under the same single-maintainer contract.
+    */
+  def recoverBmIndexCompaction(spark: SparkSession,
+      indexPath: String): Seq[Long] = {
+    val (fs, root) = indexFs(spark, indexPath)
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    def p(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    val touched = names.collect {
+      case n if n.startsWith("_tmp_bucket_") =>
+        n.stripPrefix("_tmp_bucket_").toLong
+      case n if n.startsWith("_old_bucket_") =>
+        n.stripPrefix("_old_bucket_").toLong
+    }.toSeq.sorted
+    touched.foreach { b =>
+      val (bucket, old, tmp) =
+        (p(s"bucket=$b"), p(s"_old_bucket_$b"), p(s"_tmp_bucket_$b"))
+      if (!fs.exists(bucket) && fs.exists(old)) fs.rename(old, bucket)
+      if (fs.exists(bucket)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
+    touched
   }
 
   /** Top-k retrieval against the ON-DISK index: query-term buckets

@@ -205,6 +205,50 @@ class SearchSpec extends SparkSpec {
     assert(results() === before, "rejected append mutated the index")
   }
 
+  test("recoverBmIndexCompaction heals every compaction crash state with byte-identical results") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bmidx4").toString + "/bm"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$idx/$n")
+    def results() = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    Search.buildBmIndex(spark, sf, idx)
+    val before = results()
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("bucket=")).map(_.getPath)
+    val b0 = buckets.head
+    val id0 = b0.getName.stripPrefix("bucket=").toLong
+    // clean index: recovery is a no-op
+    assert(Search.recoverBmIndexCompaction(spark, idx) === Seq.empty)
+
+    // state 1: died before the first rename — temp twin exists,
+    // standing bucket intact
+    fs.mkdirs(p(s"_tmp_bucket_$id0"))
+    assert(Search.recoverBmIndexCompaction(spark, idx) === Seq(id0))
+    assert(!fs.exists(p(s"_tmp_bucket_$id0")))
+    assert(results() === before)
+
+    // state 2: died between the second rename and the old delete —
+    // compacted bucket live, old payload lingers
+    fs.mkdirs(p(s"_old_bucket_$id0"))
+    assert(Search.recoverBmIndexCompaction(spark, idx) === Seq(id0))
+    assert(!fs.exists(p(s"_old_bucket_$id0")))
+    assert(results() === before)
+
+    // state 3: died between the two renames — bucket ABSENT, its
+    // whole payload parked as _old (simulated by the same rename)
+    fs.rename(b0, p(s"_old_bucket_$id0"))
+    fs.mkdirs(p(s"_tmp_bucket_$id0")) // possibly-incomplete temp too
+    assert(Search.recoverBmIndexCompaction(spark, idx) === Seq(id0))
+    assert(fs.exists(b0), "bucket not restored from _old")
+    assert(!fs.exists(p(s"_old_bucket_$id0")))
+    assert(!fs.exists(p(s"_tmp_bucket_$id0")))
+    assert(results() === before)
+  }
+
   test("bmStatsFromIndex: no corpus scan, equal to the bootstrap form, append-aware") {
     import spark.implicits._
     val idx = java.nio.file.Files
