@@ -163,10 +163,14 @@ object Search {
   /** Build the on-disk inverted index: the tf relation partitioned by
     * term-hash bucket (the q105 analogue of [[Similarity.buildIvfIndex]]
     * — probes become partition predicates), with the 1-row corpus
-    * statistics persisted as the `_stats` artifact. df is NOT stored:
-    * a term's postings live wholly in its bucket, so probes recount
-    * it exactly from the pruned scan — one less table to keep
-    * consistent across appends.
+    * statistics persisted as the `_stats` artifact and a KB-sized
+    * vocabulary Bloom as `_termbloom` (round 9: a query term ABSENT
+    * from the corpus would otherwise still scan its hash bucket — the
+    * Bloom short-circuits it driver-side before any predicate is
+    * built; errs only toward probing, never toward missing a present
+    * term). df is NOT stored: a term's postings live wholly in its
+    * bucket, so probes recount it exactly from the pruned scan — one
+    * less table to keep consistent across appends.
     */
   def buildBmIndex(spark: SparkSession, dir: String,
       indexPath: String): Unit = {
@@ -181,7 +185,61 @@ object Search {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       .collect().head
     writeStatsAtomic(spark, indexPath, r.getLong(0), r.getLong(1))
+    val distinctTerms = spark.read.parquet(indexPath)
+      .select(col("term")).distinct()
+    val bloom = distinctTerms.stat.bloomFilter("term",
+      math.max(1024L, distinctTerms.count() * 2), TermBloomFpp)
+    writeTermBloomAtomic(spark, indexPath, bloom)
   }
+
+  /** `_termbloom` false-positive rate. 1% costs ~10 bits/term —
+    * ~1.2 MB at a 10⁶-term vocabulary — and a false positive merely
+    * probes one unnecessary bucket.
+    */
+  val TermBloomFpp = 0.01
+
+  /** Atomically (re)write the `_termbloom` artifact — same
+    * temp+rename discipline as [[writeStatsAtomic]]. Sized at 2×
+    * current vocabulary so incremental appends have headroom; growth
+    * past that only degrades the fpp (more spurious probes), never
+    * correctness, and the next [[buildBmIndex]] right-sizes it.
+    */
+  private def writeTermBloomAtomic(spark: SparkSession, indexPath: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val (fs, _) = indexFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_termbloom.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$indexPath/_termbloom")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  /** Load `_termbloom` if present. A pre-round-9 index (or one whose
+    * bloom write was interrupted) simply has none — every query term
+    * probes, exactly the old behavior; no repair needed.
+    */
+  private[graft] def readTermBloom(spark: SparkSession, indexPath: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val (fs, _) = indexFs(spark, indexPath)
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_termbloom")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** Query terms that survive the `_termbloom` screen (all of them
+    * when the index has no bloom). Never drops a present term.
+    */
+  private def screenTerms(spark: SparkSession, indexPath: String,
+      terms: Seq[String]): Seq[String] =
+    readTermBloom(spark, indexPath) match {
+      case Some(b) => terms.filter(b.mightContainString)
+      case None => terms
+    }
 
   private def indexFs(spark: SparkSession, indexPath: String) = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
@@ -297,6 +355,14 @@ object Search {
     tf.write.partitionBy("bucket").mode("append").parquet(indexPath)
     writeStatsAtomic(spark, indexPath,
       oldN + batch.getLong(0), oldLen + batch.getLong(1))
+    // fold the batch vocabulary into the term Bloom (the collect is
+    // the batch's DISTINCT terms — batch-sized by contract); an index
+    // without a bloom stays bloom-less, the documented legacy mode
+    readTermBloom(spark, indexPath).foreach { b =>
+      tf.select(col("term")).distinct().collect()
+        .foreach(r => b.putString(r.getString(0)))
+      writeTermBloomAtomic(spark, indexPath, b)
+    }
     tf.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_postings"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -407,9 +473,14 @@ object Search {
     val qtermPairs = queries.flatMap { case (qid, q) =>
       q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
     val qterms = qtermPairs.toDF("query_id", "term")
+    // terms the vocabulary Bloom admits — an absent term contributes
+    // nothing to any score, so dropping it here (and its bucket from
+    // the probe set) changes no result, only the scan (round 9)
+    val present = screenTerms(spark, indexPath,
+      qtermPairs.map(_._2).distinct)
     // KB-sized (term → bucket) map, computed with the ENGINE's own
     // hash so probe predicates can never drift from the writer
-    val buckets = qtermPairs.map(_._2).distinct.toDF("term")
+    val buckets = present.toDF("term")
       .select(bucketOf(col("term")).as("bucket"))
       .distinct().collect().map(_.getLong(0))
     val probed = spark.read.parquet(indexPath)
@@ -419,8 +490,7 @@ object Search {
     // (both consumers re-read the PRUNED partitions only, so the
     // plan's FileSourceScans stay inspectable and cheap)
     val postings = probed
-      .join(broadcast(qtermPairs.map(_._2).distinct.toDF("term")),
-        Seq("term"))
+      .join(broadcast(present.toDF("term")), Seq("term"))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     val df_ = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val (n, len) = readBmStatsRow(spark, indexPath)
@@ -456,8 +526,8 @@ object Search {
   def bmStatsFromIndex(spark: SparkSession, indexPath: String,
       queries: Seq[(Long, String)] = SearchQueries): BmStats = {
     import spark.implicits._
-    val terms = queries.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
-      .distinct
+    val terms = screenTerms(spark, indexPath,
+      queries.flatMap(_._2.split("\\s+").filter(_.nonEmpty)).distinct)
     val (n, len) = readBmStatsRow(spark, indexPath)
     val buckets = terms.toDF("term")
       .select(bucketOf(col("term")).as("bucket"))

@@ -264,6 +264,56 @@ class SearchSpec extends SparkSpec {
       Search.bmStatsOf(docs.union(batch)))
   }
 
+  test("term bloom short-circuits absent query terms with identical results; appends stay findable; bloom-less legacy index works") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bmidx5").toString + "/bm"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Search.buildBmIndex(spark, sf, idx)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // a query mixing present terms with vocabulary-absent garbage
+    val mixed = Seq((1L, "fast zzxqvnotaword scan"),
+      (2L, "qqwwzz alsonotaword"))
+    assert(res(Search.searchBmIndex(spark, idx, mixed)) ===
+      res(Search.bm25On(docs, mixed)))
+    // the absent-only query probes ZERO buckets: its plan scans no
+    // index partitions at all
+    val absentOnly = Seq((9L, "zzxqvnotaword qqwwzz"))
+    val noneDf = Search.searchBmIndex(spark, idx, absentOnly)
+    assert(noneDf.isEmpty)
+    val scans = noneDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f.selectedPartitions.partitionCount
+    }
+    scans.foreach(n => assert(n === 0,
+      s"absent-only query still scanned $n buckets"))
+    // index-derived stats carry no phantom df entries either
+    val stats = Search.bmStatsFromIndex(spark, idx, mixed)
+    assert(!stats.df.keySet.exists(_.contains("notaword")))
+    assert(stats === Search.bmStatsOf(docs, mixed))
+    // append a doc with a NOVEL term: the bloom folds it in and the
+    // term is immediately searchable through the screen
+    Search.appendBmIndex(spark, idx,
+      Seq((930000L, "xylophonic xylophonic retrieval"))
+        .toDF("doc_id", "text"))
+    val novel = Seq((5L, "xylophonic"))
+    val hits = res(Search.searchBmIndex(spark, idx, novel))
+    assert(hits.nonEmpty && hits.head._3 === 930000L)
+    // legacy mode: an index without _termbloom screens nothing and
+    // still answers identically
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_termbloom"), false)
+    assert(res(Search.searchBmIndex(spark, idx, mixed)) ===
+      res(Search.bm25On(docs.union(
+        Seq((930000L, "xylophonic xylophonic retrieval"))
+          .toDF("doc_id", "text")), mixed)))
+  }
+
   test("q105 plan: query terms broadcast, top-k is a map-side group limit") {
     val plan = Search.q105(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
