@@ -795,6 +795,120 @@ object Curation {
        |WHERE end_pos - start_pos + 1 >= $CutMinTokens
        |ORDER BY doc_id, start_pos""".stripMargin
 
+  /** Persisted state for INCREMENTAL cut-span maintenance (round 9 —
+    * the [[lineDedupIncrement]] pattern at q100's 5-gram granularity,
+    * closing the last nightly artifact without an incremental twin):
+    * `grams` is the positional gram relation with its per-occurrence
+    * dup verdict `(doc_id, pos, gram, dup)`, `counts` the standing
+    * total-occurrence table `(gram, n)`. Production keys both on
+    * `fingerprint64(gram)` (q72's documented trade).
+    */
+  final case class CutSpanState(grams: DataFrame, counts: DataFrame)
+
+  /** Build [[CutSpanState]] from a corpus — the nightly full pass,
+    * one gram-keyed shuffle whose exchange is reused by the verdict
+    * join (q100's shape, verdict retained per occurrence).
+    */
+  def cutSpanState(docs: DataFrame): CutSpanState = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        spanGramsOf(text).iterator.zipWithIndex
+          .map { case (g, i) => (id, i + 1L, g) }
+      }.toDF("doc_id", "pos", "gram")
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    CutSpanState(
+      grams.join(counts, Seq("gram"))
+        .select(col("doc_id"), col("pos"), col("gram"),
+          (col("n") >= 2).as("dup")),
+      counts)
+  }
+
+  /** Render cut spans `(doc_id, start_pos, end_pos, span_tokens)` from
+    * flagged positional grams — [[cutSpansOn]]'s gaps-and-islands tail
+    * over the persisted artifact instead of a fresh count join.
+    */
+  def spansFromFlags(flagged: DataFrame,
+      minLen: Int = CutMinTokens): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged.filter(col("dup"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(SpanN - 1).cast("long")).as("end_pos"))
+      .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
+      .filter(col("span_tokens") >= minLen)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** Fold a daily batch into standing cut-span state and re-derive
+    * spans ONLY for the affected documents — the incremental twin of
+    * the q100 full pass, under [[lineDedupIncrement]]'s soundness
+    * argument one granularity down: occurrence counts only GROW, so a
+    * batch changes a standing document's span set only through grams
+    * sitting at exactly n = 1 that the batch touches ("crossing"
+    * grams, which flip their standing positions' dup flags; positions
+    * already ≥ 2 stay flagged, untouched positions stay unflagged —
+    * so unaffected docs' islands are bit-identical and need no
+    * recompute). Every standing-relation access is a SCAN with
+    * batch-bounded keys broadcast into semi/anti joins (zero
+    * SortMergeJoin, plan-spec-asserted); span re-derivation windows
+    * run over batch-bounded rows only.
+    *
+    * Returns the updated state and the re-derived spans for affected
+    * standing ∪ batch docs. Same contract as the line increment:
+    * SINGLE WRITER, NEW DOCS ONLY.
+    */
+  def cutSpanIncrement(state: CutSpanState, batch: DataFrame,
+      minLen: Int = CutMinTokens): (CutSpanState, DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchGrams = Tables.spread(batch.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        spanGramsOf(text).iterator.zipWithIndex
+          .map { case (g, i) => (id, i + 1L, g) }
+      }.toDF("doc_id", "pos", "gram")
+      .localCheckpoint() // batch-sized; feeds counts, flags, spans
+    val batchCounts = batchGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("bn"))
+    val standingForBatch = state.counts
+      .join(broadcast(batchCounts.select(col("gram"))), Seq("gram"),
+        "left_semi")
+    val delta = batchCounts
+      .join(standingForBatch, Seq("gram"), "left")
+      .select(col("gram"), col("bn"),
+        coalesce(col("n"), lit(0L)).as("old_n"))
+      .localCheckpoint()
+    val crossing = delta.filter(col("old_n") === 1L).select(col("gram"))
+    val flipped = state.grams
+      .join(broadcast(crossing.withColumn("flip", lit(true))),
+        Seq("gram"), "left")
+      .select(col("doc_id"), col("pos"), col("gram"),
+        (col("dup") || coalesce(col("flip"), lit(false))).as("dup"))
+    val affectedIds = state.grams
+      .join(broadcast(crossing), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val batchFlagged = batchGrams
+      .join(broadcast(delta.select(col("gram"),
+        (col("bn") + col("old_n") >= 2L).as("dup"))), Seq("gram"))
+      .select(col("doc_id"), col("pos"), col("gram"), col("dup"))
+    val affectedGrams = flipped
+      .join(broadcast(affectedIds), Seq("doc_id"), "left_semi")
+    val spans = spansFromFlags(
+      affectedGrams.unionByName(batchFlagged), minLen)
+    val newCounts = state.counts
+      .join(broadcast(delta.select(col("gram"))), Seq("gram"), "left_anti")
+      .unionByName(delta.select(col("gram"),
+        (col("bn") + col("old_n")).as("n")))
+    (CutSpanState(flipped.unionByName(batchFlagged), newCounts), spans)
+  }
+
   /** The "cleaned corpus": every [[cutSpansOn]] interval (the UNION
     * of intervals when nearby islands overlap in token space) removed
     * from its document, all copies. One-pass caveat: splicing the cut

@@ -643,6 +643,78 @@ class CurationSpec extends SparkSpec {
       s"increment plan sort-merge-joins:\n$plan")
   }
 
+  private def spanSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet
+
+  test("incremental cut spans equal a full recompute on the real corpus; standing side never sort-merge-joins") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val state = Curation.cutSpanState(standing)
+    // the nightly artifact renders exactly the full pass over standing
+    val nightly = spanSet(Curation.spansFromFlags(state.grams))
+    assert(nightly === spanSet(Curation.cutSpansOn(standing)))
+    val (newState, spans) = Curation.cutSpanIncrement(state, batch)
+    val reDocs = spans.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // compose: nightly spans for untouched docs + re-derived spans
+    val full = spanSet(Curation.cutSpansOn(standing.union(batch)))
+    val batchIds = batch.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // the re-derivation scope: every batch doc with spans plus any
+    // affected standing doc — and outside it, nightly rows must agree
+    // with the full recompute untouched
+    val affectedOrBatch = reDocs ++ batchIds
+    val composed = nightly.filterNot(s => affectedOrBatch(s._1)) ++
+      spanSet(spans)
+    assert(composed === full)
+    // the updated state renders the union span set in one shot
+    assert(spanSet(Curation.spansFromFlags(newState.grams)) === full)
+    // counts folded exactly
+    val fromScratch = Curation.cutSpanState(standing.union(batch))
+      .counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(newState.counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === fromScratch)
+    // batch-bounded cost: no shuffle join of the standing relations
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"increment plan sort-merge-joins:\n$plan")
+  }
+
+  test("incremental cut spans planted: a bridged singleton run flips its standing doc; already-dup runs don't; batch-internal dups span") {
+    import spark.implicits._
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val u = (1 to 11).map(i => s"u$i").mkString(" ")
+    val standing = Seq(
+      (1L, s"p1 p2 p3 $s"), // S once in standing — the bridge target
+      (2L, t), (3L, t))     // T already dup within standing
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s),             // bridges doc 1's singleton run
+      (11L, t),             // matches the ALREADY-dup run
+      (12L, u), (13L, u))   // batch-internal dup
+      .toDF("doc_id", "text")
+    val state = Curation.cutSpanState(standing)
+    assert(spanSet(Curation.spansFromFlags(state.grams))
+      .map(_._1) === Set(2L, 3L))
+    val (newState, spans) = Curation.cutSpanIncrement(state, batch)
+    val got = spanSet(spans)
+    // doc 1 re-derived with S's 12 tokens cut (positions 4..15);
+    // docs 2/3 NOT re-derived (no gram crossed 1 -> 2)
+    assert(got.map(_._1) === Set(1L, 10L, 11L, 12L, 13L))
+    assert(got.contains((1L, 4L, 15L, 12L)))
+    assert(got.contains((10L, 1L, 12L, 12L)))
+    assert(got.contains((11L, 1L, 10L, 10L)))
+    assert(got.contains((12L, 1L, 11L, 11L)))
+    assert(got.contains((13L, 1L, 11L, 11L)))
+    // and the state renders the full-union truth
+    assert(spanSet(Curation.spansFromFlags(newState.grams)) ===
+      spanSet(Curation.cutSpansOn(standing.union(batch))))
+  }
+
   test("incremental line dedup planted: bridge flips a standing doc, batch-internal dups drop, already-dup lines don't re-verdict their docs") {
     import spark.implicits._
     // token first-code-point mod 4 == 0 ends a line: 'd' (100) and
