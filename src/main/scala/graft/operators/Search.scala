@@ -110,16 +110,51 @@ object Search {
     rankContributions(tf, df_, stats, qterms, topK)
   }
 
+  /** MORE-LIKE-THIS retrieval: the query is a DOCUMENT — its distinct
+    * term set becomes the BM25 query against the rest of the corpus
+    * (self excluded before ranking). This is the lexical arm of the
+    * hybrid fusion ([[Hybrid.q110]]): a related-document query both
+    * retrieval stacks can answer over the same query doc ids, so the
+    * fused ranking is fully oracle-checkable. Corpus statistics
+    * (N, avgdl, df) are over the FULL corpus including the query doc —
+    * the query doc is corpus membership, not a foreign probe.
+    *
+    * Scale shape is [[bm25On]]'s: the query-term relation is ≤
+    * queries × doc-length rows (KBs — broadcast), the tf relation
+    * never shuffles for it, and top-k is a WindowGroupLimit.
+    */
+  private[graft] def bm25MoreLikeThis(relation: DataFrame,
+      queryDocIds: Seq[Long], topK: Int = SearchTopK): DataFrame = {
+    val docs = relation.select(col("doc_id"), col("text"))
+    val tf = tfIndex(docs)
+    val stats = docs
+      .select(col("doc_id"), size(expr(
+        "regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf is already one row per (doc, term), so this IS the distinct
+    // term set of each query doc
+    val qterms = tf.filter(col("doc_id").isInCollection(queryDocIds))
+      .select(col("doc_id").as("query_id"), col("term"))
+    rankContributions(tf, df_, stats, qterms, topK, excludeSelf = true)
+  }
+
   /** The scoring + ranking tail shared by [[bm25On]] (in-flight index)
     * and [[searchBmIndex]] (on-disk index) — ONE expression tree, so
     * the two paths are bit-equal by construction. `tf` carries
     * `(doc_id, dl, term, tf)`, `dfRel` `(term, df)`, `stats` one row
     * of `(n_docs, total_len)`, `qterms` `(query_id, term)`.
+    * `excludeSelf` drops postings of the query's own document BEFORE
+    * ranking — the more-like-this form, where query_id IS a doc_id
+    * and "the most relevant document" would trivially be itself.
     */
   private def rankContributions(tf: DataFrame, dfRel: DataFrame,
-      stats: DataFrame, qterms: DataFrame, topK: Int): DataFrame = {
-    val contrib = tf
-      .join(broadcast(qterms), Seq("term"))
+      stats: DataFrame, qterms: DataFrame, topK: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val qJoined = tf.join(broadcast(qterms), Seq("term"))
+    val contrib = (if (excludeSelf)
+        qJoined.filter(col("doc_id") =!= col("query_id"))
+      else qJoined)
       .join(dfRel, Seq("term"))
       .crossJoin(broadcast(stats))
       // dl/avgdl = dl*N/total_len — avgdl never materializes as a
