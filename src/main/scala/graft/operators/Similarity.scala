@@ -280,11 +280,12 @@ object Similarity {
     * (unit-normalized); each of `iters` Lloyd's rounds is ONE corpus
     * scan — all k cosines evaluate as literal-array dot
     * products in codegen and the argmax picks the cell, so the only
-    * shuffle is k×dims decimal partial sums. Per-dimension sums
-    * go through DECIMAL(28,12): decimal addition is exact and
-    * associative, so the update — unlike float k-means — cannot be
-    * perturbed by partitioning or aggregation order, and the trained
-    * centroids are bit-identical on every run at every parallelism.
+    * shuffle is k×dims exact partial sums. Per-dimension sums go
+    * through [[trainSum]] — scale-dispatched int64 fixed-point or
+    * DECIMAL(28,12), both exact and associative — so the update,
+    * unlike float k-means, cannot be perturbed by partitioning or
+    * aggregation order, and the trained centroids are bit-identical
+    * on every run at every parallelism.
     * The driver only ever sees the k×(dims+1) aggregate row set.
     * Empty cells keep their previous centroid.
     */
@@ -294,6 +295,47 @@ object Similarity {
     centroidCache.getOrElseUpdate((dir, iters, k),
       centroidArraysOn(vectors(spark, dir), k, iters))
   }
+
+  /** Fixed-point scale for the int64 training-sum arm: 1e-12 grid,
+    * the same granularity DECIMAL(28,12) keeps.
+    */
+  private val FixedPointScale = 1e12
+
+  /** Corpus-size bound for the int64 arm: every summed element is a
+    * unit-vector coordinate (|x| ≤ 1 ⇒ |scaled| ≤ 1e12), so a cell of
+    * n members sums to at most n × 1e12 — 4e6 rows stays ≥ 2300× under
+    * Long.MaxValue. Above the bound training dispatches to the decimal
+    * arm, whose 16 integer digits absorb billions of rows per cell
+    * (the 100 TB path).
+    */
+  private[operators] val FixedPointMaxRows = 4000000L
+
+  /** One per-dimension training sum — the hot aggregate of every
+    * Lloyd's round, scale-dispatched (round 9, the §7d candidate):
+    *
+    *  - `fixedPoint`: `sum(CAST(x × 1e12 AS LONG))` — exact,
+    *    associative int64 sums (the q105 scaled-contribution trick)
+    *    that stay entirely in whole-stage codegen: no Decimal boxing,
+    *    no BigDecimal.add per row. Profiled ~10× cheaper per round at
+    *    the sf1 chunk corpus (69k × 64).
+    *  - otherwise: the original DECIMAL(28,12) sums.
+    *
+    * Both arms are exact and order-independent, so trained centroids
+    * are bit-identical at any parallelism EITHER way; the arms differ
+    * only in the 1e-12-grid rounding of each element (truncation
+    * toward zero vs the decimal cast's HALF_UP), so the dispatch is
+    * by CORPUS SIZE — deterministic for a given corpus, the q34
+    * exact/LSH precedent — never by environment.
+    */
+  private def trainSum(x: Column, fixedPoint: Boolean): Column =
+    if (fixedPoint) sum((x * lit(FixedPointScale)).cast("long"))
+    else sum(x.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+
+  /** Read back one [[trainSum]] aggregate as a double. */
+  private def trainSumValue(r: org.apache.spark.sql.Row, idx: Int,
+      fixedPoint: Boolean): Double =
+    if (fixedPoint) r.getLong(idx).toDouble / FixedPointScale
+    else r.getDecimal(idx).doubleValue()
 
   /** The k-means body of [[centroidArrays]] over an ARBITRARY
     * `(vec_id, v, nrm)` relation — the form [[Rag]] trains chunk-level
@@ -314,6 +356,8 @@ object Similarity {
         .select(col("v")).collect()
         .map(r => unit(r.getSeq[Double](0))).toSeq
       val dims = cs.head.size
+      // one count decides the sum arm for ALL rounds (see trainSum)
+      val fixedPoint = base.count() <= FixedPointMaxRows
       for (_ <- 1 to iters) {
         // the BROADCAST assignment arm, unconditionally: each Lloyd's
         // round has NEW centroid values, so the literal arm would
@@ -328,13 +372,13 @@ object Similarity {
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("n"),
             (0 until dims).map(i =>
-              sum((element_at(col("v"), i + 1) / col("nrm"))
-                .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-                .as(s"s$i")): _*)
+              trainSum(element_at(col("v"), i + 1) / col("nrm"),
+                fixedPoint).as(s"s$i")): _*)
           .collect()
           .map(r => r.getAs[Int]("cell") ->
             ((r.getAs[Long]("n"),
-              (0 until dims).map(i => r.getDecimal(2 + i).doubleValue()))))
+              (0 until dims).map(i =>
+                trainSumValue(r, 2 + i, fixedPoint)))))
           .toMap
         cs = cs.zipWithIndex.map { case (old, cell) =>
           sums.get(cell) match {
@@ -608,7 +652,7 @@ object Similarity {
     * k-means per 8-dim subspace over the unit-normalized corpus.
     * Same determinism contract as [[centroidArrays]]: seeds are the
     * PqKsub smallest vec_ids' subvectors, each Lloyd's round is one
-    * corpus scan whose per-dimension sums go through exact decimal,
+    * corpus scan whose per-dimension sums go through [[trainSum]],
     * so the trained codebooks are bit-identical at any parallelism.
     * All M subspaces train in the SAME scan: the exploded (m, code,
     * subvector) relation is 8 narrow rows per vector, aggregated to
@@ -620,6 +664,7 @@ object Similarity {
       val dsub = 64 / PqM
       val base = vectors(spark, dir)
         .withColumn("u", expr("transform(v, (x, i) -> x / nrm)"))
+      val fixedPoint = base.count() <= FixedPointMaxRows
       var books: Seq[Seq[Seq[Double]]] =
         base.orderBy(col("vec_id")).limit(PqKsub)
           .select(col("u")).collect()
@@ -642,13 +687,13 @@ object Similarity {
           .groupBy(col("m"), col("code"))
           .agg(count(lit(1)).as("n"),
             (0 until dsub).map(i =>
-              sum(element_at(col("sub"), i + 1)
-                .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+              trainSum(element_at(col("sub"), i + 1), fixedPoint)
                 .as(s"s$i")): _*)
           .collect()
           .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
             (r.getAs[Long]("n"),
-              (0 until dsub).map(i => r.getDecimal(3 + i).doubleValue())))
+              (0 until dsub).map(i =>
+                trainSumValue(r, 3 + i, fixedPoint))))
           .toMap
         books = books.zipWithIndex.map { case (cb, m) =>
           cb.zipWithIndex.map { case (old, j) =>
