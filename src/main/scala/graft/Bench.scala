@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** One query's bench sample: min wall, per-run-averaged shuffle and
+    * spill, MARGINAL codegen footprint (generated classes + JIT ms
+    * beyond the sf0.001 warmup), error if any.
+    */
+  private case class QRes(name: String, wall: Double, shMb: Double,
+      spMb: Double, cgClasses: Long, jitMs: Long, err: Option[String])
+
   /** (wall_sec, shuffle_mb) per query from a bench detail line —
     * the tolerant inverse of the writer below (numeric sections only;
     * our own keys carry no escapes).
@@ -99,12 +106,24 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // codegen/JIT telemetry (round 9): the 2 GiB code cache is the
+    // HotSpot maximum and the §8g q39 storm showed it is now the
+    // binding resource at 109 queries — so the detail file records,
+    // per query, how many classes Janino generated (cumulative count
+    // of Spark's generated-class histogram) and how much JIT compile
+    // time elapsed (CompilationMXBean, ms). The class counts rank the
+    // codegen producers to shrink; a jit_ms spike at stable shuffle is
+    // the storm signature, now measurable instead of inferred.
+    val codegenHist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_GENERATED_CLASS_BYTECODE_SIZE
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two timed executions: this box is shared (background
       // load spikes showed up as multi-second stalls on trivial
       // queries), and min-of-N is the standard steady-state estimator
       // under external noise
       val sh0 = shuffleBytes.get(); val sp0 = spilledBytes.get()
+      val cg0 = codegenHist.getCount; val jit0 = jitBean.getTotalCompilationTime
       // a failing query must surface as err, never as a bogus timing
       var err: Option[String] = None
       def timedRun(): Double = {
@@ -138,14 +157,19 @@ object Bench {
       // metric deltas cover every run → report the per-run average
       val shMb = (shuffleBytes.get() - sh0) / times.size.toDouble / 1e6
       val spMb = (spilledBytes.get() - sp0) / times.size.toDouble / 1e6
-      (name, times.min, shMb, spMb, err)
+      // codegen/JIT deltas are NOT averaged: classes compile once per
+      // plan (the warmup at sf0.001 already absorbed most), so the
+      // raw delta over all runs IS the query's marginal footprint
+      QRes(name, times.min, shMb, spMb,
+        codegenHist.getCount - cg0,
+        jitBean.getTotalCompilationTime - jit0, err)
     }
-    val ok = results.filter(_._5.isEmpty)
-    val qs = ok.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_.err.isEmpty)
+    val qs = ok.map(q => s"\"" + q.name + "\":" + q.wall)
       .mkString("{", ",", "}")
-    val sh = ok.map { case (k, _, s, _, _) =>
-      s"\"" + k + "\":" + f"$s%.1f" }.mkString("{", ",", "}")
-    val errsList = results.collect { case (k, _, _, _, Some(e)) =>
+    val sh = ok.map(q =>
+      s"\"" + q.name + "\":" + f"${q.shMb}%.1f").mkString("{", ",", "}")
+    val errsList = results.collect { case QRes(k, _, _, _, _, _, Some(e)) =>
       // exception text can carry ANY control char (Netty/Hadoop
       // messages embed NULs and ESC) — strip the whole C0 range, not
       // just \n\r\t, or the one-line bench JSON stops parsing
@@ -156,8 +180,8 @@ object Bench {
     // compact line: at most 5 errors so a mass failure can't push the
     // final line past the driver's tail window
     val errsCompact = errsList.take(5).mkString("{", ",", "}")
-    val totalSpill = ok.map(_._4).sum
-    val total = ok.map(_._2).sum
+    val totalSpill = ok.map(_.spMb).sum
+    val total = ok.map(_.wall).sum
     // regression tripwire: diff (wall, shuffle) against the PREVIOUS
     // committed detail — read before this run overwrites it, compared
     // only when the scale factor matches
@@ -167,9 +191,9 @@ object Bench {
     } catch { case _: Throwable => None }
     val prevMap = prevRun.filter(p => sfOf(p).contains(sfDir))
       .map(parseDetail).getOrElse(Map.empty)
-    val curMap = ok.map { case (k, v, s, _, _) =>
-      k -> (v, math.rint(s * 10) / 10) // shuffle at the file's 0.1 MB grain
-    }.toMap
+    val curMap = ok.map(q =>
+      // shuffle at the file's 0.1 MB grain
+      q.name -> (q.wall, math.rint(q.shMb * 10) / 10)).toMap
     val regs = regressionsOf(prevMap, curMap)
     def regsJson(n: Int): String = regs.take(n).map { case (q, kind, p, c) =>
       s"""{"q":"$q","kind":"$kind","prev":${math.rint(p * 1000) / 1000},""" +
@@ -182,9 +206,23 @@ object Bench {
     // cut mid-way through this very line). stdout carries exactly one
     // payload line — the compact JSON below — so no cap, tail window,
     // or footer can separate the parser from it.
+    // per-query codegen class counts + JIT ms, and end-state code
+    // cache occupancy: the §7d audit data (detail-only — stdout stays
+    // under the driver's tail window)
+    val cg = ok.map(q => s"\"" + q.name + "\":" + q.cgClasses)
+      .mkString("{", ",", "}")
+    val jit = ok.map(q => s"\"" + q.name + "\":" + q.jitMs)
+      .mkString("{", ",", "}")
+    val codeCacheMb = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans).asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / 1e6
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
+      s""""codegen_classes":$cg,"jit_ms":$jit,""" +
+      s""""code_cache_mb":${f"$codeCacheMb%.1f"},""" +
       s""""errors":$errs,"regressions":${regsJson(8)},""" +
       s""""n_reg":${regs.size},"sf":"$sfDir"}"""
     Console.err.println(detail)
@@ -198,11 +236,11 @@ object Bench {
     // errors, sf — guaranteed well under 1500 chars, and it is the
     // ONLY line this process writes to stdout.
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    val slow = ok.sortBy(-_._2).take(12)
-      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
+    val slow = ok.sortBy(-_.wall).take(12)
+      .map(q => s"\"" + q.name + "\":" + r3(q.wall))
       .mkString("{", ",", "}")
-    val shTop = ok.sortBy(-_._3).take(5)
-      .map { case (k, _, s, _, _) => s"\"" + k + "\":" + f"$s%.1f" }
+    val shTop = ok.sortBy(-_.shMb).take(5)
+      .map(q => s"\"" + q.name + "\":" + f"${q.shMb}%.1f")
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n":${ok.size},"queries":$slow,"shuffle_mb":$shTop,""" +

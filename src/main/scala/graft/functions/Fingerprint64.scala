@@ -72,6 +72,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sigmoid_d", exprs => SigmoidD(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs =>
         HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -327,12 +327,12 @@ object Similarity {
     * by CORPUS SIZE — deterministic for a given corpus, the q34
     * exact/LSH precedent — never by environment.
     */
-  private def trainSum(x: Column, fixedPoint: Boolean): Column =
+  private[operators] def trainSum(x: Column, fixedPoint: Boolean): Column =
     if (fixedPoint) sum((x * lit(FixedPointScale)).cast("long"))
     else sum(x.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
 
   /** Read back one [[trainSum]] aggregate as a double. */
-  private def trainSumValue(r: org.apache.spark.sql.Row, idx: Int,
+  private[operators] def trainSumValue(r: org.apache.spark.sql.Row, idx: Int,
       fixedPoint: Boolean): Double =
     if (fixedPoint) r.getLong(idx).toDouble / FixedPointScale
     else r.getDecimal(idx).doubleValue()

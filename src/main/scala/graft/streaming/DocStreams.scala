@@ -256,6 +256,42 @@ object DocStreams {
       .toDF("doc_id", "chunk_id", "query_id", "cosine")
   }
 
+  /** Streaming quality filtering — the LIVE twin of
+    * [[graft.operators.QualityFilter.q111]]'s apply stage: arriving
+    * documents are scored by a classifier the nightly batch job
+    * trained and published ([[QualityFilter.persistQc]] →
+    * [[QualityFilter.loadQc]]), and verdicted with the SAME
+    * deterministic Pareto keep rule. This closes the quality-filter
+    * lifecycle exactly like the LM's (persistLm → loadLm → pplOn):
+    * train nightly at corpus scale, filter at ingest with zero
+    * scan-back.
+    *
+    * Scale shape: MAP-ONLY — the KB weight vector rides the closure
+    * (no join, no shuffle, NO state); per-doc work is linear in
+    * tokens. Per-row scores are bit-equal the batch Catalyst arm by
+    * construction ([[QualityFilter.QcModel.score]] is its closure
+    * twin: index-order dot, one Math.exp) and the keep rule hashes
+    * the same md5 prefix — spec-asserted against a batch run.
+    */
+  def qcOn(spark: SparkSession, src: DataFrame,
+      model: graft.operators.QualityFilter.QcModel): DataFrame = {
+    import spark.implicits._
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val s = model.score(text)
+          md.reset()
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val u = java.lang.Long.parseLong(hex.take(6), 16).toDouble /
+            (1L << 24).toDouble
+          (id, s, graft.operators.QualityFilter.keepRule(s, u))
+        }
+      }
+      .toDF("doc_id", "score", "kept")
+  }
+
   /** Streaming BPE tokenization — the LIVE twin of
     * [[graft.operators.Bpe.q98]]: arriving documents are encoded with
     * a merge table the nightly batch job trained ([[Bpe.trainCached]]
