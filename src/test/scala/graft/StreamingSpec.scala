@@ -385,6 +385,41 @@ class StreamingSpec extends SparkSpec {
     assert(live.size > 100, s"only ${live.size} docs compared")
   }
 
+  test("streaming quality filter equals the batch apply bit-for-bit, stateless") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // nightly artifact: train, persist, load — the qc_lifecycle path
+    val qcDir = java.nio.file.Files
+      .createTempDirectory("graft_qc_live").toString
+    val trained = graft.operators.QualityFilter.trainQc(docs)
+    graft.operators.QualityFilter.persistQc(spark, trained, s"$qcDir/model")
+    val model = graft.operators.QualityFilter.loadQc(spark, s"$qcDir/model")
+    val batch = graft.operators.QualityFilter.qcOn(docs, model)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val src = graft.streaming.DocStreams.source(spark,
+      s"$sf/documents.parquet", s"$sf/documents*.parquet")
+    val q = graft.streaming.DocStreams.qcOn(spark, src, model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qc_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "quality-filter stream must keep no state")
+    } finally q.stop()
+    val live = spark.sql("SELECT doc_id, score, kept FROM qc_out")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(live.keySet === batch.keySet)
+    // bit-equal (=== on doubles): shared featurize/StrictMath sigmoid
+    // on both arms, shared keepRule
+    live.foreach { case (id, v) =>
+      assert(v === batch(id), s"doc $id diverges from batch scoring")
+    }
+    assert(live.size > 100, s"only ${live.size} docs compared")
+  }
+
   test("streaming dedup-within-watermark keeps every unique event id") {
     val q = EventStreams.dedupedEvents(spark, sf).writeStream
       .outputMode("append").format("memory").queryName("dedup_out").start()
