@@ -149,9 +149,9 @@ object QualityFilter {
     }
   }
 
-  /** `(doc_id, y, x)` training relation: label 1 for the reference
-    * source, 0 otherwise; rows beyond [[TrainSampleCap]] dropped by
-    * md5 rank (deterministic, content-keyed). Map-only.
+  /** `(y, x)` training relation: label 1 for the reference source, 0
+    * otherwise; rows beyond [[TrainSampleCap]] dropped by md5 rank
+    * (deterministic, content-keyed). Map-only.
     */
   private def featsOf(docs: DataFrame, refSource: String,
       cap: Long): DataFrame = {
@@ -171,44 +171,73 @@ object QualityFilter {
           conv(substring(md5(col("text")), 1, 6), 16, 10)
             .cast("long") < keep)
       }
-    base.select(col("doc_id"),
+    base.select(
         when(col("source") === refSource, 1.0).otherwise(0.0).as("y"),
         col("text"))
-      .as[(Long, Double, String)]
-      .map { case (id, y, t) => (id, y, featurize(t)) }
-      .toDF("doc_id", "y", "x")
+      .as[(Double, String)]
+      .map { case (y, t) => (y, featurize(t)) }
+      .toDF("y", "x")
   }
 
-  /** Train the classifier: full-batch GD, one exact-sum scan per
-    * iteration over the checkpointed sample (the Lloyd's-round
-    * shape). Deterministic: fixed seeds (w₀ = 0), exact gradient
+  /** Train the classifier: full-batch GD, one scan per iteration over
+    * the checkpointed sample, partial gradients as per-partition
+    * int64 fixed-point sums ([[Similarity.FixedPointScale]]'s 1e-12
+    * grid — exact, associative, so weights are bit-identical at any
+    * parallelism and row order; [[TrainSampleCap]] ≪ the int64
+    * overflow bound since |g·xᵢ| ≤ 1). Deterministic: w₀ = 0, exact
     * sums, fixed iteration count.
+    *
+    * Codegen shape (the §8g q109 lesson, applied from telemetry: the
+    * first cut aggregated `iters` Catalyst plans each carrying 129
+    * weight LITERALS — a fresh Janino compile per iteration, 56
+    * generated classes / 17 s JIT for one query): the gradient is a
+    * literal-free `mapPartitions` whose closure CAPTURES the weights,
+    * so every iteration reuses the one generated deserializer stage
+    * and the partial-sum loop runs as plain JVM code. One KB-sized
+    * array per partition reaches the driver per round.
     */
   def trainQc(docs: DataFrame, refSource: String = RefSource,
       iters: Int = QcIters): QcModel = {
     val spark = docs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
     // barrier: the feature relation feeds `iters` gradient scans
-    val feats = featsOf(docs, refSource, TrainSampleCap).localCheckpoint()
+    val feats = featsOf(docs, refSource, TrainSampleCap)
+      .as[(Double, Array[Double])].localCheckpoint()
     val n = feats.count()
     require(n > 0, "trainQc: empty corpus")
-    val fixedPoint = n <= Similarity.FixedPointMaxRows
+    val scale = Similarity.FixedPointScale
     var w = new Array[Double](QcDims)
     var b = 0.0
     for (_ <- 1 to iters) {
-      val wLit = array(w.map(lit(_)): _*)
-      val z = call_function("dot_d", wLit, col("x")) + lit(b)
-      val gcoef = call_function("sigmoid_d", z) - col("y")
-      val aggs = Similarity.trainSum(gcoef, fixedPoint).as("gb") +:
-        (0 until QcDims).map(i =>
-          Similarity.trainSum(gcoef * element_at(col("x"), i + 1),
-            fixedPoint).as(s"g$i"))
-      val r = feats.agg(aggs.head, aggs.tail: _*).collect().head
-      val gb = Similarity.trainSumValue(r, 0, fixedPoint) / n
-      val g = (0 until QcDims).map(i =>
-        Similarity.trainSumValue(r, 1 + i, fixedPoint) / n)
-      w = w.zip(g).map { case (wi, gi) => wi - QcLr * gi }
-      b -= QcLr * gb
+      val wLoc = w
+      val bLoc = b
+      val partials = feats.mapPartitions { it =>
+        val acc = new Array[Long](QcDims + 1)
+        it.foreach { case (y, x) =>
+          // index-order dot + StrictMath sigmoid — the QcModel.score
+          // op sequence, so train and apply see the same scores
+          var z = 0.0
+          var i = 0
+          while (i < QcDims) { z += wLoc(i) * x(i); i += 1 }
+          z += bLoc
+          val g = 1.0 / (1.0 + java.lang.StrictMath.exp(-z)) - y
+          acc(0) += (g * scale).toLong
+          i = 0
+          while (i < QcDims) {
+            acc(i + 1) += ((g * x(i)) * scale).toLong
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect()
+      val tot = new Array[Long](QcDims + 1)
+      partials.foreach { p =>
+        var i = 0
+        while (i < tot.length) { tot(i) += p(i); i += 1 }
+      }
+      b -= QcLr * (tot(0).toDouble / scale / n)
+      w = Array.tabulate(QcDims)(i =>
+        w(i) - QcLr * (tot(i + 1).toDouble / scale / n))
     }
     QcModel(w, b)
   }

@@ -299,7 +299,7 @@ object Similarity {
   /** Fixed-point scale for the int64 training-sum arm: 1e-12 grid,
     * the same granularity DECIMAL(28,12) keeps.
     */
-  private val FixedPointScale = 1e12
+  private[operators] val FixedPointScale = 1e12
 
   /** Corpus-size bound for the int64 arm: every summed element is a
     * unit-vector coordinate (|x| ≤ 1 ⇒ |scaled| ≤ 1e12), so a cell of
@@ -327,12 +327,12 @@ object Similarity {
     * by CORPUS SIZE — deterministic for a given corpus, the q34
     * exact/LSH precedent — never by environment.
     */
-  private[operators] def trainSum(x: Column, fixedPoint: Boolean): Column =
+  private def trainSum(x: Column, fixedPoint: Boolean): Column =
     if (fixedPoint) sum((x * lit(FixedPointScale)).cast("long"))
     else sum(x.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
 
   /** Read back one [[trainSum]] aggregate as a double. */
-  private[operators] def trainSumValue(r: org.apache.spark.sql.Row, idx: Int,
+  private def trainSumValue(r: org.apache.spark.sql.Row, idx: Int,
       fixedPoint: Boolean): Double =
     if (fixedPoint) r.getLong(idx).toDouble / FixedPointScale
     else r.getDecimal(idx).doubleValue()
