@@ -137,6 +137,10 @@ object SparkEntry {
     // QualityFilterSpec pins separation, determinism, keep rule,
     // and batch/stream bit-equality
     "q111_quality_filter" -> (QualityFilter.q111 _),
+    // snapshot diff: text never shuffles — both sides reduce to
+    // (doc_id, fingerprint64) before the one full-outer join
+    "q112_corpus_diff" -> (Versioning.q112 _),
+    "q113_token_mixture" -> ((s, d) => Curation.q113(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,5 +246,31 @@ object SparkEntry {
     "q107_doc_chunks" -> Curation.q107Sql,
     "q108_train_manifest" -> Curation.q108Sql,
     "q110_hybrid_rrf" -> Hybrid.q110Sql,
+    "q112_corpus_diff" -> q112Sql,
+    "q113_token_mixture" -> Curation.q113Sql,
   )
+
+  /** DuckDB twin of [[Versioning.q112]]: version B derived by the
+    * same doc_id-keyed edits, diff classified by direct text
+    * comparison (the Spark side compares fingerprint64 digests — the
+    * engines agree absent a 64-bit collision between versions of one
+    * doc).
+    */
+  private val q112Sql: String = """
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 5 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, text || ' new' AS text
+      FROM documents WHERE doc_id % 29 = 7
+    ), d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.text <> b.text THEN 'changed' END AS status
+      FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id
+  """
 }

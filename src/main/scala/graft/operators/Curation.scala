@@ -1522,6 +1522,87 @@ object Curation {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** q113: TOKEN-weighted mixture realization (round 9) — [[q106]]
+    * over token budgets instead of doc counts. Training mixtures are
+    * specified as TOKEN shares (a lang of few huge docs must not be
+    * over-drawn the way doc-count weighting over-draws it): each
+    * language's tempered weight (α = 1/2, q47's exact-integer
+    * denominator) is computed from its token share, `budgetTokens`
+    * allocates `w × budget` tokens to the language, and every doc of
+    * the language gets copy rate `w × budget / lang_tokens` — the
+    * expected token yield per language is then exactly its
+    * allocation (Σ_doc rate × n_tokens = rate × lang_tokens).
+    * Realization is q106's deterministic content-hash systematic
+    * sampling: `copies = floor(rate) + 1 iff md5-fraction <
+    * frac(rate)`, never `rand()`.
+    *
+    * Scale shape: one narrow token-count aggregate (langs-sized),
+    * weight table broadcast, corpus side map-only — no corpus
+    * shuffle anywhere. Floats: sqrt only (IEEE-correctly-rounded),
+    * integer-domain denominator, fixed expression-tree order
+    * mirrored in the oracle.
+    */
+  def q113(spark: SparkSession, dir: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("n_tokens", size(wsTokens).cast("long"))
+    val counts = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+    val total = counts.agg(sum(col("lang_tokens")).as("total"))
+    val scored = counts.crossJoin(broadcast(total))
+      .withColumn("sp", sqrt(
+        col("lang_tokens").cast("double") / col("total").cast("double")))
+    val denom = scored.agg(
+      sum(floor(col("sp") * lit(1e15)).cast("long")).as("denom_scaled"))
+    val weights = scored.crossJoin(broadcast(denom))
+      .withColumn("weight",
+        col("sp") / (col("denom_scaled").cast("double") / lit(1e15)))
+      .select(col("lang"), col("lang_tokens"), col("weight"))
+    val frac = col("rate") - floor(col("rate"))
+    docs.join(broadcast(weights), Seq("lang"))
+      .withColumn("rate",
+        col("weight") * lit(budgetTokens.toDouble) /
+          col("lang_tokens").cast("double"))
+      .withColumn("h",
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"))
+      .withColumn("copies",
+        (floor(col("rate")) +
+          when(col("h").cast("double") / lit(16777216.0) < frac, 1.0)
+            .otherwise(0.0)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rate"),
+        col("copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM d GROUP BY lang),
+      |t AS (SELECT SUM(lang_tokens) AS total FROM c),
+      |s AS (
+      |  SELECT lang, lang_tokens,
+      |    sqrt(CAST(lang_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS sp
+      |  FROM c CROSS JOIN t),
+      |dn AS (SELECT SUM(CAST(floor(sp * 1e15) AS BIGINT)) AS denom FROM s),
+      |w AS (
+      |  SELECT lang, lang_tokens,
+      |    sp / (CAST(denom AS DOUBLE) / 1e15) AS weight
+      |  FROM s CROSS JOIN dn),
+      |r AS (
+      |  SELECT doc_id, d.lang, n_tokens,
+      |    weight * 1000000.0 / CAST(lang_tokens AS DOUBLE) AS rate,
+      |    CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS h
+      |  FROM d JOIN w ON d.lang = w.lang)
+      |SELECT doc_id, lang, n_tokens, rate,
+      |  CAST(floor(rate) +
+      |    CASE WHEN CAST(h AS DOUBLE) / 16777216.0 < rate - floor(rate)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS copies
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   /** Chunk length in tokens for [[q107]]. */
   val ChunkWindow = 64L
 

@@ -346,6 +346,50 @@ class CurationSpec extends SparkSpec {
       math.floor(r.getAs[Double]("rate")).toLong), "every doc bumped")
   }
 
+  test("q113 token mixture: rates from token shares, hash-bump realization, budget conserved") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val nTok = docs.map { case (id, _, t) =>
+      id -> t.split("\\s+").count(_.nonEmpty).toLong }.toMap
+    val langTok = docs.groupBy(_._2).view
+      .mapValues(_.map(d => nTok(d._1)).sum).toMap
+    // driver twin of the engine's weight arithmetic — same IEEE op
+    // sequence, so rates must match bitwise
+    val total = langTok.values.sum
+    val sp = langTok.view.mapValues(n =>
+      math.sqrt(n.toDouble / total.toDouble)).toMap
+    val denom = sp.values.map(s => math.floor(s * 1e15).toLong).sum
+    val rate = langTok.map { case (l, n) =>
+      l -> (sp(l) / (denom.toDouble / 1e15)) * 1000000.0 / n.toDouble }
+    val out = Curation.q113(spark, sf).collect()
+    assert(out.length === docs.length)
+    val texts = docs.map(d => d._1 -> d._3).toMap
+    val langs = docs.map(d => d._1 -> d._2).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") === nTok(id), s"doc $id n_tokens")
+      assert(r.getAs[Double]("rate") === rate(langs(id)), s"doc $id rate")
+      val hex = md.digest(texts(id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val rr = rate(langs(id))
+      val bump = if (h.toDouble / 16777216.0 < rr - math.floor(rr)) 1L else 0L
+      assert(r.getAs[Long]("copies") === math.floor(rr).toLong + bump,
+        s"doc $id copies")
+    }
+    // the langwise expected token yield recomposes the budget: each
+    // lang contributes rate × lang_tokens = w × budget, Σw ≈ 1
+    val yielded = rate.map { case (l, rr) => rr * langTok(l).toDouble }.sum
+    assert(math.abs(yielded - 1000000.0) < 1.0,
+      s"token budget not conserved: $yielded")
+    assert(out.exists(r => r.getAs[Long]("copies") >
+      math.floor(r.getAs[Double]("rate")).toLong), "no doc ever bumped")
+    assert(out.exists(r => r.getAs[Long]("copies") ===
+      math.floor(r.getAs[Double]("rate")).toLong), "every doc bumped")
+  }
+
   test("q107 chunking: boundary lengths, 16-token overlap, lossless reconstruction") {
     import spark.implicits._
     val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
