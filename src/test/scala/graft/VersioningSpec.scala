@@ -51,6 +51,28 @@ class VersioningSpec extends SparkSpec {
     assert(Set("added", "removed", "changed").subsetOf(got.values.toSet))
   }
 
+  test("diff-detected delta drives the incremental family: detect + apply equals full recompute") {
+    import graft.operators.Curation
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val yesterday = docs.filter(col("doc_id") % 7 =!= 0)
+    // an append-only nightly: the diff must see pure additions, and
+    // its delta IS the batch the incremental operator folds in
+    val delta = Versioning.corpusDiff(yesterday, docs)
+    assert(delta.select(col("status")).distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("added"))
+    val batch = docs.join(delta.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val state = Curation.lineDedupState(yesterday)
+    val nightly = verdicts(
+      Curation.lineVerdictsFrom(yesterday, state.segments))
+    val (_, reV) = Curation.lineDedupIncrement(state, batch)
+    assert(nightly ++ verdicts(reV) === verdicts(Curation.lineDedupOn(docs)))
+  }
+
   test("diff exchanges are string-free: document text never shuffles") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
