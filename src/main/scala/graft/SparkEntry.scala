@@ -141,6 +141,8 @@ object SparkEntry {
     // (doc_id, fingerprint64) before the one full-outer join
     "q112_corpus_diff" -> (Versioning.q112 _),
     "q113_token_mixture" -> ((s, d) => Curation.q113(s, d)),
+    // declarative constraint suite: K checks compile into ONE scan
+    "q114_data_checks" -> (Analytics.q114 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,6 +250,7 @@ object SparkEntry {
     "q110_hybrid_rrf" -> Hybrid.q110Sql,
     "q112_corpus_diff" -> q112Sql,
     "q113_token_mixture" -> Curation.q113Sql,
+    "q114_data_checks" -> Analytics.q114Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -720,6 +720,117 @@ object Analytics {
        |$rows
        |ORDER BY col_name""".stripMargin
   }
+
+  /** q114: declarative data-quality constraint suite — the Deequ
+    * pattern (Schelter et al., VLDB '18: "Automating Large-Scale Data
+    * Quality Verification"): a CHECK LIST (completeness, uniqueness,
+    * containment, non-negativity, bounds, size) is compiled into ONE
+    * aggregate pass over the table, and the single stats row is then
+    * unpivoted into one verdict row per check. The shape that matters
+    * at 100 TB: adding a constraint adds one aggregate expression to
+    * the same scan, never another pass — K checks cost exactly one
+    * table read (plus the one distinct-aggregate for uniqueness,
+    * which Catalyst plans as its own clean two-stage hash aggregate;
+    * a SINGLE distinct set avoids the multi-distinct Expand blowup,
+    * q61's lesson). The unpivot is driver-free: `explode` over an
+    * array of check structs built from the 1-row aggregate.
+    *
+    * Determinism: every `observed` is either an exact int64 count
+    * ratio (one IEEE division, bit-stable across engines) or an exact
+    * column min — no floating aggregation anywhere, so the DuckDB
+    * twin hash-matches.
+    */
+  def q114(spark: SparkSession, dir: String): DataFrame =
+    dataChecksOn(Tables.spread(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"))))
+
+  /** [[q114]]'s suite over an arbitrary lineitem-shaped relation —
+    * the spec runs it against planted-violation rows.
+    */
+  def dataChecksOn(li: DataFrame): DataFrame = {
+    val stats = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_orderkey")).as("nn_orderkey"),
+      count(col("l_returnflag")).as("nn_returnflag"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
+      min(col("l_quantity")).cast("double").as("min_qty"),
+      min(col("l_tax")).cast("double").as("min_tax"),
+      sum(when(col("l_discount") >= 0.0 && col("l_discount") <= 1.0, 1L)
+        .otherwise(0L)).as("n_disc_in"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("n_rf_in"))
+    def ratio(num: Column): Column =
+      num.cast("double") / col("n").cast("double")
+    def verdict(ok: Column): Column = when(ok, "pass").otherwise("fail")
+    def check(name: String, c: String, observed: Column, ok: Column): Column =
+      struct(lit(name).as("check_name"), lit(c).as("col_name"),
+        observed.as("observed"), verdict(ok).as("passed"))
+    stats.select(explode(array(
+        check("completeness", "l_orderkey", ratio(col("nn_orderkey")),
+          col("nn_orderkey") === col("n")),
+        check("completeness", "l_returnflag", ratio(col("nn_returnflag")),
+          col("nn_returnflag") === col("n")),
+        check("uniqueness", "l_orderkey,l_linenumber", ratio(col("n_key")),
+          col("n_key") === col("n")),
+        check("non_negative", "l_quantity", col("min_qty"),
+          col("min_qty") >= 0.0),
+        check("non_negative", "l_tax", col("min_tax"), col("min_tax") >= 0.0),
+        check("containment", "l_discount", ratio(col("n_disc_in")),
+          col("n_disc_in") === col("n")),
+        check("containment", "l_returnflag", ratio(col("n_rf_in")),
+          col("n_rf_in") === col("n")),
+        check("size", "*", col("n").cast("double"), col("n") > 0L)))
+        .as("c"))
+      .select(col("c.check_name"), col("c.col_name"), col("c.observed"),
+        col("c.passed"))
+      .orderBy(col("check_name"), col("col_name"))
+  }
+
+  val q114Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(l_orderkey) AS nn_orderkey,
+      |    COUNT(l_returnflag) AS nn_returnflag,
+      |    CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+      |    CAST(MIN(l_tax) AS DOUBLE) AS min_tax,
+      |    SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 1.0
+      |      THEN 1 ELSE 0 END) AS n_disc_in,
+      |    SUM(CASE WHEN l_returnflag IN ('A','N','R')
+      |      THEN 1 ELSE 0 END) AS n_rf_in
+      |  FROM lineitem),
+      |k AS (
+      |  -- the null filter matches Spark COUNT(DISTINCT a, b) semantics
+      |  -- (null-containing tuples don't count) so the twins agree even
+      |  -- on corrupt inputs, not just on the clean table
+      |  SELECT COUNT(*) AS n_key FROM
+      |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+      |     WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)),
+      |s AS (SELECT * FROM a CROSS JOIN k)
+      |SELECT check_name, col_name, observed, passed FROM (
+      |  SELECT 'completeness' AS check_name, 'l_orderkey' AS col_name,
+      |    CAST(nn_orderkey AS DOUBLE) / CAST(n AS DOUBLE) AS observed,
+      |    CASE WHEN nn_orderkey = n THEN 'pass' ELSE 'fail' END AS passed
+      |  FROM s
+      |  UNION ALL SELECT 'completeness', 'l_returnflag',
+      |    CAST(nn_returnflag AS DOUBLE) / CAST(n AS DOUBLE),
+      |    CASE WHEN nn_returnflag = n THEN 'pass' ELSE 'fail' END FROM s
+      |  UNION ALL SELECT 'uniqueness', 'l_orderkey,l_linenumber',
+      |    CAST(n_key AS DOUBLE) / CAST(n AS DOUBLE),
+      |    CASE WHEN n_key = n THEN 'pass' ELSE 'fail' END FROM s
+      |  UNION ALL SELECT 'non_negative', 'l_quantity', min_qty,
+      |    CASE WHEN min_qty >= 0.0 THEN 'pass' ELSE 'fail' END FROM s
+      |  UNION ALL SELECT 'non_negative', 'l_tax', min_tax,
+      |    CASE WHEN min_tax >= 0.0 THEN 'pass' ELSE 'fail' END FROM s
+      |  UNION ALL SELECT 'containment', 'l_discount',
+      |    CAST(n_disc_in AS DOUBLE) / CAST(n AS DOUBLE),
+      |    CASE WHEN n_disc_in = n THEN 'pass' ELSE 'fail' END FROM s
+      |  UNION ALL SELECT 'containment', 'l_returnflag',
+      |    CAST(n_rf_in AS DOUBLE) / CAST(n AS DOUBLE),
+      |    CASE WHEN n_rf_in = n THEN 'pass' ELSE 'fail' END FROM s
+      |  UNION ALL SELECT 'size', '*', CAST(n AS DOUBLE),
+      |    CASE WHEN n > 0 THEN 'pass' ELSE 'fail' END FROM s)
+      |ORDER BY check_name, col_name""".stripMargin
 
   val q74Sql: String =
     """WITH f AS (

@@ -17,6 +17,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q114 catches the real table's duplicate keys; planted violations fail exactly") {
+    import spark.implicits._
+    val real = Analytics.q114(spark, sf).collect()
+    assert(real.length === 8)
+    // the synthetic lineitem genuinely has duplicate
+    // (l_orderkey, l_linenumber) keys — the suite's job is to catch
+    // that, so uniqueness FAILS honestly and everything else passes
+    real.foreach { r =>
+      val expected =
+        if (r.getAs[String]("check_name") == "uniqueness") "fail" else "pass"
+      assert(r.getAs[String]("passed") == expected, r.toString)
+    }
+    val uq = real.find(_.getAs[String]("check_name") == "uniqueness").get
+    assert(uq.getAs[Double]("observed") < 1.0)
+
+    // planted: a null orderkey, a duplicate key, a negative quantity,
+    // an out-of-range discount, a foreign returnflag — each violates
+    // exactly one constraint family
+    val bad = Seq(
+      (Option(1L), 1, 5.0, 0.05, 0.02, "A"),   // clean
+      (Option.empty[Long], 1, 5.0, 0.05, 0.02, "N"), // null orderkey
+      (Option(2L), 1, 5.0, 0.05, 0.02, "R"),   // dup key (with next)
+      (Option(2L), 1, -3.0, 0.05, 0.02, "A"),  // negative quantity
+      (Option(3L), 1, 5.0, 1.75, 0.02, "X"))   // bad discount + flag
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_tax", "l_returnflag")
+    val verdicts = Analytics.dataChecksOn(bad).collect()
+      .map(r => (r.getAs[String]("check_name"), r.getAs[String]("col_name")) ->
+        (r.getAs[String]("passed"), r.getAs[Double]("observed"))).toMap
+    assert(verdicts(("completeness", "l_orderkey"))._1 == "fail")
+    assert(verdicts(("completeness", "l_orderkey"))._2 == 4.0 / 5.0)
+    assert(verdicts(("completeness", "l_returnflag"))._1 == "pass")
+    assert(verdicts(("uniqueness", "l_orderkey,l_linenumber"))._1 == "fail")
+    assert(verdicts(("non_negative", "l_quantity")) == ("fail", -3.0))
+    assert(verdicts(("non_negative", "l_tax"))._1 == "pass")
+    assert(verdicts(("containment", "l_discount")) == ("fail", 4.0 / 5.0))
+    assert(verdicts(("containment", "l_returnflag")) == ("fail", 4.0 / 5.0))
+    assert(verdicts(("size", "*")) == ("pass", 5.0))
+  }
+
   test("q95 anomaly detection flags exactly a planted spike, nulls the warm-up") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
