@@ -143,6 +143,11 @@ object SparkEntry {
     "q113_token_mixture" -> ((s, d) => Curation.q113(s, d)),
     // declarative constraint suite: K checks compile into ONE scan
     "q114_data_checks" -> (Analytics.q114 _),
+    // rows-only: best-fit-decreasing packing is iterative (not
+    // SQL-expressible); CurationSpec pins conservation, capacity,
+    // determinism, utilization, and the zero-truncation contrast
+    // with q93
+    "q115_bestfit_pack" -> ((s, d) => Curation.q115(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

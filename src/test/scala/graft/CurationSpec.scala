@@ -136,6 +136,59 @@ class CurationSpec extends SparkSpec {
       s"orderedPrefix degenerated to a single partition:\n$plan")
   }
 
+  test("q115 best-fit packing: conservation, capacity, zero truncation, determinism") {
+    import spark.implicits._
+    val cap = 512L
+    val rows = Curation.q115(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // conservation: per-doc piece tokens reconstruct the doc's exact
+    // token count, with ceil(n/cap) pieces, split only when n > cap
+    val docTokens = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docTokens.filter(_._2 > 0L).keySet)
+    byDoc.foreach { case (id, ps) =>
+      val n = docTokens(id)
+      assert(ps.map(_.getAs[Long]("piece_tokens")).sum === n)
+      assert(ps.length === ((n + cap - 1) / cap).toInt)
+      if (n <= cap) assert(ps.length === 1, s"doc $id ≤ cap was split")
+      assert(ps.forall(_.getAs[Long]("piece_tokens") <= cap))
+      assert(ps.forall(_.getAs[Long]("piece_tokens") > 0L))
+    }
+    // capacity + intra-bin layout: fills never exceed cap; offsets
+    // tile the bin contiguously from 0 in placement order
+    val byBin = rows.groupBy(_.getAs[Long]("bin_id"))
+    byBin.foreach { case (b, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("offset_in_bin"))
+      var at = 0L
+      sorted.foreach { p =>
+        assert(p.getAs[Long]("offset_in_bin") === at, s"bin $b gap at $at")
+        at += p.getAs[Long]("piece_tokens")
+      }
+      assert(at <= cap, s"bin $b overfilled to $at")
+    }
+    // bins are contiguous 0..B-1 and BFD actually packs: utilization
+    // well above one-piece-per-bin, ≥ 90% of perfectly full
+    val bins = byBin.keySet
+    assert(bins === (0L until bins.size.toLong).toSet)
+    val total = rows.map(_.getAs[Long]("piece_tokens")).sum
+    val util = total.toDouble / (bins.size * cap).toDouble
+    assert(util >= 0.90, s"utilization $util")
+    // the q93 contrast: concatenation truncates some doc at nearly
+    // every window boundary; best-fit never cuts a ≤ cap doc (pieces
+    // of short docs are whole by the conservation block above, and
+    // q93 provably straddles here)
+    assert(Curation.q93(spark, sf).collect()
+      .exists(_.getAs[Long]("n_windows") > 1))
+    // determinism: a second run is row-for-row identical
+    val again = Curation.q115(spark, sf).collect()
+    assert(rows.length === again.length)
+    rows.zip(again).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("q72 duplicate-span coverage counts cross-doc grams only and is positional") {
     import spark.implicits._
     val docs = Seq(
