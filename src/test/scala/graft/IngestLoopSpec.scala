@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.{Curation, Search}
+
+/** The composed NIGHTLY INGEST LOOP — the end-to-end proof that the
+  * streaming surface and the incremental-maintenance family wire
+  * together: one live document stream drives, per micro-batch, BOTH
+  * standing artifacts this engine maintains incrementally —
+  * `appendBmIndex` (retrieval) and `lineDedupIncrement` (curation) —
+  * and after the stream drains, each artifact equals a full recompute
+  * over the union corpus. Every piece is individually spec'd
+  * elsewhere (SearchSpec, CurationSpec, StreamingSpec); this spec
+  * pins the COMPOSITION: a foreachBatch sink is a legal driver for
+  * the batch-contract maintenance APIs, batch boundaries and the
+  * single-writer/new-docs-only contracts hold across micro-batches,
+  * and no ordering between the two maintenance paths matters.
+  */
+class IngestLoopSpec extends SparkSpec {
+
+  private def hits(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .toSeq
+
+  private def verdictMap(df: DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+    .toMap
+
+  test("nightly ingest loop: one stream appends the BM25 index and folds line-dedup state; both equal full recomputes") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // standing corpus = the nightly bootstrap; two disjoint "days"
+    // arrive through the stream (new-docs-only by construction)
+    val standing = docs.filter(col("doc_id") % 5 > 1)
+    val day1 = docs.filter(col("doc_id") % 5 === 0)
+    val day2 = docs.filter(col("doc_id") % 5 === 1)
+    assert(day1.count() > 0 && day2.count() > 0)
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ingest_loop").toString
+    standing.write.parquet(s"$tmp/documents.parquet")
+    val idx = s"$tmp/bmidx"
+    Search.buildBmIndex(spark, tmp, idx)
+    var state = Curation.lineDedupState(standing)
+    var batches = 0
+
+    // the ingest drop directory: each day's parquet lands as one file
+    // → one micro-batch (public file-source API, the production shape)
+    val dropDir = s"$tmp/arrivals"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          // seal the micro-batch once; both maintenance paths consume
+          // the same sealed relation
+          val batch = df.localCheckpoint()
+          Search.appendBmIndex(spark, idx, batch)
+          val (ns, _) = Curation.lineDedupIncrement(state, batch)
+          state = ns
+          batches += 1
+        }
+      }
+      .start()
+    try {
+      day1.coalesce(1).write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+      day2.coalesce(1).write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches >= 2, s"expected the two days as separate batches, got $batches")
+
+    // retrieval artifact: searching the accreted on-disk index equals
+    // the in-flight scorer over the full union corpus, bit-for-bit
+    assert(hits(Search.searchBmIndex(spark, idx))
+      === hits(Search.bm25On(docs, Search.SearchQueries)))
+    // and the folded stats row equals a from-scratch recount
+    val stats = spark.read.parquet(s"$idx/_stats").collect().head
+    val base = docs.agg(count(lit(1)),
+      sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)")))).collect().head
+    assert(stats.getLong(0) === base.getLong(0))
+    assert(stats.getLong(1) === base.getLong(1))
+
+    // curation artifact: the incrementally-folded line-dedup state
+    // renders exactly the full-pass verdicts over the union corpus
+    assert(verdictMap(Curation.lineVerdictsFrom(docs, state.segments))
+      === verdictMap(Curation.lineDedupOn(docs)))
+  }
+}
