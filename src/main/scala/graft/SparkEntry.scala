@@ -148,6 +148,12 @@ object SparkEntry {
     // determinism, utilization, and the zero-truncation contrast
     // with q93
     "q115_bestfit_pack" -> ((s, d) => Curation.q115(s, d)),
+    // rows-only: PNG codec output is engine-specific; MultimodalSpec
+    // pins pooled pixels, losslessness, and determinism
+    "q116_image_resize" -> (Multimodal.q116 _),
+    // rows-only: frame sampling over the typed container; spec pins
+    // sampled indices, exact lumas, and the skip-without-decode seek
+    "q117_frame_sample" -> (Multimodal.q117 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -247,4 +247,239 @@ object Multimodal {
           .as("feat_l1"))
       .orderBy(col("doc_id"))
   }
+
+  /** A resized image next to its source metadata — media OUT, not
+    * features: the transform a thumbnail/preprocess stage persists.
+    */
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+    new_width: Int, new_height: Int, payload: Array[Byte])
+
+  /** REAL media-out resize (round 9 — [[decodeImageFeatures]] reduces
+    * to features; production preprocessing also needs the transformed
+    * MEDIA back as a binary column): ImageIO-decode, 2×2 average-pool
+    * (per-channel integer sums, one floor division per cell —
+    * bit-deterministic; odd edges pool the 1–2 surviving pixels), PNG
+    * re-encode. Same mapPartitions contract as the rest of the file:
+    * one reader + one writer per partition, map-only, no shuffle —
+    * at 100 TB this pipelines inside the scan stage and writes
+    * straight to a binary-column sink.
+    */
+  def resizeImages(images: Dataset[ImageItem]): Dataset[ResizedImage] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { items =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val out = items.map { im =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(im.payload))
+        val img =
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
+        val small = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var cy = 0
+        while (cy < nh) {
+          var cx = 0
+          while (cx < nw) {
+            var r = 0; var g = 0; var b = 0; var n = 0
+            var dy = 0
+            while (dy < 2) {
+              val y = cy * 2 + dy
+              var dx = 0
+              while (dx < 2) {
+                val x = cx * 2 + dx
+                if (x < w && y < h) {
+                  val rgb = img.getRGB(x, y)
+                  r += (rgb >> 16) & 0xFF; g += (rgb >> 8) & 0xFF
+                  b += rgb & 0xFF; n += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            small.setRGB(cx, cy, ((r / n) << 16) | ((g / n) << 8) | (b / n))
+            cx += 1
+          }
+          cy += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(small)
+        ios.close()
+        ResizedImage(im.doc_id, w, h, nw, nh, baos.toByteArray)
+      }
+      out ++ { reader.dispose(); writer.dispose(); Iterator.empty }
+    }
+  }
+
+  /** q116: media-out image resize summary. `out_luma` is the exact
+    * integer luminance sum of the RESIZED image's pixels (re-decoded
+    * from the output PNG), so the gate value certifies the whole
+    * decode→pool→encode chain, not just the byte count.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeImages(imageTable(spark, dir))
+      .mapPartitions { items =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        val out = items.map { rz =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(rz.payload))
+          val img =
+            try { reader.setInput(iis, true, true); reader.read(0) }
+            finally iis.close()
+          var luma = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              luma += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          (rz.doc_id, rz.width, rz.height, rz.new_width, rz.new_height,
+            rz.payload.length.toLong, luma)
+        }
+        out ++ { reader.dispose(); Iterator.empty }
+      }
+      .toDF("doc_id", "width", "height", "new_width", "new_height",
+        "n_bytes_out", "out_luma")
+      .orderBy(col("doc_id"))
+  }
+
+  // --- video: a typed frame container + sampling that never decodes
+  // what it skips. No video codec ships in the JDK, so the CONTAINER
+  // is this engine's own deterministic format (length-prefixed PNG
+  // frames behind an int32 header) — the codec seam is stubbed, the
+  // Spark-side plumbing (binary column, seek-don't-decode sampling,
+  // per-frame explode, partition-level reader reuse) is real.
+
+  /** One "video": int32 n_frames, then per frame int32 length + PNG
+    * bytes (big-endian, [[java.nio.ByteBuffer]]'s default).
+    */
+  case class VideoItem(doc_id: Long, n_frames: Int, payload: Array[Byte])
+
+  /** One sampled frame row — the explode shape a frame-level feature
+    * stage consumes. `luma` is the exact integer luminance sum of the
+    * decoded frame.
+    */
+  case class SampledFrame(doc_id: Long, frame_idx: Int, width: Int,
+    height: Int, n_bytes: Int, luma: Long)
+
+  val FrameDim = 16
+
+  /** Deterministic video table: 4–10 frames per doc, every frame a
+    * real 16×16 PNG (frame f of doc d draws pixels from
+    * `pixel(d ⊕ (f+1) << 40, x, y)` so frames differ within a video).
+    */
+  def videoTable(spark: SparkSession, dir: String): Dataset[VideoItem] = {
+    import spark.implicits._
+    Tables.spread(Tables(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { ids =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val out = ids.map { id =>
+          val nFrames = 4 + (id % 7).toInt
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              FrameDim, FrameDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < FrameDim) {
+              var x = 0
+              while (x < FrameDim) {
+                img.setRGB(x, y, pixel(id ^ ((f + 1).toLong << 40), x, y))
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            val ios =
+              new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+            writer.setOutput(ios)
+            writer.write(img)
+            ios.close()
+            baos.toByteArray
+          }
+          val size = 4 + frames.map(4 + _.length).sum
+          val buf = java.nio.ByteBuffer.allocate(size)
+          buf.putInt(nFrames)
+          frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+          VideoItem(id, nFrames, buf.array())
+        }
+        out ++ { writer.dispose(); Iterator.empty }
+      }
+  }
+
+  /** Frame sampling: decode every `everyK`-th frame, SEEK past the
+    * rest — the length prefixes let the walk skip a frame in O(1)
+    * without touching its bytes, which is the entire point of
+    * sampling at scale (a 1-fps sample of 30-fps video reads 1/30th
+    * of the codec work; spec-asserted by planting CORRUPT bytes in a
+    * skipped frame). Map-only, one reader per partition, one output
+    * row per sampled frame.
+    */
+  def sampleFrameRows(videos: Dataset[VideoItem],
+      everyK: Int): Dataset[SampledFrame] = {
+    import videos.sparkSession.implicits._
+    require(everyK >= 1)
+    videos.mapPartitions { items =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      val out = items.flatMap { v =>
+        val buf = java.nio.ByteBuffer.wrap(v.payload)
+        val n = buf.getInt()
+        require(n == v.n_frames,
+          s"doc ${v.doc_id}: container header $n != metadata ${v.n_frames}")
+        (0 until n).iterator.flatMap { f =>
+          val len = buf.getInt()
+          if (f % everyK != 0) {
+            buf.position(buf.position() + len) // skipped: NEVER decoded
+            Iterator.empty
+          } else {
+            val fb = new Array[Byte](len)
+            buf.get(fb)
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(fb))
+            val img =
+              try { reader.setInput(iis, true, true); reader.read(0) }
+              finally iis.close()
+            var luma = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                luma +=
+                  ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(SampledFrame(v.doc_id, f, img.getWidth,
+              img.getHeight, len, luma))
+          }
+        }
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+  }
+
+  /** q117: video frame-sample summary — one row per sampled frame
+    * (every 3rd), exact integer luminance per frame.
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrameRows(videoTable(spark, dir), everyK = 3)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

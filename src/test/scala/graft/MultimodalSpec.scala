@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
@@ -69,6 +71,93 @@ class MultimodalSpec extends SparkSpec {
       val want = Array.tabulate(g * g)(i =>
         (sums(i).toDouble / (3.0 * counts(i))).toFloat)
       assert(f.features.sameElements(want), s"doc ${f.doc_id} features drifted")
+    }
+  }
+
+  test("q116 resize: output pixels equal driver-pooled source pixels; PNG round-trip; deterministic") {
+    import spark.implicits._
+    val resized = Multimodal.resizeImages(Multimodal.imageTable(spark, sf))
+      .collect()
+    assert(resized.nonEmpty)
+    resized.take(25).foreach { rz =>
+      assert(rz.new_width === (rz.width + 1) / 2)
+      assert(rz.new_height === (rz.height + 1) / 2)
+      // decode the OUTPUT PNG and compare every pixel against a
+      // driver-side pool of the deterministic source function — this
+      // crosses decode → pool → encode → decode, so any lossy or
+      // nondeterministic step fails it
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rz.payload))
+      assert(img.getWidth === rz.new_width && img.getHeight === rz.new_height)
+      for (cy <- 0 until rz.new_height; cx <- 0 until rz.new_width) {
+        var r = 0; var g = 0; var b = 0; var n = 0
+        for (dy <- 0 until 2; dx <- 0 until 2) {
+          val (x, y) = (cx * 2 + dx, cy * 2 + dy)
+          if (x < rz.width && y < rz.height) {
+            val rgb = Multimodal.pixel(rz.doc_id, x, y)
+            r += (rgb >> 16) & 0xFF; g += (rgb >> 8) & 0xFF; b += rgb & 0xFF
+            n += 1
+          }
+        }
+        val want = ((r / n) << 16) | ((g / n) << 8) | (b / n)
+        assert((img.getRGB(cx, cy) & 0xFFFFFF) === want,
+          s"doc ${rz.doc_id} cell ($cx,$cy)")
+      }
+    }
+    // the gate relation is bit-stable across runs
+    val a = Multimodal.q116(spark, sf).collect().map(_.toSeq)
+    val b = Multimodal.q116(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q117 frame sampling: exact indices and lumas; skipped frames are never decoded") {
+    import spark.implicits._
+    val rows = Multimodal.q117(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, fs) =>
+      val nFrames = 4 + (id % 7).toInt
+      // exactly frames 0, 3, 6, ... of this doc's frame count
+      assert(fs.map(_.getAs[Int]("frame_idx")).sorted.toSeq
+        === (0 until nFrames by 3).toSeq)
+      fs.foreach { f =>
+        val idx = f.getAs[Int]("frame_idx")
+        // exact integer luma from the deterministic pixel function
+        var want = 0L
+        for (y <- 0 until Multimodal.FrameDim; x <- 0 until Multimodal.FrameDim) {
+          val rgb = Multimodal.pixel(id ^ ((idx + 1).toLong << 40), x, y)
+          want += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        }
+        assert(f.getAs[Long]("luma") === want, s"doc $id frame $idx")
+      }
+    }
+    // seek-don't-decode: corrupt a SKIPPED frame's bytes (valid length
+    // prefix, garbage payload) — sampling must still succeed because
+    // the walk skips it by length; corrupting a SAMPLED frame must
+    // throw. This pins the O(1)-skip contract, not just the output.
+    def corrupt(v: Multimodal.VideoItem, target: Int): Multimodal.VideoItem = {
+      val buf = java.nio.ByteBuffer.wrap(v.payload.clone())
+      val n = buf.getInt()
+      var f = 0
+      while (f < n) {
+        val len = buf.getInt()
+        if (f == target) {
+          val garbage = Array.fill[Byte](len)(0x5A)
+          buf.put(garbage)
+        } else buf.position(buf.position() + len)
+        f += 1
+      }
+      v.copy(payload = buf.array())
+    }
+    val one = Multimodal.videoTable(spark, sf)
+      .filter(col("n_frames") >= 5).limit(1).collect().head
+    val skippedCorrupt = spark.createDataset(Seq(corrupt(one, 1)))
+    val ok = Multimodal.sampleFrameRows(skippedCorrupt, everyK = 3).collect()
+    assert(ok.map(_.frame_idx).sorted.toSeq
+      === (0 until one.n_frames by 3).toSeq)
+    val sampledCorrupt = spark.createDataset(Seq(corrupt(one, 3)))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrameRows(sampledCorrupt, everyK = 3).collect()
     }
   }
 }
