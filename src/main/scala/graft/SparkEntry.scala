@@ -154,6 +154,9 @@ object SparkEntry {
     // rows-only: frame sampling over the typed container; spec pins
     // sampled indices, exact lumas, and the skip-without-decode seek
     "q117_frame_sample" -> (Multimodal.q117 _),
+    // rows-only: integer-exact PCM window features; MultimodalSpec
+    // pins a driver recompute and the byte-parse round trip
+    "q118_audio_features" -> (Multimodal.q118 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

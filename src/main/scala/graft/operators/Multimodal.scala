@@ -482,4 +482,108 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  // --- audio: raw 16-bit PCM in a binary column, windowed DSP
+  // features. PCM needs no codec, so unlike image (real PNG) and
+  // video (container + real frames), EVERYTHING here is real — only
+  // the waveform content is synthetic.
+
+  /** One audio clip: little-endian int16 PCM samples + the metadata
+    * column (sample count) an ingest pipeline carries.
+    */
+  case class AudioItem(doc_id: Long, n_samples: Int, pcm: Array[Byte])
+
+  /** One analysis window: exact integer features — `energy` = Σx²
+    * (int64), `zcr` = sign-change count, `peak` = max |x|. No float
+    * touches the path, so the gate is bit-stable by construction.
+    */
+  case class AudioWindow(doc_id: Long, window_idx: Int, n_samples: Int,
+    energy: Long, zcr: Int, peak: Int)
+
+  val AudioWindowSize = 256
+
+  /** Deterministic int16 sample `i` of clip `id`: two integer
+    * triangle waves (id-derived periods) + small hash noise — varied,
+    * reproducible anywhere, zero floating point.
+    */
+  private[graft] def pcmSample(id: Long, i: Int): Short = {
+    def tri(period: Int, amp: Int): Int = {
+      val ph = i % period
+      val half = period / 2
+      val v = if (ph < half) ph * 2 * amp / half - amp
+        else amp - (ph - half) * 2 * amp / half
+      v
+    }
+    val noise = ((pixel(id, i & 0xFFFF, i >>> 16) & 0xFF) - 128) * 4
+    val v = tri(64 + (id % 37).toInt, 9000) +
+      tri(180 + (id % 101).toInt, 6000) + noise
+    math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, v)).toShort
+  }
+
+  /** Synthetic-but-real audio table: 2000–4095 samples per doc,
+    * serialized as actual little-endian int16 PCM bytes.
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[AudioItem] = {
+    import spark.implicits._
+    Tables.spread(Tables(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .map { id =>
+        val n = 2000 + (id % 2096).toInt
+        val buf = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { buf.putShort(pcmSample(id, i)); i += 1 }
+        AudioItem(id, n, buf.array())
+      }
+  }
+
+  /** Windowed audio feature extraction: parse PCM bytes → int16,
+    * split into [[AudioWindowSize]]-sample windows (last window is
+    * the remainder), per window exact integer energy / zero-crossing
+    * count / peak. Map-only explode shape (one row per window) —
+    * the same contract a real spectrogram/VAD stage runs, with the
+    * FFT seam replaced by integer features so the gate stays
+    * bit-deterministic.
+    */
+  def audioWindows(audio: Dataset[AudioItem]): Dataset[AudioWindow] = {
+    import audio.sparkSession.implicits._
+    audio.flatMap { a =>
+      require(a.pcm.length == a.n_samples * 2,
+        s"doc ${a.doc_id}: PCM byte length ${a.pcm.length} != metadata")
+      val buf = java.nio.ByteBuffer.wrap(a.pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nWin = (a.n_samples + AudioWindowSize - 1) / AudioWindowSize
+      (0 until nWin).iterator.map { w =>
+        val start = w * AudioWindowSize
+        val end = math.min(start + AudioWindowSize, a.n_samples)
+        var energy = 0L
+        var zcr = 0
+        var peak = 0
+        var prevSign = 0
+        var i = start
+        while (i < end) {
+          val x = buf.getShort(i * 2).toInt
+          energy += x.toLong * x
+          val s = Integer.signum(x)
+          if (s != 0) {
+            if (prevSign != 0 && s != prevSign) zcr += 1
+            prevSign = s
+          }
+          if (math.abs(x) > peak) peak = math.abs(x)
+          i += 1
+        }
+        AudioWindow(a.doc_id, w, end - start, energy, zcr, peak)
+      }
+    }
+  }
+
+  /** q118: audio window features — one row per 256-sample window,
+    * every value an exact integer.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioWindows(audioTable(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
 }
