@@ -493,6 +493,82 @@ object Search {
     touched
   }
 
+  /** DELETE documents from the index — the lifecycle piece the
+    * append-only family lacks (right-to-be-forgotten is a production
+    * requirement, not an optimization). The deletion request carries
+    * the docs' CONTENT `(doc_id, text)` — in practice the record
+    * being erased is exactly what the pipeline holds — and that makes
+    * deletion bucket-pruned: [[tfIndex]] recomputes exactly the
+    * postings the append wrote (tfIndex is deterministic and appends
+    * are new-docs-only), so only the buckets the docs' terms hash to
+    * are rewritten; every other bucket is untouched. Per affected
+    * bucket the rewrite validates BEFORE swapping: the standing
+    * postings for the deleted ids must count exactly what the
+    * provided text predicts — a mismatched request (wrong text,
+    * unknown id) aborts with the standing bucket intact, because
+    * silently proceeding would skew df and the stats decrement.
+    * Rewrites land in hidden `_tmp_bucket_N` dirs and swap by the
+    * same two renames as [[compactBmIndex]] — readers see whole-old
+    * or whole-new, and [[recoverBmIndexCompaction]] heals every crash
+    * state of THIS operation too (identical dir states). `_stats`
+    * decrements atomically last; a crash between bucket swaps and the
+    * stats write leaves stats stale-by-one-batch, repaired exactly by
+    * [[recomputeBmStats]] (the append crash window's contract). The
+    * `_termbloom` is NOT rewritten: a Bloom cannot unlearn — stale
+    * terms merely probe a bucket that no longer holds them (errs
+    * toward probing, never toward wrong results); the next
+    * [[buildBmIndex]] right-sizes it. Single maintainer, ids must be
+    * currently indexed. Returns `(bucket, postings_removed)`.
+    */
+  def deleteFromBmIndex(spark: SparkSession, indexPath: String,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tf = tfIndex(docs.select(col("doc_id"), col("text")))
+      .withColumn("bucket", bucketOf(col("term")))
+      .localCheckpoint()
+    val ids = docs.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(ids.nonEmpty, "deleteFromBmIndex: empty deletion batch")
+    val expected = tf.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fs, root) = indexFs(spark, indexPath)
+    // validate EVERY affected bucket before swapping ANY: an aborted
+    // request must leave the whole index untouched, not half-deleted
+    val standingByBucket = expected.keys.toSeq.sorted.map { b =>
+      val std = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+      require(fs.exists(std),
+        s"deleteFromBmIndex: bucket=$b missing for this batch")
+      val standing = spark.read.parquet(std.toString)
+      val have = standing
+        .filter(col("doc_id").isInCollection(ids)).count()
+      require(have == expected(b),
+        s"deleteFromBmIndex: bucket=$b holds $have postings for the " +
+          s"batch ids but the provided text predicts ${expected(b)} — " +
+          "the request's content differs from what was indexed")
+      (b, std, standing)
+    }
+    standingByBucket.foreach { case (b, std, standing) =>
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_tmp_bucket_$b")
+      val old = new org.apache.hadoop.fs.Path(root, s"_old_bucket_$b")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      standing.filter(!col("doc_id").isInCollection(ids))
+        .write.parquet(tmp.toString)
+      fs.rename(std, old)
+      fs.rename(tmp, std)
+      fs.delete(old, true)
+    }
+    val batch = docs
+      .select(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .collect().head
+    val (oldN, oldLen) = readBmStatsRow(spark, indexPath)
+    writeStatsAtomic(spark, indexPath,
+      oldN - batch.getLong(0), oldLen - batch.getLong(1))
+    expected.toSeq.sortBy(_._1).toDF("bucket", "postings_removed")
+      .orderBy(col("bucket"))
+  }
+
   /** Top-k retrieval against the ON-DISK index: query-term buckets
     * become literal partition predicates (the scan touches only
     * probed partitions — spec-asserted), df recounts exactly within

@@ -134,6 +134,60 @@ class SearchSpec extends SparkSpec {
     assert(full.nonEmpty, "appended doc invisible to the union scorer")
   }
 
+  test("deleteFromBmIndex: search equals the survivor corpus bit-for-bit; mismatched requests abort untouched") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bmdel").toString + "/bm"
+    Search.buildBmIndex(spark, sf, idx)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // delete a batch that includes docs visible in the standing
+    // results, so the deletion provably changes rankings
+    val before = Search.searchBmIndex(spark, idx).collect()
+    val visible = before.map(_.getLong(2)).distinct.take(2).toSeq
+    val doomed = docs.filter(col("doc_id").isin(visible: _*)
+      || col("doc_id") % 97 === 0)
+    val doomedIds = doomed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val report = Search.deleteFromBmIndex(spark, idx, doomed).collect()
+    assert(report.map(_.getAs[Long]("postings_removed")).sum > 0L)
+    // search through the index == in-flight over the survivor corpus
+    val survivors = docs.filter(!col("doc_id").isInCollection(doomedIds))
+    val after = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = Search.bm25On(survivors, Search.SearchQueries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSeq === expect.toSeq)
+    assert(!after.exists(h => doomedIds.contains(h._3)),
+      "a deleted doc still surfaces")
+    // the stats artifact decremented exactly to the survivor recount
+    val stats = spark.read.parquet(s"$idx/_stats").collect().head
+    val base = survivors.agg(count(lit(1)),
+      sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))))
+      .collect().head
+    assert(stats.getLong(0) === base.getLong(0))
+    assert(stats.getLong(1) === base.getLong(1))
+    // a request whose text differs from the indexed content must
+    // abort with every bucket intact (validation precedes any swap)
+    val bogus = survivors.limit(1)
+      .select(col("doc_id"), lit("totally different words").as("text"))
+    intercept[IllegalArgumentException] {
+      Search.deleteFromBmIndex(spark, idx, bogus)
+    }
+    val untouched = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(untouched.toSeq === expect.toSeq)
+    // delete → append composes: a fresh doc indexes cleanly after
+    val batch = Seq((910001L, "fast fast fast scan fast"))
+      .toDF("doc_id", "text")
+    Search.appendBmIndex(spark, idx, batch)
+    val withNew = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect2 = Search.bm25On(survivors.union(batch),
+      Search.SearchQueries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(withNew.toSeq === expect2.toSeq)
+  }
+
   test("index maintenance: compaction right-sizes buckets byte-identically; _stats heals from a crash; duplicate appends rejected") {
     import spark.implicits._
     val idx = java.nio.file.Files
