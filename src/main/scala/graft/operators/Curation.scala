@@ -1253,6 +1253,65 @@ object Curation {
       reVerdicts)
   }
 
+  /** REMOVE documents from standing line-dedup state and re-verdict
+    * only the affected survivors — [[lineDedupIncrement]]'s inverse,
+    * completing the forget path for the curation artifact (the
+    * [[graft.operators.Search.deleteFromBmIndex]] requirement on this
+    * side of the house). The request is just doc_ids: the STATE
+    * already holds the departing docs' segments, so no text rides in
+    * and nothing needs content validation. Soundness is the increment
+    * argument mirrored — counts only SHRINK, and CDC segmentation is
+    * per-doc, so the only surviving-doc flips are lines whose count
+    * crosses 2 → 1 (now unique: their one remaining occurrence stops
+    * being a duplicate); lines falling to 0 leave with their docs.
+    * Every step is batch-bounded: the departing segments come off one
+    * standing scan (ids broadcast into semi/anti joins — the
+    * corpus-sized side never shuffles, zero SortMergeJoin,
+    * plan-spec-asserted), crossing lines broadcast back to flip
+    * flags, and only crossing-line holders re-aggregate.
+    *
+    * Returns the updated state and fresh verdicts for the affected
+    * SURVIVING docs (departed docs simply vanish — callers drop their
+    * rows). Single maintainer; ids must be currently standing.
+    */
+  def lineDedupDecrement(state: LineDedupState, removedIds: DataFrame)
+      : (LineDedupState, DataFrame) = {
+    val ids = broadcast(removedIds.select(col("doc_id")).distinct()
+      .localCheckpoint())
+    // the departing docs' segments, straight from the state
+    val remSegs = state.segments.join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // batch-sized; feeds counts + crossing
+    val remCounts = remSegs.groupBy(col("line"))
+      .agg(count(lit(1)).as("rn"))
+    // standing counts for touched lines only (one standing scan)
+    val touched = state.counts
+      .join(broadcast(remCounts), Seq("line"))
+      .select(col("line"), col("n"), col("rn"))
+      .localCheckpoint() // batch-sized; feeds crossing + new counts
+    val crossing = touched.filter(col("n") - col("rn") === 1L)
+      .select(col("line"))
+    val survivors = state.segments.join(ids, Seq("doc_id"), "left_anti")
+    val flipped = survivors
+      .join(broadcast(crossing.withColumn("uniq", lit(true))),
+        Seq("line"), "left")
+      .select(col("doc_id"), col("line_id"), col("line"),
+        (col("dup") && coalesce(!col("uniq"), lit(true))).as("dup"))
+    val affectedIds = survivors
+      .join(broadcast(crossing), Seq("line"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val affectedSegs = flipped
+      .join(broadcast(affectedIds), Seq("doc_id"), "left_semi")
+    val reVerdicts = lineVerdictsFrom(affectedIds, affectedSegs,
+      broadcastAgg = true)
+    // counts: untouched lines pass through; touched lines shrink by
+    // the departing occurrences, dropping at zero
+    val newCounts = state.counts
+      .join(broadcast(touched.select(col("line"))), Seq("line"), "left_anti")
+      .unionByName(touched.filter(col("n") > col("rn"))
+        .select(col("line"), (col("n") - col("rn")).as("n")))
+    (LineDedupState(flipped, newCounts), reVerdicts)
+  }
+
   val q101Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),

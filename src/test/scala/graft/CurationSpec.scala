@@ -740,6 +740,66 @@ class CurationSpec extends SparkSpec {
       s"increment plan sort-merge-joins:\n$plan")
   }
 
+  test("line dedup decrement equals a full recompute over survivors; standing side never sort-merge-joins") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val state = Curation.lineDedupState(docs)
+    val nightly = verdictMap(Curation.lineVerdictsFrom(docs, state.segments))
+    val removedIds = removed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val (newState, reV) = Curation.lineDedupDecrement(
+      state, removed.select(col("doc_id")))
+    // compose: nightly verdicts minus departed docs, overridden by
+    // the re-verdicted survivors == full recompute over survivors
+    val full = verdictMap(Curation.lineDedupOn(survivors))
+    val composed = (nightly -- removedIds) ++ verdictMap(reV)
+    assert(composed === full)
+    // the re-verdict set is bounded, not the whole corpus
+    assert(reV.count() < survivors.count())
+    // the folded state renders the survivor verdicts and its counts
+    // equal a from-scratch count over survivors
+    assert(verdictMap(Curation.lineVerdictsFrom(
+      survivors, newState.segments)) === full)
+    val fromScratch = Curation.lineDedupState(survivors)
+      .counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folded = newState.counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded === fromScratch)
+    // corpus-sized relations are scanned, never exchanged
+    val plan = reV.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"decrement plan sort-merge-joins:\n$plan")
+  }
+
+  test("line dedup decrement planted: a 2->1 crossing flips the surviving holder; n>=3 lines stay dup; departing-only lines vanish") {
+    import spark.implicits._
+    val standing = Seq(
+      (1L, "a b d e f d"),   // lines "a b d", "e f d"
+      (2L, "e f d"),         // the other "e f d" holder
+      (3L, "a b d a b d"),   // "a b d" twice more (count 3 total)
+      (4L, "g g d"))         // unique line, departs with its doc
+      .toDF("doc_id", "text")
+    val state = Curation.lineDedupState(standing)
+    val (newState, reV) = Curation.lineDedupDecrement(
+      state, Seq(2L, 4L).toDF("doc_id"))
+    val re = verdictMap(reV)
+    // exactly doc 1 re-verdicts: its "e f d" crossed 2 -> 1; doc 3's
+    // "a b d" fell 3 -> 2 (still dup), doc 4 left, doc 2 left
+    assert(re.keySet === Set(1L))
+    assert(re(1L) === ((2L, 1L, "e f d")))
+    val survivors = standing.filter(col("doc_id").isin(1L, 3L))
+    val full = verdictMap(Curation.lineDedupOn(survivors))
+    assert(verdictMap(Curation.lineVerdictsFrom(
+      survivors, newState.segments)) === full)
+    // counts: "a b d" untouched at 3 (no departing doc held it),
+    // "e f d" 2 -> 1, "g g d" 1 -> 0 (vanishes with doc 4)
+    val counts = newState.counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a b d" -> 3L, "e f d" -> 1L))
+  }
+
   private def spanSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3))).toSet
