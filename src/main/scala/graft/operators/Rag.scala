@@ -256,6 +256,112 @@ object Rag {
       .orderBy(col("cell"))
   }
 
+  /** DELETE documents' chunks from the index — the dense-side forget
+    * path ([[Search.deleteFromBmIndex]]'s twin, completing
+    * right-to-be-forgotten across the standing artifacts). The
+    * request carries `(doc_id, text)`; chunk + embed + STORED-
+    * quantizer assignment are all deterministic, so the request
+    * re-derives exactly the rows build/append wrote — only the CELLS
+    * those chunks live in are rewritten (cell-pruned, like probes).
+    * Every affected cell validates BEFORE any swap: the standing
+    * chunk VECTORS for the departing ids must equal the request's
+    * re-derived vectors exactly (counts alone can coincide for a
+    * one-chunk doc; an embedding cannot match unless the content is
+    * what was indexed), else the whole operation aborts with the
+    * index intact. Rewrites
+    * land in hidden `_tmp_cell_N` dirs and swap by two renames
+    * (readers see whole-old or whole-new); a crash between the
+    * renames leaves `_old_cell_N` intact — [[recoverRagIndexDeletion]]
+    * heals every state mechanically. The quantizer is untouched
+    * (deletion no more retrains than append does; emptier cells only
+    * mean cheaper probes until the next build). Single maintainer;
+    * ids must be currently indexed. Returns `(cell, chunks_removed)`.
+    */
+  def deleteFromRagIndex(spark: SparkSession, indexPath: String,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$indexPath/_quantizer")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).map(_._2).toSeq
+    val assigned = Similarity.assignCellsBroadcast(spark,
+        chunkVectors(docs.select(col("doc_id"), col("text"))), cs)
+      .localCheckpoint()
+    val ids = docs.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(ids.nonEmpty, "deleteFromRagIndex: empty deletion batch")
+    val expected = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val standingByCell = expected.keys.toSeq.sorted.map { c =>
+      val std = new org.apache.hadoop.fs.Path(p, s"cell=$c")
+      require(fs.exists(std),
+        s"deleteFromRagIndex: cell=$c missing for this batch")
+      val standing = spark.read.parquet(std.toString)
+      // validate by VECTOR equality, not counts: a wrong-text request
+      // can coincide on counts (a one-chunk doc has one cell with one
+      // row — counts match trivially), but its embedding cannot match
+      // the stored vector unless the content is what was indexed.
+      // Both sides are batch-bounded collects.
+      val pred = assigned.filter(col("cell") === c)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val stand = standing.filter(col("doc_id").isInCollection(ids))
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      require(stand.keySet == pred.keySet && pred.forall {
+          case (vid, v) => stand(vid) == v },
+        s"deleteFromRagIndex: cell=$c standing chunks for the batch ids " +
+          "do not match the request's chunk vectors — the request's " +
+          "content differs from what was indexed")
+      (c, std, standing)
+    }
+    standingByCell.foreach { case (c, std, standing) =>
+      val tmp = new org.apache.hadoop.fs.Path(p, s"_tmp_cell_$c")
+      val old = new org.apache.hadoop.fs.Path(p, s"_old_cell_$c")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      standing.filter(!col("doc_id").isInCollection(ids))
+        .write.parquet(tmp.toString)
+      fs.rename(std, old)
+      fs.rename(tmp, std)
+      fs.delete(old, true)
+    }
+    expected.toSeq.sortBy(_._1).toDF("cell", "chunks_removed")
+      .orderBy(col("cell"))
+  }
+
+  /** Heal an interrupted [[deleteFromRagIndex]] — the same three
+    * mechanically-distinguishable states as
+    * [[Search.recoverBmIndexCompaction]], over `cell=` dirs: temp
+    * beside a live cell → drop temp; old beside a live cell → drop
+    * old; old with the cell ABSENT → restore old (never promote a
+    * possibly-incomplete temp). Idempotent; returns healed cell ids.
+    */
+  def recoverRagIndexDeletion(spark: SparkSession,
+      indexPath: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    def p(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    val touched = names.collect {
+      case n if n.startsWith("_tmp_cell_") =>
+        n.stripPrefix("_tmp_cell_").toInt
+      case n if n.startsWith("_old_cell_") =>
+        n.stripPrefix("_old_cell_").toInt
+    }.toSeq.sorted
+    touched.foreach { c =>
+      val (cell, old, tmp) =
+        (p(s"cell=$c"), p(s"_old_cell_$c"), p(s"_tmp_cell_$c"))
+      if (!fs.exists(cell) && fs.exists(old)) fs.rename(old, cell)
+      if (fs.exists(cell)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
+    touched
+  }
+
   /** The UN-truncated batch chunk scorer — every (chunk, query)
     * cosine, no cell pruning, no top-k: the reference relation the
     * streaming twin ([[graft.streaming.DocStreams.ragOn]]) is

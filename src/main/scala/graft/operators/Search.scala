@@ -503,10 +503,11 @@ object Search {
     * are new-docs-only), so only the buckets the docs' terms hash to
     * are rewritten; every other bucket is untouched. Per affected
     * bucket the rewrite validates BEFORE swapping: the standing
-    * postings for the deleted ids must count exactly what the
-    * provided text predicts — a mismatched request (wrong text,
-    * unknown id) aborts with the standing bucket intact, because
-    * silently proceeding would skew df and the stats decrement.
+    * (term, tf, dl) postings for the deleted ids must equal exactly
+    * what the provided text predicts (counts alone can coincide for
+    * a short doc) — a mismatched request (wrong text, unknown id)
+    * aborts with every bucket intact, because silently proceeding
+    * would skew df and the stats decrement.
     * Rewrites land in hidden `_tmp_bucket_N` dirs and swap by the
     * same two renames as [[compactBmIndex]] — readers see whole-old
     * or whole-new, and [[recoverBmIndexCompaction]] heals every crash
@@ -533,18 +534,28 @@ object Search {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (fs, root) = indexFs(spark, indexPath)
     // validate EVERY affected bucket before swapping ANY: an aborted
-    // request must leave the whole index untouched, not half-deleted
+    // request must leave the whole index untouched, not half-deleted.
+    // Validation is exact POSTING equality, not counts — counts alone
+    // can coincide for a short doc (one term → one bucket, one row),
+    // but a wrong text cannot reproduce the stored (term, tf, dl)
+    // rows. Both sides are batch-bounded collects.
     val standingByBucket = expected.keys.toSeq.sorted.map { b =>
       val std = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
       require(fs.exists(std),
         s"deleteFromBmIndex: bucket=$b missing for this batch")
       val standing = spark.read.parquet(std.toString)
-      val have = standing
-        .filter(col("doc_id").isInCollection(ids)).count()
-      require(have == expected(b),
-        s"deleteFromBmIndex: bucket=$b holds $have postings for the " +
-          s"batch ids but the provided text predicts ${expected(b)} — " +
-          "the request's content differs from what was indexed")
+      def postingSet(df: DataFrame) = df
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val pred = postingSet(tf.filter(col("bucket") === b))
+      val stand = postingSet(
+        standing.filter(col("doc_id").isInCollection(ids)))
+      require(stand == pred,
+        s"deleteFromBmIndex: bucket=$b standing postings for the batch " +
+          "ids do not match what the provided text predicts — the " +
+          "request's content differs from what was indexed")
       (b, std, standing)
     }
     standingByBucket.foreach { case (b, std, standing) =>

@@ -121,6 +121,64 @@ class RagSpec extends SparkSpec {
     assert(top._7 > 0.999999)
   }
 
+  test("deleteFromRagIndex: full-probe search equals brute force over survivors; mismatches abort; crash states heal") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ragdel").toString + "/rag"
+    Rag.buildRagIndex(spark, sf, idx)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // remove a batch that includes a doc visible in the standing
+    // top-k, so the deletion provably changes rankings
+    val visible = rows(Rag.probeRagIndex(spark, idx,
+      nprobeOverride = Int.MaxValue)).map(_._3).distinct.take(2)
+    val doomed = docs.filter(col("doc_id").isin(visible: _*)
+      || col("doc_id") % 89 === 0)
+    val doomedIds = doomed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val report = Rag.deleteFromRagIndex(spark, idx, doomed).collect()
+    assert(report.map(_.getAs[Long]("chunks_removed")).sum > 0L)
+    val survivors = docs.filter(!col("doc_id").isInCollection(doomedIds))
+    val got = rows(Rag.probeRagIndex(spark, idx,
+      nprobeOverride = Int.MaxValue))
+    val want = bruteForce(
+      Rag.chunkVectors(survivors).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getSeq[Double](5).toArray, r.getDouble(6))).toSeq,
+      Rag.RagQueries, Rag.RagTopK)
+    assert(got === want)
+    assert(!got.exists(h => doomedIds.contains(h._3)),
+      "a deleted doc's chunk still surfaces")
+    // a request whose text differs from the indexed content aborts
+    // with every cell intact (validation precedes any swap)
+    val bogus = survivors.limit(1)
+      .select(col("doc_id"), lit("entirely different chunk text").as("text"))
+    intercept[IllegalArgumentException] {
+      Rag.deleteFromRagIndex(spark, idx, bogus)
+    }
+    assert(rows(Rag.probeRagIndex(spark, idx,
+      nprobeOverride = Int.MaxValue)) === want)
+    // crash healing: plant all three interrupted-deletion states and
+    // recover — results unchanged
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt).sorted
+    val (c1, c2, c3) = (cells(0), cells(1), cells(2))
+    def cp(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    // state 1: temp beside a live cell (died before first rename)
+    fs.mkdirs(cp(s"_tmp_cell_$c1"))
+    // state 2: old beside a live cell (died before old-dir delete)
+    org.apache.hadoop.fs.FileUtil.copy(fs, cp(s"cell=$c2"), fs,
+      cp(s"_old_cell_$c2"), false, spark.sessionState.newHadoopConf())
+    // state 3: cell absent, old present (died between the renames)
+    fs.rename(cp(s"cell=$c3"), cp(s"_old_cell_$c3"))
+    val healed = Rag.recoverRagIndexDeletion(spark, idx)
+    assert(healed.toSet === Set(c1, c2, c3))
+    assert(rows(Rag.probeRagIndex(spark, idx,
+      nprobeOverride = Int.MaxValue)) === want)
+    assert(Rag.recoverRagIndexDeletion(spark, idx).isEmpty)
+  }
+
   test("provenance: every hit cites a real q107 chunk, and multi-chunk docs flow through") {
     val q107 = Curation.q107(spark, sf)
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
