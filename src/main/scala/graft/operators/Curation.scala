@@ -909,6 +909,59 @@ object Curation {
     (CutSpanState(flipped.unionByName(batchFlagged), newCounts), spans)
   }
 
+  /** REMOVE documents from standing cut-span state —
+    * [[cutSpanIncrement]]'s inverse at the gram granularity,
+    * completing the forget path on the last standing artifact (the
+    * [[lineDedupDecrement]] argument one granularity down): counts
+    * only SHRINK, so the only surviving-doc changes are grams
+    * crossing 2 → 1, whose surviving positions unflag — spans can
+    * only shrink, split, or disappear. Unlike the increment (where
+    * spans only grow, so returned spans subsume the old ones), a
+    * re-derived doc can end with ZERO spans — so the affected id set
+    * is returned EXPLICITLY next to the spans: compose as nightly
+    * spans minus departed docs minus affected docs, plus the returned
+    * spans. Batch-bounded, standing relations scanned never shuffled
+    * (ids/crossing grams broadcast), zero SortMergeJoin. Single
+    * maintainer; ids must be currently standing.
+    *
+    * Returns (updated state, affected surviving doc_ids, re-derived
+    * spans for exactly those docs).
+    */
+  def cutSpanDecrement(state: CutSpanState, removedIds: DataFrame,
+      minLen: Int = CutMinTokens)
+      : (CutSpanState, DataFrame, DataFrame) = {
+    val ids = broadcast(removedIds.select(col("doc_id")).distinct()
+      .localCheckpoint())
+    val remGrams = state.grams.join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // batch-sized; feeds counts
+    val remCounts = remGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("rn"))
+    val touched = state.counts
+      .join(broadcast(remCounts), Seq("gram"))
+      .select(col("gram"), col("n"), col("rn"))
+      .localCheckpoint() // batch-sized; feeds crossing + new counts
+    val crossing = touched.filter(col("n") - col("rn") === 1L)
+      .select(col("gram"))
+    val survivors = state.grams.join(ids, Seq("doc_id"), "left_anti")
+    val flipped = survivors
+      .join(broadcast(crossing.withColumn("uniq", lit(true))),
+        Seq("gram"), "left")
+      .select(col("doc_id"), col("pos"), col("gram"),
+        (col("dup") && coalesce(!col("uniq"), lit(true))).as("dup"))
+    val affectedIds = survivors
+      .join(broadcast(crossing), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .localCheckpoint() // named in the return AND filters the render
+    val affectedFlagged = flipped
+      .join(broadcast(affectedIds), Seq("doc_id"), "left_semi")
+    val spans = spansFromFlags(affectedFlagged, minLen)
+    val newCounts = state.counts
+      .join(broadcast(touched.select(col("gram"))), Seq("gram"), "left_anti")
+      .unionByName(touched.filter(col("n") > col("rn"))
+        .select(col("gram"), (col("n") - col("rn")).as("n")))
+    (CutSpanState(flipped, newCounts), affectedIds, spans)
+  }
+
   /** The "cleaned corpus": every [[cutSpansOn]] interval (the UNION
     * of intervals when nearby islands overlap in token space) removed
     * from its document, all copies. One-pass caveat: splicing the cut

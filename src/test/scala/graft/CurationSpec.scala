@@ -840,6 +840,66 @@ class CurationSpec extends SparkSpec {
       s"increment plan sort-merge-joins:\n$plan")
   }
 
+  test("cut-span decrement equals a full recompute over survivors; standing side never sort-merge-joins") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val state = Curation.cutSpanState(docs)
+    val nightly = spanSet(Curation.spansFromFlags(state.grams))
+    val removedIds = removed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val (newState, affected, spans) = Curation.cutSpanDecrement(
+      state, removed.select(col("doc_id")))
+    val affectedIds = affected.collect().map(_.getLong(0)).toSet
+    // compose: nightly spans minus departed docs minus affected docs,
+    // plus the re-derived spans (a re-derived doc can have NONE — the
+    // explicit affected set is what makes this composable)
+    val full = spanSet(Curation.cutSpansOn(survivors))
+    val composed = nightly.filterNot(s =>
+      removedIds(s._1) || affectedIds(s._1)) ++ spanSet(spans)
+    assert(composed === full)
+    assert(spans.select(col("doc_id")).distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(affectedIds))
+    // the folded state renders the survivor span set in one shot and
+    // its counts equal a from-scratch count
+    assert(spanSet(Curation.spansFromFlags(newState.grams)) === full)
+    val fromScratch = Curation.cutSpanState(survivors)
+      .counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(newState.counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === fromScratch)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"decrement plan sort-merge-joins:\n$plan")
+  }
+
+  test("cut-span decrement planted: a 2->1 run's span vanishes from the survivor; a 3-holder run keeps its spans") {
+    import spark.implicits._
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    val t = (1 to 12).map(i => s"t$i").mkString(" ")
+    val standing = Seq(
+      (1L, s),               // S in docs 1, 2 — dup pair
+      (2L, s"p1 p2 $s"),
+      (3L, t), (4L, t), (5L, t), // T in three docs
+      (6L, "only unique words here nothing shared"))
+      .toDF("doc_id", "text")
+    val state = Curation.cutSpanState(standing)
+    // doc 1 and 2 carry an S span nightly
+    val nightly = spanSet(Curation.spansFromFlags(state.grams))
+    assert(nightly.exists(_._1 == 1L) && nightly.exists(_._1 == 2L))
+    val (newState, affected, spans) = Curation.cutSpanDecrement(
+      state, Seq(2L, 5L).toDF("doc_id"))
+    // doc 1 is affected (its S grams crossed 2 -> 1) and ends with NO
+    // span; docs 3/4 keep T (3 -> 2, still dup) and are NOT affected
+    assert(affected.collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(spans.count() === 0L)
+    val survivors = standing.filter(!col("doc_id").isin(2L, 5L))
+    val full = spanSet(Curation.cutSpansOn(survivors))
+    assert(spanSet(Curation.spansFromFlags(newState.grams)) === full)
+    assert(full.exists(_._1 == 3L) && full.exists(_._1 == 4L))
+    assert(!full.exists(_._1 == 1L))
+  }
+
   test("incremental cut spans planted: a bridged singleton run flips its standing doc; already-dup runs don't; batch-internal dups span") {
     import spark.implicits._
     val s = (1 to 12).map(i => s"s$i").mkString(" ")
