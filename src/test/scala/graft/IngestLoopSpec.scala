@@ -91,4 +91,66 @@ class IngestLoopSpec extends SparkSpec {
     assert(verdictMap(Curation.lineVerdictsFrom(docs, state.segments))
       === verdictMap(Curation.lineDedupOn(docs)))
   }
+
+  private def spanSet(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    .toSet
+
+  test("forget loop: one deletion request erases a doc set from all four standing artifacts; each equals a survivor recompute") {
+    import graft.operators.Rag
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_forget_loop").toString
+    // nightly bootstrap of every standing artifact over the full corpus
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val bmIdx = s"$tmp/bmidx"
+    val ragIdx = s"$tmp/ragidx"
+    Search.buildBmIndex(spark, tmp, bmIdx)
+    Rag.buildRagIndex(spark, tmp, ragIdx)
+    val lineState = Curation.lineDedupState(docs)
+    val cutState = Curation.cutSpanState(docs)
+
+    // THE deletion request: content-bearing (the erased records), as
+    // a GDPR request is in practice — the indexes validate against
+    // it, the curation states need only its ids
+    val request = docs.filter(col("doc_id") % 11 === 3)
+    val requestIds = request.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(requestIds.nonEmpty)
+    val survivors = docs.filter(!col("doc_id").isInCollection(requestIds))
+
+    Search.deleteFromBmIndex(spark, bmIdx, request)
+    Rag.deleteFromRagIndex(spark, ragIdx, request)
+    val (lineAfter, _) = Curation.lineDedupDecrement(
+      lineState, request.select(col("doc_id")))
+    val (cutAfter, _, _) = Curation.cutSpanDecrement(
+      cutState, request.select(col("doc_id")))
+
+    // every artifact now equals its survivor recompute
+    assert(Search.searchBmIndex(spark, bmIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+      === Search.bm25On(survivors, Search.SearchQueries).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq)
+    val ragGot = Rag.probeRagIndex(spark, ragIdx,
+      nprobeOverride = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!ragGot.exists(h => requestIds.contains(h._3)),
+      "a forgotten doc still surfaces in dense retrieval")
+    assert(spark.read.parquet(ragIdx)
+      .filter(col("doc_id").isInCollection(requestIds)).count() === 0L,
+      "forgotten chunks remain on disk in the dense index")
+    assert(verdictMap(Curation.lineVerdictsFrom(
+      survivors, lineAfter.segments))
+      === verdictMap(Curation.lineDedupOn(survivors)))
+    assert(spanSet(Curation.spansFromFlags(cutAfter.grams))
+      === spanSet(Curation.cutSpansOn(survivors)))
+    // and nothing about the forgotten ids lingers in either state
+    assert(lineAfter.segments
+      .filter(col("doc_id").isInCollection(requestIds)).count() === 0L)
+    assert(cutAfter.grams
+      .filter(col("doc_id").isInCollection(requestIds)).count() === 0L)
+  }
 }
