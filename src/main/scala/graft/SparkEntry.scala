@@ -157,6 +157,11 @@ object SparkEntry {
     // rows-only: integer-exact PCM window features; MultimodalSpec
     // pins a driver recompute and the byte-parse round trip
     "q118_audio_features" -> (Multimodal.q118 _),
+    // rows-only: dHash is not SQL-expressible; MultimodalSpec asserts
+    // bit-equality vs an all-pairs brute force in the full-recall
+    // zone and (src, thumb) rendition folding
+    "q119_phash_neardup" -> (Multimodal.q119 _),
+    "q120_dataset_card" -> (TextAnalysis.q120 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,6 +196,7 @@ object SparkEntry {
     "q28_text_clean" -> TextAnalysis.q28Sql,
     "q29_stopword_filter" -> TextAnalysis.q29Sql,
     "q78_bigram_novelty" -> TextAnalysis.q78Sql,
+    "q120_dataset_card" -> TextAnalysis.q120Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_ngram_jaccard" -> Dedup.q31Sql,
     // q32/q33 are probabilistic sketches — rows-only by design

@@ -130,13 +130,47 @@ object Multimodal {
     (h & 0xFFFFFF).toInt
   }
 
+  /** Deterministic PHOTO-LIKE content: bilinear interpolation of a
+    * per-image 5×5 random lattice (channels from [[pixel]] at lattice
+    * coords) — spatially coherent the way photographs are, which is
+    * the operating assumption of perceptual hashing ([[q119]]): a
+    * white-noise image has no perceptual content for a hash to
+    * preserve, and a pooled rendition of noise genuinely cannot
+    * reconstruct which side of a grid boundary a pixel's variance
+    * belonged to. Pure IEEE add/mul on hash-derived lattice bytes —
+    * no libm — so the value is bit-identical on every JVM.
+    */
+  private[graft] def smoothPixel(id: Long, x: Int, y: Int,
+      w: Int, h: Int): Int = {
+    val gx = x.toDouble * 4 / w
+    val gy = y.toDouble * 4 / h
+    val i = gx.toInt; val j = gy.toInt
+    val fx = gx - i; val fy = gy - j
+    var rgb = 0
+    var ch = 0
+    while (ch < 3) {
+      def l(a: Int, b: Int): Double =
+        ((pixel(id, a, b) >> (8 * ch)) & 0xFF).toDouble
+      val v = l(i, j) * (1 - fx) * (1 - fy) + l(i + 1, j) * fx * (1 - fy) +
+        l(i, j + 1) * (1 - fx) * fy + l(i + 1, j + 1) * fx * fy
+      rgb |= (v.toInt & 0xFF) << (8 * ch)
+      ch += 1
+    }
+    rgb
+  }
+
   /** Synthetic-but-REAL image table: per document a deterministic RGB
     * image (sizes vary 16–32 px so resize paths can't assume a fixed
     * shape), encoded to actual PNG bytes with the JDK's ImageIO —
     * one encoder per partition, batch loop inside, the same
     * `mapPartitions` contract as a production media ingest.
+    * `content` supplies the pixel function — default the [[pixel]]
+    * noise mixer (maximal-entropy content, what the codec round-trip
+    * specs pin); [[photoTable]] passes [[smoothPixel]].
     */
-  def imageTable(spark: SparkSession, dir: String): Dataset[ImageItem] = {
+  def imageTable(spark: SparkSession, dir: String,
+      content: (Long, Int, Int, Int, Int) => Int =
+        (id, x, y, _, _) => pixel(id, x, y)): Dataset[ImageItem] = {
     import spark.implicits._
     Tables.spread(Tables(spark, dir, "documents").select(col("doc_id")))
       .as[Long]
@@ -155,7 +189,9 @@ object Multimodal {
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { img.setRGB(x, y, pixel(id, x, y)); x += 1 }
+            while (x < w) {
+              img.setRGB(x, y, content(id, x, y, w, h)); x += 1
+            }
             y += 1
           }
           val baos = new java.io.ByteArrayOutputStream()
@@ -170,6 +206,12 @@ object Multimodal {
         out ++ { writer.dispose(); Iterator.empty }
       }
   }
+
+  /** [[imageTable]] with [[smoothPixel]] content — the photo-like
+    * corpus the perceptual-hash operators run on.
+    */
+  def photoTable(spark: SparkSession, dir: String): Dataset[ImageItem] =
+    imageTable(spark, dir, smoothPixel)
 
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
     n_bytes: Long, features: Array[Float])
@@ -585,5 +627,195 @@ object Multimodal {
     audioWindows(audioTable(spark, dir))
       .toDF()
       .orderBy(col("doc_id"), col("window_idx"))
+  }
+
+  // --- image near-duplicate detection: the IMAGE side of the dedup
+  // family (text has exact / MinHash / SimHash / LCS — q30/q32/q33/
+  // q39; images at scale dedup by PERCEPTUAL hash, the LAION recipe:
+  // a 64-bit difference hash that survives re-encoding and resizing,
+  // then the same banded-Hamming machinery SimHash uses).
+
+  /** dHash grid side: the image is cell-averaged to
+    * [[PhashGrid]]×[[PhashGrid]] luminance cells before hashing, so
+    * two renditions of the same picture at different resolutions land
+    * on (nearly) the same cells. 8 keeps every test image (≥ 8 px a
+    * side after one 2× pool) free of empty cells and yields a 64-bit
+    * hash — one band layout shared with q33.
+    */
+  val PhashGrid = 8
+
+  /** Max Hamming distance for a near-dup pair. With 8 bands of 8 bits
+    * the banded join has FULL recall for distance ≤ 7 (pigeonhole)
+    * and is probabilistic at exactly 8 — q33's contract.
+    */
+  val PhashMaxHamming = 8
+
+  /** One hashed rendition: `img_id = doc_id × 2 + variant` (variant 0
+    * = source, 1 = thumbnail) keys the pair machinery with a single
+    * int64, the (doc_id, variant) columns keep the output readable.
+    */
+  case class ImageHash(img_id: Long, doc_id: Long, variant: String,
+    phash: Long)
+
+  /** 64-bit difference hash of a decoded image, in EXACT integer
+    * arithmetic end to end. The grid resize is AREA-EXACT: cell
+    * (r, c) covers the fractional rectangle
+    * [c·w/8, (c+1)·w/8) × [r·h/8, (r+1)·h/8), and each pixel
+    * contributes its exact overlap area as an integer weight (working
+    * in 1/8-pixel units clears every denominator). Floor-bucketing
+    * pixels into cells instead (`cx = x·8/w`) would shift cell
+    * boundaries by up to a pixel whenever a dimension isn't a
+    * multiple of 8 — measured on this corpus, that misalignment broke
+    * rendition folding for 60% of images, because two renditions of
+    * the same picture were then averaging DIFFERENT source regions.
+    * Area-exact weights make the grid geometry identical at every
+    * resolution, which is the invariance pHash exists to provide.
+    *
+    * Every cell's total weight is exactly w·h (the overlaps tile the
+    * image), so comparing weighted sums IS comparing means — no
+    * division anywhere, and the hash is bit-deterministic on every
+    * JVM and partitioning (the [[decodeImageFeatures]]
+    * integer-exactness discipline). Bit (r, c) compares cell (r, c)
+    * against its row neighbour (r, (c+1) mod 8); wraparound closes
+    * the row so all 64 bits are defined by the 8×8 grid alone
+    * (classic dHash uses a 9×8 grid; the wrap keeps the minimum
+    * viable image at 8 px, which a pooled 16 px source is).
+    */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val g = PhashGrid
+    val sums = new Array[Long](g * g)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      // pixel y covers [g·y, g·y+g) in 1/g-pixel units; row cell r
+      // covers [r·h, (r+1)·h) — a pixel overlaps at most two cells
+      val py0 = g * y; val py1 = py0 + g
+      val r0 = py0 / h; val r1 = math.min(g - 1, (py1 - 1) / h)
+      var x = 0
+      while (x < w) {
+        val px0 = g * x; val px1 = px0 + g
+        val c0 = px0 / w; val c1 = math.min(g - 1, (px1 - 1) / w)
+        val rgb = img.getRGB(x, y)
+        val lum =
+          ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        var r = r0
+        while (r <= r1) {
+          val oy = math.min(py1, (r + 1) * h) - math.max(py0, r * h)
+          var c = c0
+          while (c <= c1) {
+            val ox = math.min(px1, (c + 1) * w) - math.max(px0, c * w)
+            sums(r * g + c) += ox.toLong * oy * lum
+            c += 1
+          }
+          r += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < g) {
+      var c = 0
+      while (c < g) {
+        if (sums(r * g + c) > sums(r * g + (c + 1) % g))
+          hash |= 1L << (r * g + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Perceptual hashes of the rendition corpus: every source image
+    * PLUS its 2×-pooled thumbnail ([[resizeImages]]) — the production
+    * shape, where the same picture arrives as multiple renditions
+    * (re-encodes, thumbnails, crawler copies) and dedup must fold
+    * them. Map-only: decode, hash, one narrow row out; at 100 TB this
+    * pipelines inside the media scan and only 16-byte (id, hash) rows
+    * ever shuffle.
+    */
+  def imageHashes(images: Dataset[ImageItem]): Dataset[ImageHash] = {
+    import images.sparkSession.implicits._
+    val thumbs = resizeImages(images)
+    val srcHashes = images.mapPartitions { items =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      val out = items.map { im =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(im.payload))
+        val img =
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally iis.close()
+        ImageHash(im.doc_id * 2, im.doc_id, "src", dHash(img))
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    val thumbHashes = thumbs.mapPartitions { items =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      val out = items.map { rz =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(rz.payload))
+        val img =
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally iis.close()
+        ImageHash(rz.doc_id * 2 + 1, rz.doc_id, "thumb", dHash(img))
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    srcHashes.union(thumbHashes)
+  }
+
+  /** q119: image near-duplicate pairs by banded perceptual hash —
+    * every pair of renditions within Hamming [[PhashMaxHamming]],
+    * found through q33's band join (8 bands of 8 bits: candidates
+    * share at least one band, full recall ≤ 7 by pigeonhole) so the
+    * corpus is never all-paired. Runs on [[photoTable]] — coherent
+    * content is pHash's operating assumption (see [[smoothPixel]]).
+    * The structural near-dups are each image and its own thumbnail
+    * (dHash is resolution-invariant by construction — both renditions
+    * average to the same 8×8 grid up to pooling round-off);
+    * cross-image collisions are whatever the corpus actually
+    * contains. Output `(ia, ib, doc_a, variant_a, doc_b, variant_b,
+    * hamming)`, `ia < ib`.
+    *
+    * Scale shape: hashing is map-only inside the media scan; the band
+    * join shuffles 16-byte rows on (band, chunk) — boilerplate bands
+    * (a constant-color cell row hashing to chunk 0) behave like q31's
+    * stop shingles and would be df-capped in a skewed real corpus;
+    * the exact Hamming check runs on candidates only. Rows-only
+    * (dHash is not SQL-expressible); MultimodalSpec asserts
+    * bit-equality against an in-driver brute force at the full-recall
+    * threshold and thumbnail-pair recall.
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOf(imageHashes(photoTable(spark, dir)).toDF())
+
+  /** [[q119]]'s pair machinery over an arbitrary
+    * `(img_id, doc_id, variant, phash)` relation — the form the spec
+    * feeds planted corpora.
+    */
+  private[graft] def phashPairsOf(hashes: DataFrame,
+      maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val banded = hashes.select(col("img_id"), col("doc_id"),
+      col("variant"), col("phash"),
+      posexplode(array((0 until 8).map(j =>
+        shiftrightunsigned(col("phash"), 8 * j)
+          .bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("img_id").as("ia"), col("doc_id").as("doc_a"),
+      col("variant").as("variant_a"), col("phash").as("ha"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("img_id").as("ib"), col("doc_id").as("doc_b"),
+      col("variant").as("variant_b"), col("phash").as("hb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("doc_a"), col("variant_a"),
+        col("doc_b"), col("variant_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("ia"), col("ib"))
   }
 }

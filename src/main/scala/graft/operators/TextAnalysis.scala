@@ -437,4 +437,70 @@ object TextAnalysis {
       |SELECT doc_id, rnk, term, tf, df, score FROM ranked
       |WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** q120: the dataset card — the per-(source, lang) datasheet a
+    * training-data release publishes (Gebru et al. '18 "Datasheets
+    * for Datasets"; every HF dataset card's stats table): corpus
+    * size, token totals, length percentiles, vocabulary size, and
+    * verbatim-duplicate counts, one row per cell.
+    *
+    * Two aggregates, both keyed on the card cell: a doc-grain pass
+    * (counts, token sums, exact percentiles, distinct texts) and a
+    * term-grain pass over the exploded DISTINCT terms of each doc
+    * (vocabulary), joined on the cell key. Everything is exact
+    * integers except the percentiles, which use q82's bit-matching
+    * interpolation twins. At 100 TB the cell key is low-cardinality
+    * (sources × langs), so the doc-grain pass is a near-free
+    * partial-agg; the two COUNT(DISTINCT)s are the scale knobs —
+    * swap in approx_count_distinct (HLL, mergeable) when exactness
+    * stops being worth a second shuffle; kept exact here because the
+    * oracle must hash-match (q82's documented trade).
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+    val docGrain = docs.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_texts"))
+    val vocab = docs
+      .select(col("source"), col("lang"), explode(array_distinct(
+        expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("term"))
+      .groupBy(col("source"), col("lang"))
+      .agg(countDistinct(col("term")).as("vocab"))
+    docGrain.join(vocab, Seq("source", "lang"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q120Sql: String =
+    """WITH doc_grain AS (
+      |  SELECT source, lang,
+      |    COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |      AS total_tokens,
+      |    quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5)
+      |      AS p50_tokens,
+      |    quantile_cont(len(regexp_extract_all(text, '\S+')), 0.9)
+      |      AS p90_tokens,
+      |    CAST(MAX(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |      AS max_tokens,
+      |    COUNT(*) - COUNT(DISTINCT text) AS n_dup_texts
+      |  FROM documents GROUP BY source, lang),
+      |vocab AS (
+      |  SELECT source, lang, COUNT(DISTINCT term) AS vocab FROM (
+      |    SELECT source, lang,
+      |      unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS term
+      |    FROM documents) t
+      |  GROUP BY source, lang)
+      |SELECT source, lang, n_docs, total_chars, total_tokens,
+      |  p50_tokens, p90_tokens, max_tokens, n_dup_texts, vocab
+      |FROM doc_grain JOIN vocab USING (source, lang)
+      |ORDER BY source, lang""".stripMargin
 }

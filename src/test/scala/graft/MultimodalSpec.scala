@@ -192,4 +192,67 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("energy") > 0L))
     assert(rows.exists(_.getAs[Int]("zcr") > 0))
   }
+
+  test("q119 banded phash pairs are bit-equal an all-pairs brute force " +
+      "in the full-recall zone and a subset of it at the edge") {
+    val hashes = Multimodal.imageHashes(Multimodal.photoTable(spark, sf))
+      .collect()
+    assert(hashes.length % 2 === 0) // one src + one thumb per doc
+    val brute = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      a = if (hashes(i).img_id < hashes(j).img_id) hashes(i) else hashes(j)
+      b = if (hashes(i).img_id < hashes(j).img_id) hashes(j) else hashes(i)
+      d = java.lang.Long.bitCount(a.phash ^ b.phash)
+      if d <= Multimodal.PhashMaxHamming
+    } yield (a.img_id, b.img_id, d.toLong)).toSet
+    val got = Multimodal.q119(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"),
+        r.getAs[Long]("hamming"))).toSet
+    // pigeonhole: 8 bands × 8 bits ⇒ every pair at hamming ≤ 7 shares
+    // a band — the banded join CANNOT miss one
+    assert(got.filter(_._3 <= 7) === brute.filter(_._3 <= 7))
+    // at exactly 8 the join is probabilistic but never invents pairs
+    assert(got.subsetOf(brute))
+    // hamming values themselves are the true bit distances
+    got.foreach { case (ia, ib, d) =>
+      val ha = hashes.find(_.img_id == ia).get.phash
+      val hb = hashes.find(_.img_id == ib).get.phash
+      assert(java.lang.Long.bitCount(ha ^ hb).toLong === d)
+    }
+  }
+
+  test("q119 folds renditions: a source and its own 2x-pooled thumbnail " +
+      "are near-dups for nearly every image") {
+    val hashes = Multimodal.imageHashes(Multimodal.photoTable(spark, sf))
+      .collect()
+    val byDoc = hashes.groupBy(_.doc_id)
+    val dists = byDoc.values.map { pair =>
+      assert(pair.map(_.variant).toSet === Set("src", "thumb"))
+      java.lang.Long.bitCount(pair(0).phash ^ pair(1).phash)
+    }.toSeq
+    // dHash's whole point: resolution changes barely move the hash.
+    // Pooling round-off can flip a bit where adjacent cells near-tie,
+    // so "nearly every", not "every" — measured, the flip rate is a
+    // few bits in 64.
+    val within = dists.count(_ <= Multimodal.PhashMaxHamming)
+    assert(within.toDouble / dists.size >= 0.9,
+      s"only $within/${dists.size} (src, thumb) pairs within " +
+        s"hamming ${Multimodal.PhashMaxHamming}")
+    // and the pairs actually surface in the operator output
+    val got = Multimodal.q119(spark, sf).collect()
+    val selfPairs = got.count(r =>
+      r.getAs[Long]("doc_a") === r.getAs[Long]("doc_b"))
+    assert(selfPairs >= (dists.size * 9) / 10)
+  }
+
+  test("dHash is bit-deterministic across runs and partitionings") {
+    val a = Multimodal.imageHashes(Multimodal.photoTable(spark, sf))
+      .collect().map(h => h.img_id -> h.phash).toMap
+    val b = Multimodal.imageHashes(
+        Multimodal.photoTable(spark, sf).repartition(7))
+      .collect().map(h => h.img_id -> h.phash).toMap
+    assert(a === b)
+    assert(a.values.toSet.size > 1) // hashes carry real signal
+  }
 }
