@@ -162,6 +162,10 @@ object SparkEntry {
     // zone and (src, thumb) rendition folding
     "q119_phash_neardup" -> (Multimodal.q119 _),
     "q120_dataset_card" -> (TextAnalysis.q120 _),
+    // iterative graph centrality: five int64 fixed-point PageRank
+    // rounds over the customer–supplier purchase graph; the oracle is
+    // the same rounds unrolled as chained DuckDB CTEs
+    "q121_pagerank" -> ((s, d) => Graph.q121(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,6 +275,7 @@ object SparkEntry {
     "q112_corpus_diff" -> q112Sql,
     "q113_token_mixture" -> Curation.q113Sql,
     "q114_data_checks" -> Analytics.q114Sql,
+    "q121_pagerank" -> Graph.q121Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the
