@@ -166,6 +166,11 @@ object SparkEntry {
     // rounds over the customer–supplier purchase graph; the oracle is
     // the same rounds unrolled as chained DuckDB CTEs
     "q121_pagerank" -> ((s, d) => Graph.q121(s, d)),
+    // per-node triangle counts by degree-oriented wedge join
+    "q122_triangles" -> (Graph.q122 _),
+    // basket association rules: int64 counts + one division each for
+    // confidence and lift, support-floor-pruned before any join
+    "q123_assoc_rules" -> (Graph.q123 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,6 +281,8 @@ object SparkEntry {
     "q113_token_mixture" -> Curation.q113Sql,
     "q114_data_checks" -> Analytics.q114Sql,
     "q121_pagerank" -> Graph.q121Sql,
+    "q122_triangles" -> Graph.q122Sql,
+    "q123_assoc_rules" -> Graph.q123Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

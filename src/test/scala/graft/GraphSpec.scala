@@ -63,6 +63,76 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q122 bit-equals an adjacency-intersection brute force on the real graph") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    val edges = byOrder.values.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { adj(a) += b; adj(b) += a }
+    val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) intersect adj(b) if c > b) {
+      // (a<b<c by id) — each triangle once, credit all three corners
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    val got = Graph.q122(spark, sf).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("triangles")).toMap
+    assert(got == want.toMap)
+  }
+
+  test("q122 planted graphs: K4, a triangle with a pendant, a square") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("lo", "hi")
+    assert(Graph.trianglesOn(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // triangle {1,2,3} + pendant 4: pendant is in no triangle (absent)
+    val pend = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("lo", "hi")
+    assert(Graph.trianglesOn(pend).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    // C4 (square): triangle-free
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("lo", "hi")
+    assert(Graph.trianglesOn(c4).count() == 0)
+  }
+
+  test("q123 bit-equals a driver rule miner: counts exact, one-division doubles") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val itemCnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val pairCnt = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    for (ps <- byOrder.values; i <- ps.indices; j <- i + 1 until ps.length)
+      pairCnt((ps(i), ps(j))) += 1
+    val want = pairCnt.iterator.filter(_._2 >= 2).flatMap {
+      case ((lo, hi), c) => Seq((lo, hi, c), (hi, lo, c))
+    }.map { case (a, b, c) =>
+      (a, b) -> ((c, itemCnt(a), itemCnt(b),
+        c.toDouble / itemCnt(a),
+        (c * nOrders).toDouble / (itemCnt(a) * itemCnt(b))))
+    }.toMap
+    val got = Graph.q123(spark, sf).collect().map { r =>
+      (r.getAs[Long]("ante"), r.getAs[Long]("cons")) ->
+        ((r.getAs[Long]("pair_cnt"), r.getAs[Long]("ante_cnt"),
+          r.getAs[Long]("cons_cnt"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift")))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    // bit-equality including the doubles: exactly one division each
+    val bad = got.collect { case (k, v) if want(k) != v => k }
+    assert(bad.isEmpty, s"rules differ at: ${bad.take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("q121 mass and shape: base floor holds; suppliers out-rank customers") {
     val rows = Graph.q121(spark, sf).collect()
     val base = 15L * Graph.PrScale / 100L
