@@ -171,6 +171,8 @@ object SparkEntry {
     // basket association rules: int64 counts + one division each for
     // confidence and lift, support-floor-pruned before any join
     "q123_assoc_rules" -> (Graph.q123 _),
+    // frontier-parallel BFS hop distances; capped recursive-CTE twin
+    "q124_bfs_hops" -> ((s, d) => Graph.q124(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -283,6 +285,7 @@ object SparkEntry {
     "q121_pagerank" -> Graph.q121Sql,
     "q122_triangles" -> Graph.q122Sql,
     "q123_assoc_rules" -> Graph.q123Sql,
+    "q124_bfs_hops" -> Graph.q124Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

@@ -329,6 +329,80 @@ object Graph {
       |GROUP BY part
       |ORDER BY part""".stripMargin
 
+  /** q124: BFS hop distance from a deterministic seed (the
+    * smallest-keyed supplier) to every reachable node of the purchase
+    * graph — frontier-parallel breadth-first search, the graph twin
+    * of [[graft.sources.FileOps]]' frontier directory walk and the
+    * reachability primitive under lineage/contamination tracing
+    * ("every doc within k derivation steps of a flagged source").
+    *
+    * Spark shape: each level is one join (frontier ⨝ edges on src) +
+    * distinct + anti-join against the settled set — all three keyed
+    * on the 8-byte node id; per-level cost is frontier-edge-sized,
+    * never graph-sized, and the loop runs diameter-many rounds (the
+    * purchase graph's diameter is ~4; a 20-round cap guards the
+    * degenerate case loudly, the q35 discipline). Driver sees one
+    * count per level, never data.
+    *
+    * Oracle: a recursive CTE enumerating (node, depth ≤ 12) pairs
+    * and taking MIN(depth) — exact equality with BFS whenever the
+    * diameter is under the cap; past it BOTH sides drop the node
+    * (the CTE never reaches it, BFS's settled set does — hence the
+    * Spark loop ALSO caps at the same 12 for the oracled query, and
+    * the spec asserts the cap was not binding on the real graph).
+    */
+  def q124(spark: SparkSession, dir: String, maxHops: Int = 12): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    val seed = edges.agg(min(when(col("src") % 2 === 1, col("src")))
+      .as("node")).select(col("node"), lit(0).as("hops"))
+
+    var settled = seed.localCheckpoint()
+    var frontier = settled
+    var level = 0
+    while (level < maxHops && !frontier.isEmpty) {
+      level += 1
+      frontier = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(level).as("hops"))
+        .localCheckpoint()
+      settled = settled.unionAll(frontier).localCheckpoint()
+    }
+    settled.orderBy(col("hops"), col("node"))
+  }
+
+  val q124Sql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), edges AS (
+      |  SELECT cnode AS src, snode AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT snode AS src, cnode AS dst FROM pairs
+      |), seed AS (
+      |  SELECT MIN(src) AS node FROM edges WHERE src % 2 = 1
+      |), reach(node, d) AS (
+      |  SELECT node, 0 FROM seed
+      |  UNION
+      |  SELECT e.dst, r.d + 1
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.d < 12
+      |)
+      |SELECT node, CAST(MIN(d) AS INT) AS hops
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY hops, node""".stripMargin
+
   val q121Sql: String = {
     val base = (15L * PrScale) / DampDen
     def round(i: Int): String =

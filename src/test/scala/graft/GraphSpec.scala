@@ -133,6 +133,26 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q124 equals a driver BFS; the 12-hop oracle cap is not binding") {
+    val edges = edgesOf(sf).map { case (a, b, _) => (a, b) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val seedNode = edges.map(_._1).filter(_ % 2 == 1).min
+    // level-synchronous BFS
+    var dist = Map(seedNode -> 0); var frontier = Set(seedNode); var lvl = 0
+    while (frontier.nonEmpty) {
+      lvl += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> lvl)
+      frontier = next
+    }
+    val got = Graph.q124(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hops")).toMap
+    assert(got == dist)
+    assert(got.values.max < 12, "oracle depth cap must not bind")
+    assert(got.values.max >= 2, "graph must need real traversal")
+  }
+
   test("q121 mass and shape: base floor holds; suppliers out-rank customers") {
     val rows = Graph.q121(spark, sf).collect()
     val base = 15L * Graph.PrScale / 100L

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Versioned dataset store: time-travel stability, copy-on-write
+  * delete granularity, rollback, crash-state invisibility, GC
+  * precision.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  private def docs(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"doc $i", s"src${i % 3}")).toDF(
+      "doc_id", "text", "source")
+  }
+
+  test("appends create versions; readAt is stable under later commits") {
+    val root = freshRoot()
+    val v1 = Snapshots.commitAppend(spark, root, docs(0 until 10))
+    val v2 = Snapshots.commitAppend(spark, root, docs(10 until 25))
+    val v3 = Snapshots.commitAppend(spark, root, docs(25 until 30))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(Snapshots.readAt(spark, root, 1).count() == 10)
+    assert(Snapshots.readAt(spark, root, 2).count() == 25)
+    assert(Snapshots.readAt(spark, root, 3).count() == 30)
+    // v1's CONTENT, not just count, is frozen
+    assert(Snapshots.readAt(spark, root, 1)
+      .agg(sum(col("doc_id"))).head.getLong(0) == (0 until 10).sum)
+    assert(Snapshots.latestVersion(spark, root) == 3)
+  }
+
+  test("delete is copy-on-write at batch granularity and null-safe") {
+    val root = freshRoot()
+    Snapshots.commitAppend(spark, root, docs(0 until 10))   // b1
+    Snapshots.commitAppend(spark, root, docs(10 until 20))  // b2
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mtime(b: String) =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/data/$b"))
+        .getModificationTime
+    val b1Before = mtime("b1")
+    // matches only batch 2 → batch 1 must carry over UNTOUCHED
+    val v3 = Snapshots.commitDelete(spark, root, col("doc_id") >= 15)
+    assert(Snapshots.readAt(spark, root, v3).count() == 15)
+    assert(mtime("b1") == b1Before)
+    // prior version still sees the deleted rows
+    assert(Snapshots.readAt(spark, root, 2).count() == 20)
+    // null pred rows survive (SQL DELETE semantics)
+    val v4 = Snapshots.commitDelete(spark, root,
+      when(col("doc_id") < 5, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") === 7))
+    val left = Snapshots.readAt(spark, root, v4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!left.contains(7L) && left.contains(3L))
+  }
+
+  test("rollback rolls forward; history is an audit log") {
+    val root = freshRoot()
+    Snapshots.commitAppend(spark, root, docs(0 until 10))
+    Snapshots.commitAppend(spark, root, docs(10 until 20))
+    Snapshots.commitDelete(spark, root, col("doc_id") < 5)
+    val v4 = Snapshots.rollback(spark, root, 1)
+    assert(Snapshots.readAt(spark, root, v4).count() == 10)
+    // nothing erased: every prior version still reads
+    assert(Snapshots.readAt(spark, root, 3).count() == 15)
+    val hist = Snapshots.history(spark, root)
+    assert(hist.map(h => (h._1, h._2)) ==
+      Seq((1L, "append"), (2L, "append"), (3L, "delete"), (4L, "rollback")))
+    assert(hist.last._3 == 1L) // rollback's parent is its target
+  }
+
+  test("crashed commits are invisible; expire reclaims exactly the orphans") {
+    val root = freshRoot()
+    Snapshots.commitAppend(spark, root, docs(0 until 10))
+    Snapshots.commitAppend(spark, root, docs(10 until 20))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash mid-commit: orphan data dir + tmp manifest,
+    // no completed manifest
+    docs(90 until 95).write.parquet(s"$root/data/b99")
+    docs(0 until 1).write.parquet(s"$root/_v/_tmp_99")
+    assert(Snapshots.latestVersion(spark, root) == 2)
+    assert(Snapshots.read(spark, root).count() == 20)
+    // expire keeping v2: v1's manifest goes, b99 + tmp go, b1 SURVIVES
+    // because v2 still references it
+    Snapshots.expire(spark, root, keepFrom = 2L)
+    assert(Snapshots.versions(spark, root) == Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b99")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_v/_tmp_99")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b1")))
+    assert(Snapshots.read(spark, root).count() == 20)
+    // a delete then expire drops the rewritten batch's predecessor
+    // only once no kept version references it
+    val v3 = Snapshots.commitDelete(spark, root, col("doc_id") >= 10)
+    Snapshots.expire(spark, root, keepFrom = v3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b2")))
+    assert(Snapshots.read(spark, root).count() == 10)
+  }
+
+  test("corpusDiff over two snapshot versions yields exactly the edits") {
+    // the q112 delta consumers take (added/removed/changed) straight
+    // off two store versions — the composition a nightly pipeline runs
+    val root = freshRoot()
+    val v1 = Snapshots.commitAppend(spark, root, docs(0 until 20))
+    Snapshots.commitDelete(spark, root, col("doc_id") < 3) // 0,1,2 removed
+    val v3 = Snapshots.commitAppend(spark, root, docs(20 until 23))
+    val diff = graft.operators.Versioning.corpusDiff(
+        Snapshots.readAt(spark, root, v1),
+        Snapshots.readAt(spark, root, v3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(0L -> "removed", 1L -> "removed", 2L -> "removed",
+      20L -> "added", 21L -> "added", 22L -> "added"))
+  }
+
+  test("version discovery ignores tmp and non-numeric entries") {
+    val root = freshRoot()
+    Snapshots.commitAppend(spark, root, docs(0 until 5))
+    docs(0 until 1).write.parquet(s"$root/_v/_tmp_7")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_v/notes"))
+    assert(Snapshots.versions(spark, root) == Seq(1L))
+    assert(Snapshots.read(spark, root).count() == 5)
+  }
+}
