@@ -169,6 +169,27 @@ object Snapshots {
     v
   }
 
+  /** Rewrite the CURRENT content as one right-sized batch and commit
+    * it as a new version — the store-level small-file compaction
+    * (nightly appends leave one batch dir per day; scans pay a
+    * footer read per file). Content is byte-identical by
+    * construction (one read → one write of the same rows); prior
+    * versions still reference the old batches until `expire`
+    * reclaims them, so compaction is as non-destructive as any other
+    * commit.
+    */
+  def commitCompact(spark: SparkSession, root: String): Long = {
+    val prev = latestVersion(spark, root)
+    require(prev > 0, "nothing committed yet")
+    val v = prev + 1
+    val batch = s"b$v"
+    readAt(spark, root, prev).write
+      .mode("errorifexists").parquet(s"$root/data/$batch")
+    val n = spark.read.parquet(s"$root/data/$batch").count()
+    writeManifest(spark, root, v, Seq((batch, n)), "compact", prev)
+    v
+  }
+
   /** Reclaim storage: drop manifests older than `keepFrom` and delete
     * every data dir (and stray tmp manifest) no surviving manifest
     * references. The only destructive operation in the store, and the

@@ -119,6 +119,59 @@ class SnapshotsSpec extends SparkSpec {
       20L -> "added", 21L -> "added", 22L -> "added"))
   }
 
+  test("compaction: one batch, identical content, old versions intact") {
+    val root = freshRoot()
+    (0 until 6).foreach(d =>
+      Snapshots.commitAppend(spark, root, docs(d * 5 until (d + 1) * 5)))
+    val before = Snapshots.read(spark, root)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val v7 = Snapshots.commitCompact(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = Snapshots.history(spark, root).last
+    assert(rows._2 == "compact" && rows._4 == 1L) // one batch referenced
+    val after = Snapshots.readAt(spark, root, v7)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq)
+    // pre-compaction version still reads from the old batches
+    assert(Snapshots.readAt(spark, root, 6).count() == 30)
+    // expire to the compacted version reclaims all six day-batches
+    Snapshots.expire(spark, root, keepFrom = v7)
+    (1 to 6).foreach(i =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b$i"))))
+    assert(Snapshots.read(spark, root).count() == 30)
+  }
+
+  test("streaming ingest drives the store: one commit per micro-batch") {
+    // the ingest_loop composition for the snapshot layer — a live
+    // stream's foreachBatch is a legal store writer, and readAt
+    // reconstructs every intermediate corpus state (drop-dir file
+    // source, the production shape, as in IngestLoopSpec)
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val dropDir = s"${freshRoot()}/arrivals"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val q = spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Snapshots.commitAppend(spark, root, batch.localCheckpoint())
+        ()
+      }
+      .start()
+    try {
+      docs(0 until 2).coalesce(1).write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+      docs(2 until 5).coalesce(1).write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+      assert(Snapshots.latestVersion(spark, root) == 2)
+      assert(Snapshots.readAt(spark, root, 1).count() == 2)
+      assert(Snapshots.read(spark, root).count() == 5)
+    } finally q.stop()
+  }
+
   test("version discovery ignores tmp and non-numeric entries") {
     val root = freshRoot()
     Snapshots.commitAppend(spark, root, docs(0 until 5))
