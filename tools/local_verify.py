@@ -31,6 +31,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional sharding for long sf1 gates: run disjoint partitions of
+    # the SAME dump in parallel, then concatenate the shard outputs
+    # into the one gate artifact.  only=q1,q2 / skip=q1,q2
+    only, skip = None, set()
+    for a in sys.argv[3:]:
+        if a.startswith("only="):
+            only = set(a[5:].split(","))
+        elif a.startswith("skip="):
+            skip = set(a[5:].split(","))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -40,6 +49,8 @@ def main():
     n_pass = n_fail = n_rows_only = 0
     for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(res_dir.rstrip("/"))
+        if (only is not None and name not in only) or name in skip:
+            continue
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no result parquet"); n_fail += 1; continue
