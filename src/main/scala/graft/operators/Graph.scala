@@ -84,12 +84,18 @@ object Graph {
         col("w")))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     // (src, dst, w, deg) — the one relation every round joins; built
-    // once, HASH-PARTITIONED ON src and checkpointed (localCheckpoint
-    // preserves outputPartitioning), so each round's join exchanges
-    // only the 16-byte ranks side — the edge relation never
-    // re-shuffles after round 0 (measured: 128 → ~65 MB total)
+    // once, HASH-PARTITIONED ON src and PERSISTED. persist (not
+    // localCheckpoint) is load-bearing: an InMemoryRelation keeps its
+    // child's outputPartitioning, a checkpointed ExistingRDD does NOT
+    // (measured in Spark 4.1 — the scan re-exchanged every round), so
+    // only the cached form lets every round's shuffle join see ew
+    // already partitioned and exchange nothing but the 16-byte ranks
+    // side. At bench scale ranks broadcast and the point is moot; at
+    // 1e9 nodes (ranks >> broadcast budget) it is one edge-relation
+    // shuffle per ROUND saved. Unpersisted after the last round — the
+    // per-round checkpoints make the final ranks self-contained.
     val ew = edges.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).persist()
 
     val base = (15L * PrScale) / DampDen
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
@@ -103,6 +109,7 @@ object Graph {
         .select(col("dst").as("node"), (lit(base) + col("inflow")).as("pr"))
         .localCheckpoint()
     }
+    ew.unpersist(blocking = false)
     ranks
       .select(col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
@@ -173,7 +180,9 @@ object Graph {
     * relation (lo < hi, deduplicated) — spec entry point for planted
     * graphs.
     */
-  private[graft] def trianglesOn(pairs: DataFrame): DataFrame = {
+  private[graft] def trianglesOn(pairs: DataFrame,
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows,
+      checkpointResult: Boolean = true): DataFrame = {
     val deg = pairs.select(col("lo").as("node"))
       .unionAll(pairs.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -191,9 +200,11 @@ object Graph {
         when(col("dlo") < col("dhi") ||
           (col("dlo") === col("dhi") && col("lo") < col("hi")),
           col("hi")).otherwise(col("lo")).as("dst"))
-      // hash-partitioned on src so the wedge self-join exchanges
-      // NEITHER side (localCheckpoint preserves the partitioning)
-      .repartition(col("src")).localCheckpoint()
+      // hash-partitioned on src and PERSISTED so the wedge self-join
+      // exchanges NEITHER side (both sides read the same cached
+      // hash-partitioned relation; a localCheckpoint would drop the
+      // partitioning — see q121's ew note)
+      .repartition(col("src")).persist()
     // wedges at the (deg,id)-minimum corner, closing pair canonical
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
@@ -202,12 +213,20 @@ object Graph {
     // close wedges against the edge set: broadcast it when small so
     // the O(m^1.5) wedge stream never leaves its map stage
     val closing =
-      if (pairs.count() <= BroadcastEdgeMaxRows) broadcast(pairs) else pairs
+      if (pairs.count() <= broadcastMaxRows) broadcast(pairs) else pairs
     val tris = wedges.join(closing, Seq("lo", "hi"))
-    tris
+    // the node-sized result materializes behind a checkpoint so the
+    // wedge cache can be released before returning (plan specs skip
+    // the checkpoint to inspect the join shape)
+    val agg = tris
       .select(explode(array(col("apex"), col("lo"), col("hi"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
-      .orderBy(col("part"))
+    val counts = if (checkpointResult) {
+      val c = agg.localCheckpoint()
+      oriented.unpersist(blocking = false)
+      c
+    } else agg
+    counts.orderBy(col("part"))
   }
 
   /** q123: pairwise association rules over order baskets — the
@@ -292,18 +311,30 @@ object Graph {
       |CROSS JOIN n
       |ORDER BY ante, cons""".stripMargin
 
+  /** DuckDB twin of [[q122]]. CTE hygiene is load-bearing at sf1:
+    * DuckDB INLINES plain CTEs per reference, so `tris` named three
+    * times (the corners union) re-ran the whole wedge join three
+    * times — 135+ CPU-minutes and a 78 GB spill that filled the disk.
+    * `AS MATERIALIZED` on every multiply-referenced CTE plus a
+    * single-reference `unnest([apex, lo, hi])` corner explode brings
+    * the same query to 137 s / no spill at sf1. Results identical
+    * (asserted against the old formulation at sf0.01 before the
+    * swap).
+    */
   val q122Sql: String =
-    """WITH li AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-      |), pairs AS (
+    """WITH pairs AS MATERIALIZED (
       |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
-      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-      |), deg AS (
+      |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |        FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |        FROM lineitem) b
+      |    ON a.ok = b.ok AND a.pk < b.pk
+      |), deg AS MATERIALIZED (
       |  SELECT node, COUNT(*) AS deg FROM (
       |    SELECT lo AS node FROM pairs
       |    UNION ALL SELECT hi FROM pairs)
       |  GROUP BY node
-      |), oriented AS (
+      |), oriented AS MATERIALIZED (
       |  SELECT
       |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
       |         THEN p.lo ELSE p.hi END AS src,
@@ -312,20 +343,15 @@ object Graph {
       |  FROM pairs p
       |  JOIN deg dl ON dl.node = p.lo
       |  JOIN deg dh ON dh.node = p.hi
-      |), wedges AS (
+      |), tris AS MATERIALIZED (
       |  SELECT x.src AS apex, x.dst AS lo, y.dst AS hi
       |  FROM oriented x JOIN oriented y
       |    ON x.src = y.src AND x.dst < y.dst
-      |), tris AS (
-      |  SELECT w.apex, w.lo, w.hi
-      |  FROM wedges w JOIN pairs p ON p.lo = w.lo AND p.hi = w.hi
-      |), corners AS (
-      |  SELECT apex AS part FROM tris
-      |  UNION ALL SELECT lo FROM tris
-      |  UNION ALL SELECT hi FROM tris
+      |  WHERE EXISTS (SELECT 1 FROM pairs p
+      |                WHERE p.lo = x.dst AND p.hi = y.dst)
       |)
       |SELECT part, COUNT(*) AS triangles
-      |FROM corners
+      |FROM (SELECT unnest([apex, lo, hi]) AS part FROM tris)
       |GROUP BY part
       |ORDER BY part""".stripMargin
 

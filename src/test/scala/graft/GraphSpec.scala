@@ -153,6 +153,58 @@ class GraphSpec extends SparkSpec {
     assert(got.values.max >= 2, "graph must need real traversal")
   }
 
+  test("q122 plan: closing join broadcasts below the bound, shuffles above; arms agree") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+      .distinct().localCheckpoint()
+    val bcast = Graph.trianglesOn(pairs, checkpointResult = false)
+    val p = bcast.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"closing join should broadcast the edge set below the bound:\n$p")
+    // force the above-bound arm on the same graph: results identical
+    val shuffled = Graph.trianglesOn(pairs, broadcastMaxRows = 0L)
+    assert(shuffled.collect().map(_.toSeq).toSet ==
+      bcast.collect().map(_.toSeq).toSet)
+    assert(shuffled.collect().map(_.toSeq).toSet ==
+      Graph.q122(spark, sf).collect().map(_.toSeq).toSet)
+  }
+
+  test("q121's partitioning-reuse mechanism: persist preserves hash partitioning") {
+    // every PageRank round joins the persisted edge relation on src;
+    // the whole point of repartition(src).persist() is that the
+    // InMemoryRelation PRESERVES the hash partitioning (a
+    // localCheckpoint does NOT — measured: the ExistingRDD scan
+    // re-exchanged), so only the 16-byte ranks side exchanges per
+    // round. Pin the mechanism.
+    // at bench scale the ranks side auto-broadcasts (also fine); the
+    // preserved partitioning is the 1e9-node path where ranks exceed
+    // any broadcast budget — force that shape to pin it
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ew = spark.range(1000)
+        .select(col("id").as("src"), (col("id") * 2).as("w"))
+        .repartition(col("src")).persist()
+      try {
+        ew.count() // materialize the cache
+        val ranks = spark.range(100)
+          .select(col("id").as("node"), lit(1L).as("pr"))
+        val joined = ew.join(ranks, ew("src") === ranks("node"))
+        val p = joined.queryExecution.executedPlan.toString
+        // the plan string includes the cached relation's OWN build
+        // exchange (REPARTITION_BY_COL, printed twice by AQE) — the
+        // join itself must add exactly one (the ranks side)
+        val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).length
+        assert(exchanges == 1,
+          s"expected ONE join-added exchange (the ranks side), got $exchanges:\n$p")
+        assert(p.contains("InMemoryTableScan"), p)
+      } finally ew.unpersist(blocking = false)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("q121 mass and shape: base floor holds; suppliers out-rank customers") {
     val rows = Graph.q121(spark, sf).collect()
     val base = 15L * Graph.PrScale / 100L
