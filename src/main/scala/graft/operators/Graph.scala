@@ -225,7 +225,14 @@ object Graph {
       val c = agg.localCheckpoint()
       oriented.unpersist(blocking = false)
       c
-    } else agg
+    } else {
+      // plan-spec path: the returned plan still references the cached
+      // relation (Spark recomputes through it after unpersist), but
+      // the cache must not outlive the call — plan inspection never
+      // executes it, and leaving it pinned leaks blocks session-long
+      oriented.unpersist(blocking = false)
+      agg
+    }
     counts.orderBy(col("part"))
   }
 
@@ -366,9 +373,10 @@ object Graph {
     * distinct + anti-join against the settled set — all three keyed
     * on the 8-byte node id; per-level cost is frontier-edge-sized,
     * never graph-sized, and the loop runs diameter-many rounds (the
-    * purchase graph's diameter is ~4; a 20-round cap guards the
-    * degenerate case loudly, the q35 discipline). Driver sees one
-    * count per level, never data.
+    * purchase graph's diameter is ~4; the 12-round cap — shared with
+    * the oracle's recursion bound — guards the degenerate case
+    * loudly, the q35 discipline). Driver sees one count per level,
+    * never data.
     *
     * Oracle: a recursive CTE enumerating (node, depth ≤ 12) pairs
     * and taking MIN(depth) — exact equality with BFS whenever the
@@ -437,18 +445,22 @@ object Graph {
          |    $base + CAST(SUM(w * ((85 * pr) // (100 * deg))) AS BIGINT) AS pr
          |  FROM ew JOIN it${i - 1} ON ew.src = it${i - 1}.node
          |  GROUP BY dst)""".stripMargin
-    s"""WITH pairs AS (
+    // every multiply-referenced CTE is AS MATERIALIZED — DuckDB
+    // inlines plain CTEs (q122Sql's documented pitfall), so without
+    // it the lineitem⨝orders edge build re-executes once per
+    // unrolled round through ew
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
        |    COUNT(*) AS w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT cnode AS src, snode AS dst, w FROM pairs
        |  UNION ALL
        |  SELECT snode AS src, cnode AS dst, w FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src
-       |), ew AS (
+       |), ew AS MATERIALIZED (
        |  SELECT e.src, e.dst, e.w, d.deg FROM edges e JOIN deg d USING (src)
        |), it0 AS (
        |  SELECT src AS node, CAST($PrScale AS BIGINT) AS pr FROM deg

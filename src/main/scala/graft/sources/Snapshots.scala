@@ -4,6 +4,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One referenced batch of a snapshot version: the data dir name, its
+  * row count, and per-column min/max stats ([[ColStat]]) for the
+  * columns the commit declared — the metadata `commitDelete` and
+  * [[Snapshots.readWhere]] prune by.
+  */
+case class BatchRef(batch: String, n_rows: Long,
+    stats: Map[String, ColStat])
+
 /** Versioned parquet dataset — the snapshot/time-travel layer a
   * training-data release needs on top of raw parquet (the Iceberg/
   * Delta table-format idea, reduced to its load-bearing core): every
@@ -17,29 +25,43 @@ import org.apache.spark.sql.functions._
   *   - `data/b<N>/…parquet`   — immutable batch dirs, one per commit
   *                              that wrote data; never rewritten
   *   - `_v/<N>/…parquet`      — manifest N: one row per referenced
-  *                              batch `(batch, n_rows, op, parent)`
+  *                              batch `(batch, n_rows, op, parent,
+  *                              epoch, stats)`
   *   - `_v/_tmp_<N>/`         — in-flight manifest (ignored by reads)
   *
   * Commit protocol (crash-safe on any Hadoop FS with atomic dir
   * rename, the bm_index discipline): data dirs are fully written
   * FIRST, then the manifest is written to `_v/_tmp_<N>` and RENAMED
   * to `_v/<N>`. A crash before the rename leaves only invisible
-  * garbage (an orphan data dir / tmp manifest that no version
-  * references — `expire` reclaims both); a crash after is a completed
-  * commit. Version discovery is one listing of `_v` (max numeric
-  * name), so there is no mutable "current" pointer to corrupt.
-  * Single-writer, like the index stores; concurrent READERS are
-  * always safe.
+  * garbage — and because commit v is the ONLY writer that ever
+  * creates `data/b<v>`, a `data/b<v>` present while `_v/<v>` is not
+  * is PROVABLY a crashed attempt's orphan: the next commit of the
+  * same version deletes it and proceeds (so a crash never wedges the
+  * writer), and `expire` reclaims whatever never gets retried.
+  * Version discovery is one listing of `_v` (max numeric name), so
+  * there is no mutable "current" pointer to corrupt. Single-writer,
+  * like the index stores; concurrent READERS are always safe.
+  *
+  * Exactly-once streaming: `commitAppend`/`commitDelete` take an
+  * optional `epochId` (the foreachBatch batch id), recorded in the
+  * manifest. A retry of the epoch the LATEST version already carries
+  * — the only epoch Structured Streaming ever replays after a crash,
+  * since its checkpoint advances past a batch only once the sink
+  * call returned — is a no-op returning that version, so restart
+  * replays leave every artifact byte-identical.
   *
   * Scale notes: a manifest is batch-count-sized (KB), never
   * data-sized; `readAt` hands Spark the batch dirs as plain parquet
   * paths, so scan pruning/pushdown work exactly as on raw parquet.
-  * `commitDelete` is copy-on-write at BATCH granularity — only
-  * batches that contain matching rows rewrite (a per-batch existence
-  * probe; a production store would short-circuit with column min/max
-  * stats in the manifest, the documented next knob), so a
-  * right-to-be-forgotten delete touching one day's batch rewrites
-  * that batch, not 100 TB.
+  * `commitDelete` is copy-on-write at BATCH granularity, and finds
+  * the batches to rewrite by (1) pruning on the per-batch column
+  * stats the manifest carries ([[SnapshotStats.mayMatch]] — batches
+  * whose min/max envelope can't satisfy the predicate are skipped
+  * without touching their files) and (2) ONE Spark probe job over
+  * the remaining candidates (union read grouped by source batch),
+  * never a per-batch job loop — so a right-to-be-forgotten delete
+  * touching one day's batch rewrites that batch, not 100 TB, and a
+  * 100-batch store pays O(1) job launches, not O(batches).
   */
 object Snapshots {
 
@@ -47,6 +69,9 @@ object Snapshots {
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def manifestDir(root: String) = s"$root/_v"
+
+  /** No-epoch marker in the manifest's `epoch` column. */
+  private val NoEpoch = -1L
 
   /** Versions present, ascending (completed manifests only). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
@@ -80,6 +105,33 @@ object Snapshots {
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, latestVersion(spark, root))
 
+  /** [[readAt]] with manifest-stats pruning: batches whose min/max
+    * envelope can't satisfy `filter` are never handed to the scan
+    * (their files aren't even footer-read), the survivors get the
+    * filter applied as usual — metadata pruning ABOVE parquet's
+    * row-group pruning, the same two-level structure Iceberg gives
+    * Spark. Prunes-to-nothing returns an empty relation with the
+    * store's schema.
+    */
+  def readWhere(spark: SparkSession, root: String, version: Long,
+      filter: Column): DataFrame = {
+    val st = loadManifest(spark, root, version)
+    val refs = st.refs
+    require(refs.nonEmpty,
+      s"version $version references no data (fully-deleted table)")
+    val schema = st.schema.getOrElse(
+      spark.read.parquet(s"$root/data/${refs.last.batch}").schema)
+    val pe = SnapshotStats.resolve(spark, schema, filter)
+    val live = refs.filter(r =>
+      r.stats.isEmpty || SnapshotStats.mayMatch(pe, r.stats))
+    if (live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read
+      .parquet(live.map(r => s"$root/data/${r.batch}"): _*)
+      .filter(filter)
+  }
+
   /** One lineage row per version: (version, op, parent, n_batches,
     * n_rows) — the audit log, from manifests only (no data scan).
     */
@@ -97,12 +149,14 @@ object Snapshots {
     }
 
   private def writeManifest(spark: SparkSession, root: String, version: Long,
-      rows: Seq[(String, Long)], op: String, parent: Long): Unit = {
+      rows: Seq[BatchRef], op: String, parent: Long,
+      epoch: Long = NoEpoch, schemaJson: String = ""): Unit = {
     import spark.implicits._
     val fs = fsOf(spark, root)
     val tmp = s"${manifestDir(root)}/_tmp_$version"
-    rows.map { case (b, n) => (b, n, op, parent) }
-      .toDF("batch", "n_rows", "op", "parent")
+    rows.map(r => (r.batch, r.n_rows, op, parent, epoch, schemaJson, r.stats))
+      .toDF("batch", "n_rows", "op", "parent", "epoch", "schema_json",
+        "stats")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val dst = new Path(s"${manifestDir(root)}/$version")
     if (fs.exists(dst))
@@ -112,49 +166,133 @@ object Snapshots {
       throw new IllegalStateException(s"manifest rename failed for v$version")
   }
 
-  private def currentRows(spark: SparkSession, root: String,
-      version: Long): Seq[(String, Long)] =
-    if (version == 0) Seq.empty
-    else manifest(spark, root, version)
-      .select(col("batch"), col("n_rows")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  /** One version's manifest, decoded: batch refs, the commit's epoch
+    * ([[NoEpoch]] if none / empty manifest) and recorded table
+    * schema (None likewise). ONE read + ONE collect — every commit
+    * path needs all three, and a commit should pay one manifest pass,
+    * not three.
+    */
+  private case class ManifestState(refs: Seq[BatchRef], epoch: Long,
+      schema: Option[org.apache.spark.sql.types.StructType])
 
-  /** Append `df` as a new version; returns the committed version. */
-  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Long = {
+  private def loadManifest(spark: SparkSession, root: String,
+      version: Long): ManifestState = {
+    import spark.implicits._
+    if (version == 0) return ManifestState(Seq.empty, NoEpoch, None)
+    val m = manifest(spark, root, version)
+    val cols = m.columns.toSet
+    if (cols("stats") && cols("epoch") && cols("schema_json")) {
+      val rows = m.select(col("batch"), col("n_rows"), col("stats"),
+          col("epoch"), col("schema_json"))
+        .as[(String, Long, Map[String, ColStat], Long, String)].collect()
+      ManifestState(
+        rows.map { case (b, n, s, _, _) =>
+          BatchRef(b, n, Option(s).getOrElse(Map.empty)) }.toSeq,
+        rows.headOption.map(_._4).getOrElse(NoEpoch),
+        rows.headOption.map(_._5).filter(_.nonEmpty)
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    } else // pre-stats manifest: readable, just unprunable
+      ManifestState(
+        m.select(col("batch"), col("n_rows")).collect()
+          .map(r => BatchRef(r.getString(0), r.getLong(1), Map.empty)).toSeq,
+        NoEpoch, None)
+  }
+
+  private def currentRows(spark: SparkSession, root: String,
+      version: Long): Seq[BatchRef] =
+    loadManifest(spark, root, version).refs
+
+  /** Delete a provably-orphaned `data/b<v>` left by a crashed commit
+    * of this same version (commit v is the only writer that creates
+    * b<v>, and v > latest means no manifest references it), so a
+    * crash after the data write but before the manifest rename never
+    * wedges the next commit.
+    */
+  private def clearOrphan(spark: SparkSession, root: String,
+      batch: String): Unit = {
+    val fs = fsOf(spark, root)
+    val p = new Path(s"$root/data/$batch")
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Append `df` as a new version; returns the committed version.
+    *
+    * `statsCols` declares the columns whose min/max travel in the
+    * manifest (the prune set — pick the partition-like columns
+    * deletes and reads key on: dates, source ids, doc-id ranges).
+    * `epochId` makes the commit idempotent under foreachBatch replay
+    * (see the object doc).
+    */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Seq.empty,
+      epochId: Option[Long] = None): Long = {
     val prev = latestVersion(spark, root)
+    val st = loadManifest(spark, root, prev)
+    if (epochId.isDefined && prev > 0 && st.epoch == epochId.get)
+      return prev
     val v = prev + 1
     val batch = s"b$v"
+    clearOrphan(spark, root, batch)
     df.write.mode("errorifexists").parquet(s"$root/data/$batch")
-    val n = spark.read.parquet(s"$root/data/$batch").count()
+    val written = spark.read.parquet(s"$root/data/$batch")
+    val (n, stats) = SnapshotStats.computeStats(written, statsCols)
     writeManifest(spark, root, v,
-      currentRows(spark, root, prev) :+ (batch, n), "append", prev)
+      st.refs :+ BatchRef(batch, n, stats),
+      "append", prev, epochId.getOrElse(NoEpoch), written.schema.json)
     v
   }
 
   /** Delete rows matching `pred` as a new version — copy-on-write at
     * batch granularity: untouched batches carry over by reference.
+    * Batches to rewrite are found by manifest-stats pruning plus ONE
+    * union-read probe job (see the object doc); rewritten batches
+    * keep stats for the same columns their sources carried.
     */
-  def commitDelete(spark: SparkSession, root: String, pred: Column): Long = {
+  def commitDelete(spark: SparkSession, root: String, pred: Column,
+      epochId: Option[Long] = None): Long = {
     val prev = latestVersion(spark, root)
     require(prev > 0, "nothing committed yet")
+    val st = loadManifest(spark, root, prev)
+    if (epochId.isDefined && st.epoch == epochId.get) return prev
     val v = prev + 1
-    val rows = currentRows(spark, root, prev)
-    val (hit, kept) = rows.partition { case (b, _) =>
-      !spark.read.parquet(s"$root/data/$b").filter(pred).isEmpty
-    }
+    val rows = st.refs
+    val schema = st.schema.getOrElse(
+      if (rows.isEmpty) new org.apache.spark.sql.types.StructType()
+      else spark.read.parquet(s"$root/data/${rows.last.batch}").schema)
+    // metadata prune: batches whose stats envelope can't satisfy pred
+    // carry over without a single file touched
+    val pe = SnapshotStats.resolve(spark, schema, pred)
+    val candidates = rows.filter(r =>
+      r.stats.isEmpty || SnapshotStats.mayMatch(pe, r.stats))
+    // ONE probe job over every candidate: which batches hold matches
+    val hitNames: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read
+        .parquet(candidates.map(r => s"$root/data/${r.batch}"): _*)
+        .filter(pred)
+        .select(regexp_extract(input_file_name(), "/data/([^/]+)/", 1)
+          .as("_b"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val (hit, kept) = rows.partition(r => hitNames.contains(r.batch))
     if (hit.isEmpty) { // audit-trail no-op commit
-      writeManifest(spark, root, v, rows, "delete", prev)
+      writeManifest(spark, root, v, rows, "delete", prev,
+        epochId.getOrElse(NoEpoch), schema.json)
       return v
     }
     val batch = s"b$v"
+    clearOrphan(spark, root, batch)
     // SQL DELETE semantics: only pred = TRUE rows go; NULL survives
     val survivors = spark.read
-      .parquet(hit.map { case (b, _) => s"$root/data/$b" }: _*)
+      .parquet(hit.map(r => s"$root/data/${r.batch}"): _*)
       .filter(!coalesce(pred, lit(false)))
     survivors.write.mode("errorifexists").parquet(s"$root/data/$batch")
-    val n = spark.read.parquet(s"$root/data/$batch").count()
-    val newRows = if (n > 0) kept :+ (batch, n) else kept
-    writeManifest(spark, root, v, newRows, "delete", prev)
+    val keysToKeep = hit.flatMap(_.stats.keys).distinct
+    val (n, stats) = SnapshotStats.computeStats(
+      spark.read.parquet(s"$root/data/$batch"), keysToKeep)
+    val newRows = if (n > 0) kept :+ BatchRef(batch, n, stats) else kept
+    writeManifest(spark, root, v, newRows, "delete", prev,
+      epochId.getOrElse(NoEpoch), schema.json)
     v
   }
 
@@ -162,10 +300,15 @@ object Snapshots {
     * history stays intact (nothing is erased), no data moves.
     */
   def rollback(spark: SparkSession, root: String, toVersion: Long): Long = {
-    val prev = latestVersion(spark, root)
+    val known = versions(spark, root)
+    require(known.contains(toVersion),
+      s"rollback target v$toVersion does not exist (have: " +
+        s"${known.mkString(", ")})")
+    val prev = known.last
     val v = prev + 1
-    writeManifest(spark, root, v,
-      currentRows(spark, root, toVersion), "rollback", toVersion)
+    val target = loadManifest(spark, root, toVersion)
+    writeManifest(spark, root, v, target.refs, "rollback", toVersion,
+      schemaJson = target.schema.map(_.json).getOrElse(""))
     v
   }
 
@@ -176,17 +319,23 @@ object Snapshots {
     * construction (one read → one write of the same rows); prior
     * versions still reference the old batches until `expire`
     * reclaims them, so compaction is as non-destructive as any other
-    * commit.
+    * commit. Stats carry forward for every column any source batch
+    * tracked.
     */
   def commitCompact(spark: SparkSession, root: String): Long = {
     val prev = latestVersion(spark, root)
     require(prev > 0, "nothing committed yet")
     val v = prev + 1
     val batch = s"b$v"
+    clearOrphan(spark, root, batch)
     readAt(spark, root, prev).write
       .mode("errorifexists").parquet(s"$root/data/$batch")
-    val n = spark.read.parquet(s"$root/data/$batch").count()
-    writeManifest(spark, root, v, Seq((batch, n)), "compact", prev)
+    val keys = currentRows(spark, root, prev)
+      .flatMap(_.stats.keys).distinct
+    val written = spark.read.parquet(s"$root/data/$batch")
+    val (n, stats) = SnapshotStats.computeStats(written, keys)
+    writeManifest(spark, root, v, Seq(BatchRef(batch, n, stats)),
+      "compact", prev, schemaJson = written.schema.json)
     v
   }
 
@@ -202,7 +351,7 @@ object Snapshots {
     val (drop, keep) = all.partition(_ < keepFrom)
     require(keep.nonEmpty, "refusing to expire every version")
     val referenced = keep.flatMap(v => currentRows(spark, root, v))
-      .map(_._1).toSet
+      .map(_.batch).toSet
     drop.foreach(v => fs.delete(new Path(s"${manifestDir(root)}/$v"), true))
     // stray in-flight manifests from crashed commits
     fs.listStatus(new Path(manifestDir(root))).toSeq

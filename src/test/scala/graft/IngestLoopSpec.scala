@@ -92,6 +92,61 @@ class IngestLoopSpec extends SparkSpec {
       === verdictMap(Curation.lineDedupOn(docs)))
   }
 
+  test("crash-retry twin: replaying a batch epoch leaves every artifact byte-identical") {
+    // foreachBatch is at-least-once — after a sink crash the SAME
+    // (batchId, df) re-invokes. Each standing artifact guards with
+    // the epoch it recorded at commit: the on-disk index via _stats,
+    // the snapshot store via its manifest, driver-held state via
+    // Epoched. The retry must change NOTHING — not a file length, not
+    // an mtime — and the artifacts must still equal full recomputes.
+    import graft.sources.Snapshots
+    import graft.streaming.Epoched
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 > 0)
+    val day1 = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+    assert(day1.count() > 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_retry_loop").toString
+    standing.write.parquet(s"$tmp/documents.parquet")
+    val idx = s"$tmp/bmidx"
+    val snap = s"$tmp/snap"
+    Search.buildBmIndex(spark, tmp, idx)
+    var st = Epoched(Curation.lineDedupState(standing))
+    def applyBatch(): Unit = {
+      Search.appendBmIndex(spark, idx, day1, epochId = Some(7L))
+      Snapshots.commitAppend(spark, snap, day1, Seq("doc_id"),
+        epochId = Some(7L))
+      st = st.fold(7L) { s => Curation.lineDedupIncrement(s, day1)._1 }
+    }
+    applyBatch()
+
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+    val artifactsBefore =
+      walk(new org.apache.hadoop.fs.Path(idx)) ++
+        walk(new org.apache.hadoop.fs.Path(snap))
+    val stBefore = st
+
+    applyBatch() // the crash retry
+
+    assert(walk(new org.apache.hadoop.fs.Path(idx)) ++
+      walk(new org.apache.hadoop.fs.Path(snap)) === artifactsBefore,
+      "replaying the epoch changed an on-disk artifact")
+    assert(st eq stBefore, "replaying the epoch re-folded driver state")
+    assert(Snapshots.latestVersion(spark, snap) === 1L)
+    // unchanged AND correct: each artifact equals its full recompute
+    assert(hits(Search.searchBmIndex(spark, idx))
+      === hits(Search.bm25On(docs, Search.SearchQueries)))
+    assert(verdictMap(Curation.lineVerdictsFrom(docs, st.state.segments))
+      === verdictMap(Curation.lineDedupOn(docs)))
+  }
+
   private def spanSet(df: DataFrame) = df.collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     .toSet

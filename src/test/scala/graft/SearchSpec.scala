@@ -368,6 +368,40 @@ class SearchSpec extends SparkSpec {
           .toDF("doc_id", "text")), mixed)))
   }
 
+  test("rebuildTermBloom unlearns deleted-only vocabulary; results stay identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bloomrb").toString
+    val idx = s"$tmp/bm"
+    val all = Seq(
+      (1L, "zebraqx unicorntt common retrieval"),
+      (2L, "common retrieval engine"),
+      (3L, "common engine scan")).toDF("doc_id", "text")
+    all.write.parquet(s"$tmp/documents.parquet")
+    Search.buildBmIndex(spark, tmp, idx)
+    assert(Search.readTermBloom(spark, idx).get
+      .mightContainString("zebraqx"))
+    // forget doc 1 — the ONLY holder of zebraqx/unicorntt — with the
+    // bloom rebuild folded in
+    Search.deleteFromBmIndex(spark, idx,
+      all.filter(col("doc_id") === 1), rebuildBloom = true)
+    val after = Search.readTermBloom(spark, idx).get
+    assert(!after.mightContainString("zebraqx") &&
+      !after.mightContainString("unicorntt"),
+      "rebuilt bloom still admits vocabulary only deleted docs held")
+    assert(after.mightContainString("common") &&
+      after.mightContainString("engine"))
+    // and search through the rebuilt screen equals the survivor
+    // recompute (the deleted-only term scoring zero both ways)
+    val survivors = all.filter(col("doc_id") =!= 1)
+    val queries = Seq((1L, "common engine"), (2L, "zebraqx common"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(res(Search.searchBmIndex(spark, idx, queries)) ===
+      res(Search.bm25On(survivors, queries)))
+  }
+
   test("q105 plan: query terms broadcast, top-k is a map-side group limit") {
     val plan = Search.q105(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

@@ -172,6 +172,168 @@ class SnapshotsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a crashed commit's colliding data dir never wedges the writer") {
+    // the round-9 advice bug: a crash AFTER writing data/b3 but BEFORE
+    // the manifest rename left b3 on disk, and the next commit (of the
+    // same version number) died forever on errorifexists. b3 is
+    // provably orphaned (only commit 3 writes b3, and no _v/3 exists),
+    // so the retry must clear it and proceed.
+    val root = freshRoot()
+    Snapshots.commitAppend(spark, root, docs(0 until 10))
+    Snapshots.commitAppend(spark, root, docs(10 until 20))
+    // crashed commit 3: data written, manifest never renamed
+    docs(50 until 60).write.parquet(s"$root/data/b3")
+    val v3 = Snapshots.commitAppend(spark, root, docs(20 until 25))
+    assert(v3 == 3L)
+    assert(Snapshots.readAt(spark, root, 3).count() == 25)
+    // the orphan's rows are GONE, not merged
+    assert(Snapshots.readAt(spark, root, 3)
+      .filter(col("doc_id") >= 50).count() == 0)
+    // a crashed DELETE retried as a delete also proceeds
+    docs(70 until 75).write.parquet(s"$root/data/b4")
+    val v4 = Snapshots.commitDelete(spark, root, col("doc_id") < 5)
+    assert(v4 == 4L)
+    assert(Snapshots.readAt(spark, root, v4).count() == 20)
+  }
+
+  private def jobsDuring[A](body: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = body
+      // listener bus is async: wait until the count stops moving
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(150)
+        val cur = n.get()
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      (out, n.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("delete prunes batches by manifest stats and probes in ONE job") {
+    def buildAndDelete(nBatches: Int): (String, Long, Int) = {
+      val root = freshRoot()
+      (0 until nBatches).foreach(d => Snapshots.commitAppend(spark, root,
+        docs(d * 10 until (d + 1) * 10),
+        statsCols = Seq("doc_id", "source")))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // destroy a batch the stats PROVE can't match (doc_id 0..9): if
+      // the probe or rewrite ever touched it, the read would throw —
+      // the read-path assertion the advice asked for
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/b1"), true)
+      val (v, jobs) = jobsDuring {
+        Snapshots.commitDelete(spark, root,
+          col("doc_id") >= (nBatches * 10 - 8))
+      }
+      (root, v, jobs)
+    }
+    // the claim: job count is O(1) in the batch count — one manifest
+    // pass + ONE union probe + survivor rewrite + manifest write (the
+    // old per-batch isEmpty loop paid ≥ one job per batch, so 12
+    // batches would cost ≥ 8 MORE jobs than 4)
+    val (_, v4, jobs4) = buildAndDelete(4)
+    val (root12, v12, jobs12) = buildAndDelete(12)
+    assert(v4 == 5L && v12 == 13L)
+    assert(math.abs(jobs12 - jobs4) <= 1,
+      s"delete jobs grew with batch count: $jobs4 @4 vs $jobs12 @12")
+    assert(jobs12 <= 14, s"delete launched $jobs12 jobs")
+    // survivors correct (b1 is gone from disk but carried by
+    // reference; read the still-present batches via readWhere)
+    val left = Snapshots.readWhere(spark, root12, v12,
+        col("doc_id") >= 100)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(left == (100 until 112).map(_.toLong).toSet)
+  }
+
+  test("readWhere prunes by stats; stringy and null-safe predicates stay sound") {
+    val root = freshRoot()
+    import spark.implicits._
+    // three batches with DISJOINT source tags and doc_id ranges
+    Snapshots.commitAppend(spark, root,
+      (0 until 10).map(i => (i.toLong, s"doc $i", "alpha"))
+        .toDF("doc_id", "text", "source"),
+      statsCols = Seq("doc_id", "source"))
+    Snapshots.commitAppend(spark, root,
+      (10 until 20).map(i => (i.toLong, s"doc $i", "beta"))
+        .toDF("doc_id", "text", "source"),
+      statsCols = Seq("doc_id", "source"))
+    Snapshots.commitAppend(spark, root,
+      (20 until 30).map(i =>
+          (i.toLong, s"doc $i", if (i == 25) null else "gamma"))
+        .toDF("doc_id", "text", "source"),
+      statsCols = Seq("doc_id", "source"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // b1 destroyed: any non-pruned read of it throws
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/b1"), true)
+    // string equality prunes to b2 only
+    assert(Snapshots.readWhere(spark, root, 3, col("source") === "beta")
+      .count() == 10)
+    // IS NULL prunes to b3 (only batch with a null source)
+    assert(Snapshots.readWhere(spark, root, 3, col("source").isNull)
+      .select("doc_id").head().getLong(0) == 25L)
+    // IN list, disjunction, range — all prune past the dead batch
+    // (the null-source row matches neither IN nor =!=)
+    assert(Snapshots.readWhere(spark, root, 3,
+      col("source").isin("beta", "gamma")).count() == 19)
+    assert(Snapshots.readWhere(spark, root, 3,
+      col("doc_id") > 14 && col("source") =!= "alpha").count() == 14)
+    // prunes-to-nothing: empty relation, schema intact
+    val none = Snapshots.readWhere(spark, root, 3, col("source") === "zzz")
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("doc_id", "text", "source"))
+  }
+
+  test("epoch ids make commits exactly-once under foreachBatch replay") {
+    val root = freshRoot()
+    val v1 = Snapshots.commitAppend(spark, root, docs(0 until 10),
+      Seq("doc_id"), epochId = Some(0L))
+    // the restart replay: same epoch again → same version, no new data
+    val v1b = Snapshots.commitAppend(spark, root, docs(0 until 10),
+      Seq("doc_id"), epochId = Some(0L))
+    assert(v1 == 1L && v1b == 1L)
+    assert(Snapshots.latestVersion(spark, root) == 1L)
+    assert(Snapshots.read(spark, root).count() == 10)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataDirs() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/data"))
+      .map(_.getPath.getName).toSet
+    assert(dataDirs() == Set("b1"))
+    val v2 = Snapshots.commitAppend(spark, root, docs(10 until 20),
+      Seq("doc_id"), epochId = Some(1L))
+    assert(v2 == 2L)
+    // delete replay is idempotent too
+    val v3 = Snapshots.commitDelete(spark, root, col("doc_id") >= 15,
+      epochId = Some(2L))
+    val v3b = Snapshots.commitDelete(spark, root, col("doc_id") >= 15,
+      epochId = Some(2L))
+    assert(v3 == 3L && v3b == 3L)
+    assert(Snapshots.read(spark, root).count() == 15)
+    assert(dataDirs() == Set("b1", "b2", "b3"))
+  }
+
+  test("rollback validates its target version") {
+    val root = freshRoot()
+    Snapshots.commitAppend(spark, root, docs(0 until 5))
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, root, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, root, 99L)
+    }
+    assert(Snapshots.latestVersion(spark, root) == 1L) // nothing committed
+  }
+
   test("version discovery ignores tmp and non-numeric entries") {
     val root = freshRoot()
     Snapshots.commitAppend(spark, root, docs(0 until 5))

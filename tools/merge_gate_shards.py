@@ -18,11 +18,25 @@ args = sys.argv[1:]
 sep = args.index("--")
 out_path, header = args[0], " ".join(args[1:sep])
 results = {}
+conflicts = []
 for log in args[sep + 1:]:
     for line in open(log):
         m = re.match(r"(PASS|ROWS|FAIL)\s+(\S+):\s*(.*)", line)
         if m:
-            results[m.group(2)] = (m.group(1), m.group(3))
+            name, status = m.group(2), m.group(1)
+            # shards must be disjoint: a repeated name with a DIFFERENT
+            # status means overlapping shards or a stale log, and
+            # last-writer-wins could silently mask a FAIL — refuse.
+            if name in results and results[name][0] != status:
+                conflicts.append(
+                    f"{name}: {results[name][0]} (earlier log) vs "
+                    f"{status} ({log})")
+            results[name] = (status, m.group(3))
+if conflicts:
+    sys.stderr.write(
+        "CONFLICTING statuses across shard logs (overlap or stale log?):\n"
+        + "\n".join("  " + c for c in conflicts) + "\n")
+    sys.exit(1)
 n_pass = sum(1 for s, _ in results.values() if s == "PASS")
 n_rows = sum(1 for s, _ in results.values() if s == "ROWS")
 n_fail = sum(1 for s, _ in results.values() if s == "FAIL")
