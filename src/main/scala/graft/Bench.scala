@@ -101,9 +101,15 @@ object Bench {
     })
     // warm-up at the smallest SF: JIT, codegen cache, parquet reader,
     // shuffle machinery — so timed runs below measure steady state
+    // optional single/subset-query mode for iterating on one operator
+    // (comma-separated names); full runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queryList.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // codegen/JIT telemetry (round 9): the 2 GiB code cache is the
@@ -117,7 +123,7 @@ object Bench {
     val codegenHist = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_GENERATED_CLASS_BYTECODE_SIZE
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queryList.map { case (name, fn) =>
       // min of two timed executions: this box is shared (background
       // load spikes showed up as multi-second stalls on trivial
       // queries), and min-of-N is the standard steady-state estimator
@@ -184,17 +190,27 @@ object Bench {
     val total = ok.map(_.wall).sum
     // regression tripwire: diff (wall, shuffle) against the PREVIOUS
     // committed detail — read before this run overwrites it, compared
-    // only when the scale factor matches
-    val prevRun = try {
-      val src = scala.io.Source.fromFile("bench_detail_last.json")
+    // only when the scale factor matches. Each SF keeps its OWN
+    // detail snapshot (bench_detail_<sf>.json) so an sf1 run diffs
+    // the last sf1 run even when sf0.1 ran in between (round-10
+    // verdict: the sf1 gate compared only totals, so a 10×-scale
+    // per-query regression could hide in the sum).
+    val sfKey = new java.io.File(sfDir).getName
+    def readFile(p: String): Option[String] = try {
+      val src = scala.io.Source.fromFile(p)
       try Some(src.mkString) finally src.close()
     } catch { case _: Throwable => None }
+    val prevRun = readFile(s"bench_detail_$sfKey.json")
+      .orElse(readFile("bench_detail_last.json"))
     val prevMap = prevRun.filter(p => sfOf(p).contains(sfDir))
       .map(parseDetail).getOrElse(Map.empty)
     val curMap = ok.map(q =>
       // shuffle at the file's 0.1 MB grain
       q.name -> (q.wall, math.rint(q.shMb * 10) / 10)).toMap
-    val regs = regressionsOf(prevMap, curMap)
+    // subset runs skip the tripwire: every unrun query would read as
+    // "gone" against the full baseline
+    val regs =
+      if (only.isDefined) Seq.empty else regressionsOf(prevMap, curMap)
     def regsJson(n: Int): String = regs.take(n).map { case (q, kind, p, c) =>
       s"""{"q":"$q","kind":"$kind","prev":${math.rint(p * 1000) / 1000},""" +
       s""""cur":${math.rint(c * 1000) / 1000}}"""
@@ -226,10 +242,16 @@ object Bench {
       s""""errors":$errs,"regressions":${regsJson(8)},""" +
       s""""n_reg":${regs.size},"sf":"$sfDir"}"""
     Console.err.println(detail)
-    try {
-      val w = new java.io.PrintWriter("bench_detail_last.json")
-      try w.println(detail) finally w.close()
-    } catch { case _: Throwable => () }
+    // subset runs (SPARK_GRAFT_ONLY) never overwrite the committed
+    // baselines — a 1-query detail would make every other query read
+    // as "gone" on the next full run
+    if (only.isEmpty) Seq("bench_detail_last.json",
+        s"bench_detail_$sfKey.json").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p)
+        try w.println(detail) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     // The LAST stdout line must carry the graded numbers on its own:
     // the driver keeps only a 2000-char tail, so this line stays
     // compact — total, slowest 12 queries, biggest 5 shuffles,

@@ -170,6 +170,16 @@ class GraphSpec extends SparkSpec {
       bcast.collect().map(_.toSeq).toSet)
     assert(shuffled.collect().map(_.toSeq).toSet ==
       Graph.q122(spark, sf).collect().map(_.toSeq).toSet)
+    // the shuffle arm screens wedges with the edge Bloom BEFORE the
+    // exchange (round 10) — the screen must sit in the plan, and the
+    // broadcast arm must NOT pay for it
+    val sp = Graph.trianglesOn(pairs, broadcastMaxRows = 0L,
+      checkpointResult = false).queryExecution.executedPlan.toString
+    assert(sp.contains("graft_bloom_contains_long"),
+      s"shuffle arm lost its wedge Bloom screen:\n$sp")
+    assert(!bcast.queryExecution.executedPlan.toString
+      .contains("graft_bloom_contains_long"),
+      "broadcast arm should not build a Bloom")
   }
 
   test("q121's partitioning-reuse mechanism: persist preserves hash partitioning") {
