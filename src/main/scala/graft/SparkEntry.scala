@@ -173,6 +173,9 @@ object SparkEntry {
     "q123_assoc_rules" -> (Graph.q123 _),
     // frontier-parallel BFS hop distances; capped recursive-CTE twin
     "q124_bfs_hops" -> ((s, d) => Graph.q124(s, d)),
+    // personalized PageRank: q121's int64 loop with teleport mass
+    // restarting at a seed supplier decile — contamination tracing
+    "q125_ppr" -> ((s, d) => Graph.q125(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +289,7 @@ object SparkEntry {
     "q122_triangles" -> Graph.q122Sql,
     "q123_assoc_rules" -> Graph.q123Sql,
     "q124_bfs_hops" -> Graph.q124Sql,
+    "q125_ppr" -> Graph.q125Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

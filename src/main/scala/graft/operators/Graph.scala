@@ -119,6 +119,126 @@ object Graph {
       .orderBy(col("pr").desc, col("node"))
   }
 
+  /** q125: PERSONALIZED PageRank over the purchase graph — teleport
+    * mass restarts at a SEED SET instead of everywhere, so scores
+    * measure proximity-weighted reachability from the seeds: the
+    * contamination-tracing primitive ("how exposed is each node to
+    * these flagged sources?", Haveliwala WWW '02 topic-sensitive
+    * PageRank) that q124's hop counts answer only un-weighted.
+    *
+    * Seeds: every supplier with `s_suppkey % 10 = 3` — a deterministic
+    * decile, nonempty at every SF. The loop is [[q121]]'s VERBATIM
+    * (same int64 1e-12 grid, same floored per-unit-weight quotient,
+    * same five rounds — the floor placement and scale headroom
+    * contracts carry over unchanged; total mass is SMALLER than
+    * q121's since only seeds inject base mass); the only differences
+    * are the initial vector (SCALE on seeds, 0 elsewhere) and the
+    * per-round base term (`(15·SCALE) DIV 100` on seeds, 0
+    * elsewhere). The symmetric closure gives every node an in-edge,
+    * so the per-round groupBy(dst) covers EVERY node — zero-rank
+    * nodes contribute 0-valued rows, not absent rows — and the
+    * base relation joins back without an outer join.
+    *
+    * Spark shape: identical to q121 — one persisted hash-partitioned
+    * edge relation, per round one join + one int64 sum, plus one
+    * node-sized base join (broadcast at bench scale; key-partitioned
+    * like the ranks side at 1e9 nodes). Oracle: the same five rounds
+    * unrolled as chained DuckDB CTEs.
+    */
+  def q125(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .groupBy(col("cnode"), col("snode"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"),
+        col("w"))
+      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
+        col("w")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val ew = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist() // see q121's partitioning note
+    val baseUnit = (15L * PrScale) / DampDen
+    // node-sized (node, base) relation: teleport mass lands on seeds
+    // only; built once, checkpointed, joined back every round (`div`
+    // keeps the suppkey recovery in int64 — `/` would go double)
+    val baseRel = deg.select(col("src").as("node"))
+      .withColumn("base",
+        when(expr("node % 2 = 1 AND ((node - 1) div 2) % 10 = 3"),
+          lit(baseUnit)).otherwise(lit(0L)))
+      .localCheckpoint()
+    var ranks = baseRel
+      .select(col("node"),
+        when(col("base") > 0, lit(PrScale)).otherwise(lit(0L)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(ranks, ew("src") === ranks("node"))
+        .selectExpr("dst",
+          s"w * (($DampNum * pr) div ($DampDen * deg)) AS contrib")
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = inflow
+        .join(baseRel, inflow("dst") === baseRel("node"))
+        .select(col("node"), (col("base") + col("inflow")).as("pr"))
+        .localCheckpoint()
+    }
+    ew.unpersist(blocking = false)
+    ranks
+      .select(col("node"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+          .as("kind"),
+        (col("node") / 2).cast("long").as("key"),
+        col("pr"))
+      .orderBy(col("pr").desc, col("node"))
+  }
+
+  val q125Sql: String = {
+    val baseUnit = (15L * PrScale) / DampDen
+    def round(i: Int): String =
+      s"""it$i AS (
+         |  SELECT dst AS node,
+         |    b.base + CAST(SUM(w * ((85 * pr) // (100 * deg)))
+         |      AS BIGINT) AS pr
+         |  FROM ew JOIN it${i - 1} ON ew.src = it${i - 1}.node
+         |  JOIN base b ON b.node = ew.dst
+         |  GROUP BY dst, b.base)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+       |    COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS MATERIALIZED (
+       |  SELECT cnode AS src, snode AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT snode AS src, cnode AS dst, w FROM pairs
+       |), deg AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src
+       |), ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, d.deg FROM edges e JOIN deg d USING (src)
+       |), base AS MATERIALIZED (
+       |  SELECT src AS node,
+       |    CASE WHEN src % 2 = 1 AND ((src - 1) // 2) % 10 = 3
+       |         THEN CAST($baseUnit AS BIGINT) ELSE CAST(0 AS BIGINT)
+       |    END AS base
+       |  FROM deg
+       |), it0 AS (
+       |  SELECT node,
+       |    CASE WHEN base > 0 THEN CAST($PrScale AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM base
+       |),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  node // 2 AS key, pr
+       |FROM it5
+       |ORDER BY pr DESC, node""".stripMargin
+  }
+
   /** q122: per-node triangle counts over the part co-order graph —
     * the second graph-analytics operator, and the canonical "an
     * unoriented self-join explodes; orient first" scale lesson.

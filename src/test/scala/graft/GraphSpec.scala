@@ -63,6 +63,53 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Driver twin of q125: q121's update with seed-restricted base
+    * mass and a seed-restricted initial vector.
+    */
+  private def brutePpr(edges: Seq[(Long, Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val out = edges.groupBy(_._1)
+    val deg = out.map { case (s, es) => s -> es.map(_._3).sum }
+    def isSeed(n: Long) = n % 2 == 1 && ((n - 1) / 2) % 10 == 3
+    val baseUnit = 15L * Graph.PrScale / 100L
+    var pr: Map[Long, Long] = deg.keys
+      .map(n => n -> (if (isSeed(n)) Graph.PrScale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((src, dst, w) <- edges) {
+        val q = (85L * pr(src)) / (100L * deg(src))
+        inflow(dst) += w * q
+      }
+      pr = deg.keys.map(n =>
+        n -> ((if (isSeed(n)) baseUnit else 0L) + inflow(n))).toMap
+    }
+    pr
+  }
+
+  test("q125 bit-equals an imperative driver PPR; mass stays seed-anchored") {
+    val got = Graph.q125(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val edges = edgesOf(sf)
+    val want = brutePpr(edges, iters = 5)
+    assert(got.keySet == want.keySet)
+    val diff = got.collect { case (n, p) if want(n) != p => n }
+    assert(diff.isEmpty, s"ppr differs at nodes: ${diff.take(5)}")
+    // seed-set semantics: the seed decile exists, every seed carries
+    // at least its own base mass, and total mass is well under
+    // q121's (teleport injects at seeds only)
+    def isSeed(n: Long) = n % 2 == 1 && ((n - 1) / 2) % 10 == 3
+    val seeds = got.keySet.filter(isSeed)
+    assert(seeds.nonEmpty, "seed decile empty — pick a different seed rule")
+    val baseUnit = 15L * Graph.PrScale / 100L
+    assert(seeds.forall(s => got(s) >= baseUnit))
+    val q121Mass = Graph.q121(spark, sf).collect()
+      .map(_.getAs[Long]("pr")).map(BigInt(_)).sum
+    assert(got.values.map(BigInt(_)).sum < q121Mass)
+    // proximity, not just reachability: some non-seed node holds mass
+    assert(got.exists { case (n, p) => !isSeed(n) && p > 0 })
+  }
+
   test("q122 bit-equals an adjacency-intersection brute force on the real graph") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).collect()
