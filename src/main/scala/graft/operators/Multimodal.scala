@@ -780,40 +780,65 @@ object Multimodal {
     * contains. Output `(ia, ib, doc_a, variant_a, doc_b, variant_b,
     * hamming)`, `ia < ib`.
     *
-    * Scale shape: hashing is map-only inside the media scan; the band
-    * join shuffles 16-byte rows on (band, chunk) — boilerplate bands
-    * (a constant-color cell row hashing to chunk 0) behave like q31's
-    * stop shingles and would be df-capped in a skewed real corpus;
-    * the exact Hamming check runs on candidates only. Rows-only
-    * (dHash is not SQL-expressible); MultimodalSpec asserts
-    * bit-equality against an in-driver brute force at the full-recall
-    * threshold and thumbnail-pair recall.
+    * Scale shape: hashing is map-only inside the media scan; pair
+    * emission is q31's capped inverted index on (band, chunk) —
+    * `collect_capped` bounds every bucket's posting buffer and
+    * TOMBSTONES hot buckets map-side (round 10: a boilerplate band —
+    * a constant-color cell row hashing every image to the same chunk
+    * — would otherwise collect the whole corpus into ONE task and
+    * emit C(N,2) pairs; at the cap the worst bucket emits
+    * C(cap,2)), then each surviving sorted posting list emits its
+    * pairs in codegen. Recall statement UNDER the cap: a pair is
+    * found iff it shares at least one sub-cap band — pairs whose
+    * only agreement is boilerplate bands are dropped exactly like
+    * q31's stop-shingle overlaps (corpus-wide identical imagery is
+    * q30-style exact dedup's job; MultimodalSpec pins both the
+    * spread and the planted hot-band behavior). The exact Hamming
+    * check runs on candidates only. Rows-only (dHash is not
+    * SQL-expressible); MultimodalSpec asserts bit-equality against
+    * an in-driver brute force at the full-recall threshold and
+    * thumbnail-pair recall.
     */
   def q119(spark: SparkSession, dir: String): DataFrame =
     phashPairsOf(imageHashes(photoTable(spark, dir)).toDF())
+
+  /** Posting cap per (band, chunk) bucket — the q31 `DefaultDfCap`
+    * rationale at image scale: above it a bucket is boilerplate
+    * imagery, its C(df,2) fan-out quadratic while its 8-bit-band
+    * evidence is near zero.
+    */
+  val PhashBandDfCap = 1000
 
   /** [[q119]]'s pair machinery over an arbitrary
     * `(img_id, doc_id, variant, phash)` relation — the form the spec
     * feeds planted corpora.
     */
   private[graft] def phashPairsOf(hashes: DataFrame,
-      maxHamming: Int = PhashMaxHamming): DataFrame = {
-    val banded = hashes.select(col("img_id"), col("doc_id"),
-      col("variant"), col("phash"),
+      maxHamming: Int = PhashMaxHamming,
+      bandDfCap: Int = PhashBandDfCap): DataFrame = {
+    graft.functions.GraftFunctions.register(hashes.sparkSession)
+    val banded = hashes.select(
+      struct(col("img_id").as("id"), col("doc_id"), col("variant"),
+        col("phash")).as("img"),
       posexplode(array((0 until 8).map(j =>
         shiftrightunsigned(col("phash"), 8 * j)
           .bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "chunk")))
-    val a = banded.select(col("img_id").as("ia"), col("doc_id").as("doc_a"),
-      col("variant").as("variant_a"), col("phash").as("ha"),
-      col("band"), col("chunk"))
-    val b = banded.select(col("img_id").as("ib"), col("doc_id").as("doc_b"),
-      col("variant").as("variant_b"), col("phash").as("hb"),
-      col("band"), col("chunk"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"), col("doc_a"), col("variant_a"),
-        col("doc_b"), col("variant_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+    // capped inverted index: hot buckets tombstone map-side (null),
+    // survivors sort by img_id (unique within a bucket — one row per
+    // (img, band)) so emitted pairs have ia < ib by construction
+    banded.groupBy(col("band"), col("chunk"))
+      .agg(expr(s"collect_capped(img, $bandDfCap)").as("dsr"))
+      .filter(col("dsr").isNotNull && size(col("dsr")) > 1)
+      .select(sort_array(col("dsr")).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a.id").as("ia"), col("p.b.id").as("ib"),
+        col("p.a.doc_id").as("doc_a"), col("p.a.variant").as("variant_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.variant").as("variant_b"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("ia"), col("ib"))

@@ -246,6 +246,63 @@ class MultimodalSpec extends SparkSpec {
     assert(selfPairs >= (dists.size * 9) / 10)
   }
 
+  test("q119 hot-band cap: a constant boilerplate band tombstones instead of " +
+      "all-pairing; sub-cap bands keep full recall") {
+    import spark.implicits._
+    // 60 images in 30 near-dup pairs: band 0 (low byte) is the SAME
+    // 0xAA for every image (the constant-color boilerplate row);
+    // bands 1-6 are pair-unique (derived from the pair index), and
+    // the two renditions of a pair differ by exactly one bit in band
+    // 7 → true pairs are (2i, 2i+1) at hamming 1, sharing bands 0-6;
+    // CROSS-pair agreement is band 0 only.
+    def h(pair: Long, flip: Boolean): Long = {
+      var v = 0xAAL // band 0: constant
+      for (j <- 1 to 6) // pseudo-random sub-cap bands
+        v |= ((pair * 2654435761L + j * 40503L) >>> 13 & 0xFFL) << (8 * j)
+      v |= (if (flip) 0x81L else 0x80L) << 56 // band 7: 1-bit delta
+      v
+    }
+    val planted = (0L until 30L).flatMap(p => Seq(
+      (2 * p, p, "src", h(p, flip = false)),
+      (2 * p + 1, p, "thumb", h(p, flip = true))))
+    val hashes = planted
+      .toDF("img_id", "doc_id", "variant", "phash")
+    // driver truth, from first principles: a pair surfaces iff
+    // hamming ≤ max AND it shares ≥ 1 band whose bucket is ≤ cap
+    def bandsOf(v: Long) = (0 until 8).map(j => (j, (v >>> (8 * j)) & 0xFFL))
+    val bucketN = planted.flatMap(r => bandsOf(r._4))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def want(cap: Int) = (for {
+      i <- planted.indices.iterator
+      j <- (i + 1) until planted.length
+      d = java.lang.Long.bitCount(planted(i)._4 ^ planted(j)._4)
+      if d <= Multimodal.PhashMaxHamming
+      shared = bandsOf(planted(i)._4).toSet
+        .intersect(bandsOf(planted(j)._4).toSet)
+      if shared.exists(b => bucketN(b) <= cap)
+    } yield (planted(i)._1, planted(j)._1, d.toLong)).toSet
+    def got(cap: Int) = Multimodal.phashPairsOf(hashes, bandDfCap = cap)
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"),
+        r.getAs[Long]("hamming"))).toSet
+    // capped: band 0's 60-image bucket (> cap 10) tombstones map-side,
+    // true pairs still surface through their sub-cap shared bands —
+    // no bucket ever materializes the corpus
+    assert(got(10) === want(10))
+    val selfPairs = (0L until 30L).map(p => (2 * p, 2 * p + 1, 1L)).toSet
+    assert(selfPairs.subsetOf(got(10)),
+      "a planted rendition pair fell to the hot-band cap")
+    // uncapped: the full-recall contract over every band
+    assert(got(1000000) === want(1000000))
+    // the honest edge, pinned: if EVERY band is boilerplate (all 60
+    // images identical), every bucket tombstones and the capped run
+    // reports nothing — corpus-wide identical imagery is exact-dedup's
+    // (q30) job, exactly like q31's stop-shingle contract
+    val allSame = (0L until 60L).map(i => (i, i / 2,
+        if (i % 2 == 0) "src" else "thumb", 0x5555555555555555L))
+      .toDF("img_id", "doc_id", "variant", "phash")
+    assert(Multimodal.phashPairsOf(allSame, bandDfCap = 10).isEmpty)
+  }
+
   test("dHash is bit-deterministic across runs and partitionings") {
     val a = Multimodal.imageHashes(Multimodal.photoTable(spark, sf))
       .collect().map(h => h.img_id -> h.phash).toMap
