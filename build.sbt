@@ -65,4 +65,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JVM startup) — storms past this ceiling can only be addressed by
   // shrinking codegen class volume, not more cache.
   "-XX:ReservedCodeCacheSize=2g",
-)
+) ++
+  // ad-hoc JVM flags for JIT/GC probes (e.g. -XX:-TieredCompilation,
+  // -XX:+PrintCompilation) without editing the build
+  sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -11,7 +11,8 @@ object Bench {
     * beyond the sf0.001 warmup), error if any.
     */
   private case class QRes(name: String, wall: Double, shMb: Double,
-      spMb: Double, cgClasses: Long, jitMs: Long, err: Option[String])
+      spMb: Double, cgClasses: Long, jitMs: Long, err: Option[String],
+      runs: Seq[Double] = Seq.empty)
 
   /** (wall_sec, shuffle_mb) per query from a bench detail line —
     * the tolerant inverse of the writer below (numeric sections only;
@@ -168,14 +169,15 @@ object Bench {
       // raw delta over all runs IS the query's marginal footprint
       QRes(name, times.min, shMb, spMb,
         codegenHist.getCount - cg0,
-        jitBean.getTotalCompilationTime - jit0, err)
+        jitBean.getTotalCompilationTime - jit0, err,
+        times.reverse)
     }
     val ok = results.filter(_.err.isEmpty)
     val qs = ok.map(q => s"\"" + q.name + "\":" + q.wall)
       .mkString("{", ",", "}")
     val sh = ok.map(q =>
       s"\"" + q.name + "\":" + f"${q.shMb}%.1f").mkString("{", ",", "}")
-    val errsList = results.collect { case QRes(k, _, _, _, _, _, Some(e)) =>
+    val errsList = results.collect { case QRes(k, _, _, _, _, _, Some(e), _) =>
       // exception text can carry ANY control char (Netty/Hadoop
       // messages embed NULs and ESC) — strip the whole C0 range, not
       // just \n\r\t, or the one-line bench JSON stops parsing
@@ -229,6 +231,12 @@ object Bench {
       .mkString("{", ",", "}")
     val jit = ok.map(q => s"\"" + q.name + "\":" + q.jitMs)
       .mkString("{", ",", "}")
+    // every timed sample in run order (detail-only): min hides the
+    // variance the q39 JIT-replay probes need to see
+    val runsJ = ok.map(q => s"\"" + q.name + "\":" +
+      q.runs.map(t => math.rint(t * 1000) / 1000)
+        .mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val codeCacheMb = scala.jdk.CollectionConverters
       .ListHasAsScala(java.lang.management.ManagementFactory
         .getMemoryPoolMXBeans).asScala
@@ -237,7 +245,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
-      s""""codegen_classes":$cg,"jit_ms":$jit,""" +
+      s""""codegen_classes":$cg,"jit_ms":$jit,"runs":$runsJ,""" +
       s""""code_cache_mb":${f"$codeCacheMb%.1f"},""" +
       s""""errors":$errs,"regressions":${regsJson(8)},""" +
       s""""n_reg":${regs.size},"sf":"$sfDir"}"""

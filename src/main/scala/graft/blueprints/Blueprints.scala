@@ -86,12 +86,13 @@ object Blueprints {
       retries = m.getOrElse("--retries", "0").toInt,
       backoffMs = m.getOrElse("--backoff-ms", "1000").toLong,
       resume = m.get("--resume").exists(_.toBoolean),
-      // FTPS (RFC 4217) — beyond the reference (plain ftplib.FTP),
-      // because production credentialed FTP is overwhelmingly FTPS
+      // FTPS (RFC 4217) and SFTP (SSH2) — beyond the reference (plain
+      // ftplib.FTP), because production credentialed file movement is
+      // overwhelmingly one of those two
       protocol = {
         val p = m.getOrElse("--protocol", "ftp").toLowerCase
-        require(p == "ftp" || p == "ftps",
-          s"--protocol must be ftp|ftps, got $p")
+        require(p == "ftp" || p == "ftps" || p == "sftp",
+          s"--protocol must be ftp|ftps|sftp, got $p")
         p
       },
       tlsInsecure = m.get("--tls-insecure").exists(_.toBoolean),
@@ -104,10 +105,11 @@ object Blueprints {
     */
   def ftpUri(spark: SparkSession, a: Args): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val (scheme, impl) =
-      if (a.protocol == "ftps")
-        ("gftps", "graft.sources.ftp.GraftFtpsFileSystem")
-      else ("gftp", "graft.sources.ftp.GraftFtpFileSystem")
+    val (scheme, impl) = a.protocol match {
+      case "ftps" => ("gftps", "graft.sources.ftp.GraftFtpsFileSystem")
+      case "sftp" => ("gsftp", "graft.sources.ssh.GraftSftpFileSystem")
+      case _ => ("gftp", "graft.sources.ftp.GraftFtpFileSystem")
+    }
     conf.set(s"fs.$scheme.impl", impl)
     conf.set(s"fs.$scheme.impl.disable.cache", "true")
     conf.set(s"fs.$scheme.user", a.username)

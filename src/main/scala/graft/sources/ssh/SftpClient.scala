@@ -1,0 +1,367 @@
+package graft.sources.ssh
+
+import java.io.{ByteArrayOutputStream, EOFException, IOException, InputStream, OutputStream}
+import java.net.Socket
+
+import SftpProto._
+
+/** Minimal SFTPv3 client over [[SshTransport]] — the SSH twin of
+  * [[graft.sources.ftp.FtpClient]]: one connection, synchronous
+  * request/response, streams for the Hadoop adapter. Unlike FTP,
+  * SFTP reads are RANDOM-ACCESS (`READ handle offset len`), so the
+  * `gsftp://` seek path needs no reconnect at all — a parquet footer
+  * probe is literally one 8-byte read.
+  *
+  * Host trust: pass `expectedHostKey` (the server's `ssh-ed25519`
+  * blob) to pin it — the production posture; None accepts any host
+  * key (the `ssh -o StrictHostKeyChecking=no` stance, for loopback
+  * and first-contact tooling). Wrong credentials surface as the
+  * reference's exit-3 bad-credentials taxonomy, like the FTP 530
+  * path.
+  */
+final class SftpClient(host: String, port: Int = 22, user: String,
+    password: String, expectedHostKey: Option[Array[Byte]] = None) {
+
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val t = new SshTransport(sock, isServer = false)
+
+  private var peerChan = 0L
+  private var peerWindow = 0L
+  private var peerMaxPacket = 32768L
+  private var granted = 0L
+  private var channelOpen = false
+  private val sftpBuf = new ByteArrayOutputStream(128 << 10)
+  private var reqId = 0L
+
+  // ---- handshake ---------------------------------------------------
+  t.exchangeVersions()
+  t.runKex(verifier = blob => expectedHostKey.foreach { e =>
+    if (!java.util.Arrays.equals(e, blob))
+      throw new IOException("ssh host key mismatch (pinned key differs)")
+  })
+  t.writePacket(new SshWriter().u8(SshMsg.ServiceRequest)
+    .text("ssh-userauth").bytes)
+  expectMsg(SshMsg.ServiceAccept)
+  t.writePacket(new SshWriter().u8(SshMsg.UserauthRequest)
+    .text(user).text("ssh-connection").text("password").bool(false)
+    .text(password).bytes)
+  locally {
+    var done = false
+    while (!done) {
+      val p = t.readMessage()
+      (p(0) & 0xFF) match {
+        case SshMsg.UserauthSuccess => done = true
+        case SshMsg.UserauthBanner => () // display text — skip
+        case SshMsg.UserauthFailure =>
+          throw graft.sources.FileOps.GraftFsError(3,
+            s"sftp login failed for user $user")
+        case m => throw new IOException(s"unexpected userauth reply $m")
+      }
+    }
+  }
+  t.writePacket(new SshWriter().u8(SshMsg.ChannelOpen).text("session")
+    .u32(0L).u32(1L << 30).u32(65536L).bytes)
+  locally {
+    val p = expectMsg(SshMsg.ChannelOpenConfirmation)
+    val r = new SshReader(p, 1)
+    r.u32() // our id (0)
+    peerChan = r.u32(); peerWindow = r.u32(); peerMaxPacket = r.u32()
+    channelOpen = true
+  }
+  t.writePacket(new SshWriter().u8(SshMsg.ChannelRequest).u32(peerChan)
+    .text("subsystem").bool(true).text("sftp").bytes)
+  expectMsg(SshMsg.ChannelSuccess)
+  sendSftp(new SshWriter().u8(Init).u32(SftpProto.Version).bytes)
+  locally {
+    val v = awaitSftpPacket()
+    if ((v(0) & 0xFF) != VersionMsg)
+      throw new IOException("sftp INIT not acknowledged")
+  }
+
+  def close(): Unit = {
+    try {
+      if (channelOpen)
+        t.writePacket(new SshWriter().u8(SshMsg.ChannelClose)
+          .u32(peerChan).bytes)
+    } catch { case _: Throwable => () }
+    t.close()
+  }
+
+  // ---- channel plumbing --------------------------------------------
+
+  /** Handle one incoming message; returns it if it is NOT absorbed
+    * channel plumbing (data/window bookkeeping).
+    */
+  private def dispatch(p: Array[Byte]): Option[Array[Byte]] =
+    (p(0) & 0xFF) match {
+      case SshMsg.ChannelWindowAdjust =>
+        val r = new SshReader(p, 1); r.u32()
+        peerWindow += r.u32(); None
+      case SshMsg.ChannelData =>
+        val r = new SshReader(p, 1); r.u32()
+        val data = r.string()
+        granted += data.length
+        if (granted > (1L << 29)) {
+          t.writePacket(new SshWriter().u8(SshMsg.ChannelWindowAdjust)
+            .u32(peerChan).u32(granted).bytes)
+          granted = 0
+        }
+        sftpBuf.write(data, 0, data.length); None
+      case SshMsg.ChannelEof => None
+      case SshMsg.ChannelClose =>
+        channelOpen = false
+        throw new EOFException("sftp channel closed by server")
+      case SshMsg.ChannelExtendedData =>
+        None // stderr chatter — irrelevant to sftp
+      case _ => Some(p)
+    }
+
+  private def expectMsg(msg: Int): Array[Byte] = {
+    while (true) {
+      dispatch(t.readMessage()) match {
+        case Some(p) if (p(0) & 0xFF) == msg => return p
+        case Some(p) if (p(0) & 0xFF) == SshMsg.ChannelFailure =>
+          throw new IOException("ssh channel request failed")
+        case Some(p) =>
+          throw new IOException(s"unexpected ssh msg ${p(0) & 0xFF}")
+        case None => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def sendSftp(pkt: Array[Byte]): Unit = {
+    val framed = new SshWriter().u32(pkt.length.toLong).raw(pkt).bytes
+    var off = 0
+    while (off < framed.length) {
+      val n = math.min(framed.length - off,
+        math.min(peerMaxPacket, 32768L)).toInt
+      while (peerWindow < n) dispatch(t.readMessage())
+      t.writePacket(new SshWriter().u8(SshMsg.ChannelData).u32(peerChan)
+        .string(java.util.Arrays.copyOfRange(framed, off, off + n)).bytes)
+      peerWindow -= n
+      off += n
+    }
+  }
+
+  private def awaitSftpPacket(): Array[Byte] = {
+    while (true) {
+      val buf = sftpBuf.toByteArray
+      if (buf.length >= 4) {
+        val len = new SshReader(buf).u32()
+        if (buf.length - 4 >= len) {
+          val pkt = java.util.Arrays.copyOfRange(buf, 4, 4 + len.toInt)
+          val rest = java.util.Arrays.copyOfRange(buf,
+            4 + len.toInt, buf.length)
+          sftpBuf.reset(); sftpBuf.write(rest, 0, rest.length)
+          return pkt
+        }
+      }
+      dispatch(t.readMessage()).foreach(p =>
+        throw new IOException(s"unexpected ssh msg ${p(0) & 0xFF}"))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- sftp rpc ------------------------------------------------------
+
+  /** One synchronous request; returns (response type, reader past the
+    * echoed id).
+    */
+  private def rpc(tpe: Int)(build: SshWriter => SshWriter)
+      : (Int, SshReader) = {
+    reqId += 1
+    val payload = build(new SshWriter().u8(tpe).u32(reqId)).bytes
+    sendSftp(payload)
+    val resp = awaitSftpPacket()
+    val r = new SshReader(resp)
+    val rt = r.u8()
+    val rid = r.u32()
+    if (rid != reqId)
+      throw new IOException(s"sftp response id $rid for request $reqId")
+    (rt, r)
+  }
+
+  private def statusCode(rt: Int, r: SshReader): Long = {
+    require(rt == Status, s"expected STATUS, got $rt")
+    r.u32()
+  }
+
+  private def expectOk(rt: Int, r: SshReader, what: String): Unit = {
+    val code = statusCode(rt, r)
+    if (code != StOk)
+      throw new IOException(s"sftp $what failed: status $code ${r.text()}")
+  }
+
+  // ---- operations ----------------------------------------------------
+
+  def realpath(path: String): String = {
+    val (rt, r) = rpc(Realpath)(_.text(path))
+    require(rt == Name, s"REALPATH answered $rt")
+    r.u32() // count
+    r.text()
+  }
+
+  def stat(path: String): Option[Attrs] = {
+    val (rt, r) = rpc(Stat)(_.text(path))
+    if (rt == AttrsMsg) Some(readAttrs(r))
+    else {
+      val code = statusCode(rt, r)
+      if (code == StNoSuchFile) None
+      else throw new IOException(s"sftp STAT $path: status $code")
+    }
+  }
+
+  def readDir(path: String): Seq[(String, Attrs)] = {
+    val (ht, hr) = rpc(Opendir)(_.text(path))
+    if (ht == Status)
+      throw new java.io.FileNotFoundException(
+        s"sftp OPENDIR $path: ${hr.u32()}")
+    val h = hr.string()
+    val out = Vector.newBuilder[(String, Attrs)]
+    var eof = false
+    while (!eof) {
+      val (rt, r) = rpc(Readdir)(_.string(h))
+      if (rt == Name) {
+        val n = r.u32()
+        for (_ <- 0L until n) {
+          val name = r.text()
+          r.text() // longname
+          out += ((name, readAttrs(r)))
+        }
+      } else {
+        val code = statusCode(rt, r)
+        if (code != StEof)
+          throw new IOException(s"sftp READDIR $path: status $code")
+        eof = true
+      }
+    }
+    closeHandle(h)
+    out.result().filterNot(e => e._1 == "." || e._1 == "..")
+  }
+
+  def openRead(path: String): Array[Byte] = {
+    val (rt, r) = rpc(Open)(w =>
+      writeAttrs(w.text(path).u32(PflagRead), Attrs()))
+    if (rt == Status)
+      throw new java.io.FileNotFoundException(s"sftp OPEN $path (read)")
+    r.string()
+  }
+
+  def openWrite(path: String, append: Boolean = false,
+      overwrite: Boolean = true): Array[Byte] = {
+    var flags = PflagWrite | PflagCreat
+    if (append) flags |= PflagAppend
+    else if (overwrite) flags |= PflagTrunc
+    else flags |= PflagExcl
+    val (rt, r) = rpc(Open)(w => writeAttrs(w.text(path).u32(flags), Attrs()))
+    if (rt == Status)
+      throw new IOException(s"sftp OPEN $path (write) failed")
+    r.string()
+  }
+
+  /** None = EOF. */
+  def read(h: Array[Byte], off: Long, len: Int): Option[Array[Byte]] = {
+    val (rt, r) = rpc(Read)(_.string(h).u64(off).u32(len.toLong))
+    if (rt == Data) Some(r.string())
+    else {
+      val code = statusCode(rt, r)
+      if (code == StEof) None
+      else throw new IOException(s"sftp READ: status $code")
+    }
+  }
+
+  def write(h: Array[Byte], off: Long, data: Array[Byte]): Unit = {
+    val (rt, r) = rpc(Write)(_.string(h).u64(off).string(data))
+    expectOk(rt, r, "WRITE")
+  }
+
+  def closeHandle(h: Array[Byte]): Unit = {
+    val (rt, r) = rpc(Close)(_.string(h))
+    expectOk(rt, r, "CLOSE")
+  }
+
+  def mkdir(path: String): Unit = {
+    val (rt, r) = rpc(Mkdir)(w => writeAttrs(w.text(path), Attrs()))
+    val code = statusCode(rt, r)
+    if (code != StOk && code != StFailure) // StFailure = already exists
+      throw new IOException(s"sftp MKDIR $path: status $code")
+  }
+
+  def rmdir(path: String): Boolean = {
+    val (rt, r) = rpc(Rmdir)(_.text(path))
+    statusCode(rt, r) == StOk
+  }
+
+  def remove(path: String): Boolean = {
+    val (rt, r) = rpc(Remove)(_.text(path))
+    statusCode(rt, r) == StOk
+  }
+
+  def rename(from: String, to: String): Boolean = {
+    val (rt, r) = rpc(Rename)(_.text(from).text(to))
+    statusCode(rt, r) == StOk
+  }
+
+  /** Sequential read stream from `start` — 48 KiB requests, handle
+    * closed with the stream.
+    */
+  def inputStream(path: String, start: Long = 0L): InputStream = {
+    val h = openRead(path)
+    new InputStream {
+      private var pos = start
+      private var chunk: Array[Byte] = Array.emptyByteArray
+      private var off = 0
+      private var eof = false
+      private def fill(): Boolean = {
+        if (eof) return false
+        SftpClient.this.read(h, pos, 48 << 10) match {
+          case Some(d) if d.nonEmpty =>
+            chunk = d; off = 0; pos += d.length; true
+          case _ => eof = true; false
+        }
+      }
+      override def read(): Int =
+        if (off < chunk.length || fill()) { val b = chunk(off) & 0xFF; off += 1; b }
+        else -1
+      override def read(b: Array[Byte], o: Int, l: Int): Int = {
+        if (off >= chunk.length && !fill()) return -1
+        val n = math.min(l, chunk.length - off)
+        System.arraycopy(chunk, off, b, o, n); off += n; n
+      }
+      override def close(): Unit = closeHandle(h)
+    }
+  }
+
+  /** Buffered write stream; offset-tracked WRITEs (or server-side
+    * append), handle closed with the stream.
+    */
+  def outputStream(path: String, append: Boolean = false,
+      appendAt: Long = 0L): OutputStream = {
+    val h = openWrite(path, append = append)
+    new OutputStream {
+      private var pos = appendAt
+      private val buf = new ByteArrayOutputStream(48 << 10)
+      private def flushBuf(): Unit = if (buf.size() > 0) {
+        val d = buf.toByteArray
+        SftpClient.this.write(h, pos, d)
+        pos += d.length
+        buf.reset()
+      }
+      override def write(b: Int): Unit = {
+        buf.write(b); if (buf.size() >= (48 << 10)) flushBuf()
+      }
+      override def write(b: Array[Byte], o: Int, l: Int): Unit = {
+        var done = 0
+        while (done < l) {
+          val n = math.min(l - done, (48 << 10) - buf.size())
+          buf.write(b, o + done, n); done += n
+          if (buf.size() >= (48 << 10)) flushBuf()
+        }
+      }
+      override def flush(): Unit = flushBuf()
+      override def close(): Unit = { flushBuf(); closeHandle(h) }
+    }
+  }
+}
