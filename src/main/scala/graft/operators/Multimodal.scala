@@ -817,16 +817,25 @@ object Multimodal {
       maxHamming: Int = PhashMaxHamming,
       bandDfCap: Int = PhashBandDfCap): DataFrame = {
     graft.functions.GraftFunctions.register(hashes.sparkSession)
-    val banded = hashes.select(
-      struct(col("img_id").as("id"), col("doc_id"), col("variant"),
-        col("phash")).as("img"),
+    // the hash relation feeds three consumers (bands + both sides of
+    // the annotation rejoin) — materialize it once, or the upstream
+    // image DECODE would run three times (and q75's multi-consumer
+    // codegen lesson applies); 30-byte rows, corpus-hash-sized
+    val hs = hashes.select(col("img_id"), col("doc_id"), col("variant"),
+      col("phash")).localCheckpoint()
+    // only (id, phash) rides the quadratic stage — 16-byte postings
+    // through the exchange, 16-byte pairs through the dedup; the
+    // annotation columns (doc, variant) rejoin AFTER the Hamming
+    // filter, when the relation is near-dup-sized, not wedge-sized
+    val banded = hs.select(
+      struct(col("img_id").as("id"), col("phash")).as("img"),
       posexplode(array((0 until 8).map(j =>
         shiftrightunsigned(col("phash"), 8 * j)
           .bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "chunk")))
     // capped inverted index: hot buckets tombstone map-side (null),
     // survivors sort by img_id (unique within a bucket — one row per
     // (img, band)) so emitted pairs have ia < ib by construction
-    banded.groupBy(col("band"), col("chunk"))
+    val pairs = banded.groupBy(col("band"), col("chunk"))
       .agg(expr(s"collect_capped(img, $bandDfCap)").as("dsr"))
       .filter(col("dsr").isNotNull && size(col("dsr")) > 1)
       .select(sort_array(col("dsr")).as("ds"))
@@ -835,12 +844,18 @@ object Multimodal {
           |  transform(slice(ds, i + 2, size(ds)),
           |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
       .select(col("p.a.id").as("ia"), col("p.b.id").as("ib"),
-        col("p.a.doc_id").as("doc_a"), col("p.a.variant").as("variant_a"),
-        col("p.b.doc_id").as("doc_b"), col("p.b.variant").as("variant_b"),
         bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash")))
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val meta = hs.select(col("img_id"), col("doc_id"), col("variant"))
+    pairs
+      .join(meta.select(col("img_id").as("ia"), col("doc_id").as("doc_a"),
+        col("variant").as("variant_a")), Seq("ia"))
+      .join(meta.select(col("img_id").as("ib"), col("doc_id").as("doc_b"),
+        col("variant").as("variant_b")), Seq("ib"))
+      .select(col("ia"), col("ib"), col("doc_a"), col("variant_a"),
+        col("doc_b"), col("variant_b"), col("hamming"))
       .orderBy(col("ia"), col("ib"))
   }
 }
