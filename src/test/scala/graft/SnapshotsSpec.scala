@@ -293,6 +293,24 @@ class SnapshotsSpec extends SparkSpec {
       none.columns.toSeq == Seq("doc_id", "text", "source"))
   }
 
+  test("readWhere: the filter reaches the parquet scan (PushedFilters) and the scan holds only surviving batches") {
+    val root = freshRoot()
+    (0 until 3).foreach(d => Snapshots.commitAppend(spark, root,
+      docs(d * 10 until (d + 1) * 10), statsCols = Seq("doc_id")))
+    val df = Snapshots.readWhere(spark, root, 3, col("doc_id") >= 25)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // manifest-stats pruning above, parquet row-group pruning below:
+    // the same predicate must be pushed INTO the surviving scan
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(doc_id,25)"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    val files = scan.relation.location.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/data/b3/")),
+      s"scan touches pruned batches: ${files.mkString(", ")}")
+    assert(df.count() == 5)
+  }
+
   test("epoch ids make commits exactly-once under foreachBatch replay") {
     val root = freshRoot()
     val v1 = Snapshots.commitAppend(spark, root, docs(0 until 10),
