@@ -61,17 +61,23 @@ object SnapshotStats {
 
   /** Canonical orderable encoding of a stats column, or None when the
     * type carries no sound min/max contract here (binary, arrays,
-    * structs, maps).
+    * structs, maps). The returned column stays in its NATIVE ordered
+    * domain (numerics as-is; booleans/dates/timestamps via an integer
+    * encoding) — [[computeStats]] aggregates min/max over THIS and
+    * renders the aggregate to string only afterwards. Casting to
+    * string before aggregating would make the extrema lexicographic
+    * (min of {9, 10} would be the string "10"), silently inverting
+    * the envelope across digit-count and sign boundaries.
     */
   private def encode(c: String, dt: DataType): Option[(Column, String)] =
     dt match {
       case StringType => Some((col(c), "str"))
       case ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | _: DecimalType =>
-        Some((col(c).cast("string"), "num"))
-      case BooleanType => Some((col(c).cast("int").cast("string"), "num"))
-      case DateType => Some((unix_date(col(c)).cast("string"), "num"))
-      case TimestampType => Some((unix_micros(col(c)).cast("string"), "num"))
+        Some((col(c), "num"))
+      case BooleanType => Some((col(c).cast("int"), "num"))
+      case DateType => Some((unix_date(col(c)), "num"))
+      case TimestampType => Some((unix_micros(col(c)), "num"))
       case _ => None
     }
 
@@ -88,7 +94,8 @@ object SnapshotStats {
     }
     val aggs = count(lit(1)).as("_n") +: enc.zipWithIndex.flatMap {
       case ((c, _, e, _), i) => Seq(
-        min(e).as(s"_mn$i"), max(e).as(s"_mx$i"),
+        min(e).cast("string").as(s"_mn$i"),
+        max(e).cast("string").as(s"_mx$i"),
         max(when(col(c).isNull, 1).otherwise(0)).as(s"_nl$i"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
@@ -97,7 +104,7 @@ object SnapshotStats {
       c -> ColStat(dt.simpleString, kind,
         if (r.isNullAt(base)) null else r.getString(base),
         if (r.isNullAt(base + 1)) null else r.getString(base + 1),
-        r.getInt(base + 2) == 1)
+        !r.isNullAt(base + 2) && r.getInt(base + 2) == 1) // null on 0 rows
     }.toMap
     (r.getLong(0), stats)
   }
@@ -190,6 +197,26 @@ object SnapshotStats {
     }
   }
 
+  /** May any row satisfy `startswith(<col>, <prefix>)`? The Iceberg
+    * metrics trick: char-truncation to the prefix length is monotone
+    * under binary UTF-8 order (UTF-8 preserves codepoint order), so a
+    * row starting with `p` forces `trunc(min,|p|) <= p <=
+    * trunc(max,|p|)`; outside that window the batch provably can't
+    * match. Non-string stats (a coerced column) degrade to true.
+    */
+  private def prefixMayMatch(st: ColStat, l: Literal): Boolean = {
+    if (st.min == null) return false
+    if (l.value == null) return false
+    if (st.kind != "str") return true
+    val v = l.value.asInstanceOf[UTF8String]
+    val k = v.numChars()
+    val mn = UTF8String.fromString(st.min)
+    val mx = UTF8String.fromString(st.max)
+    val mnT = mn.substring(0, math.min(k, mn.numChars()))
+    val mxT = mx.substring(0, math.min(k, mx.numChars()))
+    mnT.compareTo(v) <= 0 && v.compareTo(mxT) <= 0
+  }
+
   private def leaf(op: String, flipped: String, a: Expression, b: Expression,
       stats: Map[String, ColStat]): Boolean = (a, b) match {
     case (attr, l: Literal) =>
@@ -234,6 +261,9 @@ object SnapshotStats {
         nameOf(a).flatMap(statOf(stats, _)).forall(_.hasNull)
       case IsNotNull(a) =>
         nameOf(a).flatMap(statOf(stats, _)).forall(_.min != null)
+      case StartsWith(a, l: Literal) if l.dataType == StringType =>
+        nameOf(a).flatMap(statOf(stats, _)).forall(st =>
+          prefixMayMatch(st, l))
       case Not(EqualTo(a, b)) => leaf("!=", "!=", a, b, stats)
       case Not(IsNull(a)) =>
         nameOf(a).flatMap(statOf(stats, _)).forall(_.min != null)

@@ -95,7 +95,8 @@ object Snapshots {
     */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val batches = manifest(spark, root, version)
-      .select(col("batch")).collect().map(_.getString(0))
+      .select(col("batch")).filter(col("batch").isNotNull)
+      .collect().map(_.getString(0))
     require(batches.nonEmpty,
       s"version $version references no data (fully-deleted table)")
     spark.read.parquet(batches.map(b => s"$root/data/$b"): _*)
@@ -138,7 +139,7 @@ object Snapshots {
   def history(spark: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] =
     versions(spark, root).map { v =>
       val rows = manifest(spark, root, v)
-        .agg(count(lit(1)), sum(col("n_rows")),
+        .agg(count(col("batch")), sum(col("n_rows")), // sentinel: 0 batches
           first(col("op")), first(col("parent")))
         .head()
       (v,
@@ -154,7 +155,18 @@ object Snapshots {
     import spark.implicits._
     val fs = fsOf(spark, root)
     val tmp = s"${manifestDir(root)}/_tmp_$version"
-    rows.map(r => (r.batch, r.n_rows, op, parent, epoch, schemaJson, r.stats))
+    // a zero-batch manifest (full delete / audit no-op) still carries
+    // its epoch+schema via a batch=null sentinel row — otherwise a
+    // foreachBatch replay of that epoch would read back NoEpoch and
+    // re-run, breaking the byte-identical-replay contract
+    val data =
+      if (rows.nonEmpty)
+        rows.map(r =>
+          (r.batch, r.n_rows, op, parent, epoch, schemaJson, r.stats))
+      else
+        Seq((null: String, 0L, op, parent, epoch, schemaJson,
+          Map.empty[String, ColStat]))
+    data
       .toDF("batch", "n_rows", "op", "parent", "epoch", "schema_json",
         "stats")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -186,8 +198,9 @@ object Snapshots {
           col("epoch"), col("schema_json"))
         .as[(String, Long, Map[String, ColStat], Long, String)].collect()
       ManifestState(
-        rows.map { case (b, n, s, _, _) =>
-          BatchRef(b, n, Option(s).getOrElse(Map.empty)) }.toSeq,
+        rows.filter(_._1 != null) // drop the zero-batch sentinel row
+          .map { case (b, n, s, _, _) =>
+            BatchRef(b, n, Option(s).getOrElse(Map.empty)) }.toSeq,
         rows.headOption.map(_._4).getOrElse(NoEpoch),
         rows.headOption.map(_._5).filter(_.nonEmpty)
           .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -271,7 +284,10 @@ object Snapshots {
       else spark.read
         .parquet(candidates.map(r => s"$root/data/${r.batch}"): _*)
         .filter(pred)
-        .select(regexp_extract(input_file_name(), "/data/([^/]+)/", 1)
+        // the file's PARENT dir name is the batch (batch dirs are flat
+        // parquet dirs) — anchoring to the tail is immune to a store
+        // root that itself contains a "/data/" segment
+        .select(regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
           .as("_b"))
         .distinct().collect().map(_.getString(0)).toSet
     val (hit, kept) = rows.partition(r => hitNames.contains(r.batch))
