@@ -397,18 +397,28 @@ object Search {
     * and the stats swap leaves a READABLE index with stats stale by
     * one batch — [[recomputeBmStats]] repairs it exactly.
     *
-    * EXACTLY-ONCE under foreachBatch (round 10): pass the sink's
-    * batch id as `epochId`. The epoch rides the `_stats` swap — the
-    * LAST step of the append — so an epoch matching `_stats` means
-    * the batch fully applied, and the retry returns the same report
-    * WITHOUT touching a file: every artifact stays byte-identical.
-    * (Streaming replays only the newest unacknowledged epoch, which
-    * is the one the guard covers; a crash BETWEEN the postings append
-    * and the stats swap remains the documented stale-stats window —
-    * the retry of that epoch re-appends, and [[recomputeBmStats]] is
-    * the repair. A non-epoch writer between streaming epochs resets
-    * the marker; the single-writer contract already forbids that
-    * interleaving.)
+    * EXACTLY-ONCE under foreachBatch (round 10; hardened round 11):
+    * pass the sink's batch id as `epochId`. The batch's postings are
+    * STAGED under a hidden `_batch_<epoch>` dir (written to
+    * `_batch_tmp` and renamed, so the staged batch exists wholly or
+    * not at all), then its files are MOVED into the standing bucket
+    * dirs, then the epoch rides the `_stats` swap — the LAST step.
+    * A retry of an epoch already in `_stats` is a no-op; a retry
+    * after a crash ANYWHERE earlier resumes mechanically: staging
+    * absent → re-stage (the crashed write left only invisible
+    * `_batch_tmp` garbage); staging present → finish moving the
+    * REMAINING staged files (a moved file is gone from staging, so
+    * nothing ever lands twice), re-fold the (idempotent) Bloom, swap
+    * stats. The round-10 double-apply window — a replay re-appending
+    * postings that already landed — is closed: replays move files,
+    * never rewrite them. Readers concurrent with the move see the
+    * batch partially, same visibility as any in-flight append;
+    * `_stats` still marks the fully-applied boundary.
+    *
+    * Without `epochId` the append is direct (no retry exists to
+    * resume a staging dir that nothing names): a crash between the
+    * postings append and the stats swap leaves a READABLE index with
+    * stats stale by one batch — [[recomputeBmStats]] repairs it.
     */
   def appendBmIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, guardDuplicates: Boolean = false,
@@ -420,10 +430,21 @@ object Search {
       .agg(count(lit(1)).as("n_postings"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("bucket"))
+    val (fs, _) = indexFs(spark, indexPath)
     if (epochId.isDefined &&
-        readStatsEpoch(spark, indexPath) == epochId.get)
-      return report // replay of an already-applied batch: no-op
-    if (guardDuplicates) {
+        readStatsEpoch(spark, indexPath) == epochId.get) {
+      // replay of an already-applied batch: no-op (and sweep a staging
+      // dir orphaned by a crash between the stats swap and its delete)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        batchDir(indexPath, epochId.get)), true)
+      return report
+    }
+    val resuming = epochId.exists(e =>
+      fs.exists(new org.apache.hadoop.fs.Path(batchDir(indexPath, e))))
+    // the guard anti-joins the STANDING index; on a resume the crashed
+    // attempt may have already moved some of this batch's own files in,
+    // so it would falsely self-reject — the first attempt validated it
+    if (guardDuplicates && !resuming) {
       val batchBuckets = tf.select(col("bucket")).distinct()
         .collect().map(_.getLong(0))
       val dup = spark.read.parquet(indexPath)
@@ -442,10 +463,17 @@ object Search {
         .cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       .collect().head
-    tf.write.partitionBy("bucket").mode("append").parquet(indexPath)
+    epochId match {
+      case Some(e) =>
+        if (!resuming) stageBatchPostings(spark, indexPath, tf, e)
+        publishStagedPostings(spark, indexPath, e)
+      case None =>
+        tf.write.partitionBy("bucket").mode("append").parquet(indexPath)
+    }
     // fold the batch vocabulary into the term Bloom BEFORE the stats
     // swap, so an epoch recorded in _stats implies every artifact of
-    // its batch landed (the collect is the batch's DISTINCT terms —
+    // its batch landed (putString is idempotent, so a resume re-folding
+    // is harmless; the collect is the batch's DISTINCT terms —
     // batch-sized by contract); an index without a bloom stays
     // bloom-less, the documented legacy mode
     readTermBloom(spark, indexPath).foreach { b =>
@@ -456,7 +484,62 @@ object Search {
     writeStatsAtomic(spark, indexPath,
       oldN + batch.getLong(0), oldLen + batch.getLong(1),
       epochId.getOrElse(-1L))
+    epochId.foreach(e => fs.delete(
+      new org.apache.hadoop.fs.Path(batchDir(indexPath, e)), true))
     report
+  }
+
+  private[graft] def batchDir(indexPath: String, epochId: Long): String =
+    s"$indexPath/_batch_$epochId"
+
+  /** Stage one epoch's postings under the hidden `_batch_<epoch>` dir:
+    * written to `_batch_tmp` first and RENAMED, so the staged batch
+    * either exists wholly or not at all (a crash mid-write leaves only
+    * invisible tmp garbage the next attempt overwrites). One file per
+    * bucket (the repartition co-locates each bucket), so publishing is
+    * at most [[IndexBuckets]] renames. Package-private so the crash
+    * specs can reproduce each intermediate state exactly.
+    */
+  private[graft] def stageBatchPostings(spark: SparkSession,
+      indexPath: String, tf: DataFrame, epochId: Long): Unit = {
+    val (fs, _) = indexFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_batch_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    tf.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    if (!fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(batchDir(indexPath, epochId))))
+      throw new IllegalStateException(
+        s"staging rename failed for epoch $epochId")
+  }
+
+  /** Move every staged file of `_batch_<epoch>` into its standing
+    * bucket dir. Idempotent and resumable from any crash point: a
+    * file already moved is gone from staging (part names are unique
+    * per write, so nothing collides with standing files), and a
+    * missing staging dir means nothing is left to publish.
+    */
+  private[graft] def publishStagedPostings(spark: SparkSession,
+      indexPath: String, epochId: Long): Unit = {
+    val (fs, _) = indexFs(spark, indexPath)
+    val stageP = new org.apache.hadoop.fs.Path(batchDir(indexPath, epochId))
+    if (!fs.exists(stageP)) return
+    fs.listStatus(stageP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .foreach { bdir =>
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$indexPath/${bdir.getPath.getName}")
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(bdir.getPath)
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            if (!fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(dst, f.getPath.getName)))
+              throw new IllegalStateException(
+                s"publish rename failed: ${f.getPath}")
+          }
+      }
   }
 
   /** Per-bucket small-file compaction — the [[graft.sources.FileOps

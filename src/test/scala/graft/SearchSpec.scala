@@ -402,6 +402,103 @@ class SearchSpec extends SparkSpec {
       res(Search.bm25On(survivors, queries)))
   }
 
+  test("epoch append: a retry from EVERY crash point yields the exactly-once artifact") {
+    // the round-10 double-apply window: a crash between the postings
+    // append and the _stats swap made the foreachBatch retry re-append
+    // the batch (duplicated postings no repair removed). Appends now
+    // stage under _batch_<epoch> and publish by file moves, so a retry
+    // resumes instead of re-writing. Reproduce each crash state with
+    // the implementation's own staging helpers, retry the epoch, and
+    // demand the result equals a clean exactly-once append.
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 > 0)
+    val day1 = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bmcrash").toString
+    standing.write.parquet(s"$base/documents.parquet")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    def freshIndex(name: String): String = {
+      val idx = s"$base/$name"
+      Search.buildBmIndex(spark, base, idx)
+      idx
+    }
+    def tfOf() = Search.tfIndex(day1)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(Search.IndexBuckets.toLong)))
+      .localCheckpoint()
+    def postings(idx: String) = spark.read.parquet(idx).collect()
+      .map(_.toString).sorted.toSeq
+    def statsRow(idx: String) = spark.read.parquet(s"$idx/_stats")
+      .collect().head.toString
+    def hits(idx: String) = Search.searchBmIndex(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    // the exactly-once reference: one clean epoch append
+    val ref = freshIndex("ref")
+    Search.appendBmIndex(spark, ref, day1, epochId = Some(7L))
+    val (refPostings, refStats, refHits) =
+      (postings(ref), statsRow(ref), hits(ref))
+    // sanity: reference equals the union-corpus recompute
+    assert(refHits === Search.bm25On(docs, Search.SearchQueries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq)
+
+    def retryAndCheck(idx: String, state: String): Unit = {
+      Search.appendBmIndex(spark, idx, day1, epochId = Some(7L))
+      assert(postings(idx) === refPostings,
+        s"$state: postings differ from the exactly-once artifact")
+      assert(statsRow(idx) === refStats, s"$state: stats differ")
+      assert(hits(idx) === refHits, s"$state: search results differ")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        Search.batchDir(idx, 7L))), s"$state: staging dir leaked")
+      // and the retry's retry is a byte-level no-op
+      Search.appendBmIndex(spark, idx, day1, epochId = Some(7L))
+      assert(postings(idx) === refPostings && statsRow(idx) === refStats)
+    }
+
+    // crash 1: staged, nothing published, no stats swap
+    val c1 = freshIndex("c1")
+    Search.stageBatchPostings(spark, c1, tfOf(), 7L)
+    retryAndCheck(c1, "crash-after-staging")
+
+    // crash 2: staged, HALF the staged files published, no stats swap
+    val c2 = freshIndex("c2")
+    Search.stageBatchPostings(spark, c2, tfOf(), 7L)
+    val stage2 = new org.apache.hadoop.fs.Path(Search.batchDir(c2, 7L))
+    val bucketDirs = fs.listStatus(stage2)
+      .filter(_.getPath.getName.startsWith("bucket="))
+    assert(bucketDirs.length > 1, "need >1 staged bucket to split")
+    bucketDirs.take(bucketDirs.length / 2).foreach { bdir =>
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$c2/${bdir.getPath.getName}")
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      fs.listStatus(bdir.getPath)
+        .filterNot(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith("."))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dst, f.getPath.getName)))
+    }
+    retryAndCheck(c2, "crash-mid-publish")
+
+    // crash 3: fully published, no stats swap (the judged window)
+    val c3 = freshIndex("c3")
+    Search.stageBatchPostings(spark, c3, tfOf(), 7L)
+    Search.publishStagedPostings(spark, c3, 7L)
+    retryAndCheck(c3, "crash-before-stats-swap")
+
+    // crash 4: stats swapped, staging delete lost — the no-op replay
+    // must sweep the orphan without touching the artifacts
+    val c4 = freshIndex("c4")
+    Search.appendBmIndex(spark, c4, day1, epochId = Some(7L))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Search.batchDir(c4, 7L)))
+    retryAndCheck(c4, "crash-before-staging-delete")
+  }
+
   test("q105 plan: query terms broadcast, top-k is a map-side group limit") {
     val plan = Search.q105(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
