@@ -185,7 +185,8 @@ object Snapshots {
     * not three.
     */
   private case class ManifestState(refs: Seq[BatchRef], epoch: Long,
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      op: String = "")
 
   private def loadManifest(spark: SparkSession, root: String,
       version: Long): ManifestState = {
@@ -195,22 +196,43 @@ object Snapshots {
     val cols = m.columns.toSet
     if (cols("stats") && cols("epoch") && cols("schema_json")) {
       val rows = m.select(col("batch"), col("n_rows"), col("stats"),
-          col("epoch"), col("schema_json"))
-        .as[(String, Long, Map[String, ColStat], Long, String)].collect()
+          col("epoch"), col("schema_json"), col("op"))
+        .as[(String, Long, Map[String, ColStat], Long, String, String)]
+        .collect()
       ManifestState(
         rows.filter(_._1 != null) // drop the zero-batch sentinel row
-          .map { case (b, n, s, _, _) =>
+          .map { case (b, n, s, _, _, _) =>
             BatchRef(b, n, Option(s).getOrElse(Map.empty)) }.toSeq,
         rows.headOption.map(_._4).getOrElse(NoEpoch),
         rows.headOption.map(_._5).filter(_.nonEmpty)
           .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]),
+        rows.headOption.map(_._6).getOrElse(""))
     } else // pre-stats manifest: readable, just unprunable
       ManifestState(
         m.select(col("batch"), col("n_rows")).collect()
           .map(r => BatchRef(r.getString(0), r.getLong(1), Map.empty)).toSeq,
         NoEpoch, None)
   }
+
+  /** The appended batches with epoch > `afterEpoch`, ascending: each
+    * is `(epoch, the batch relation)` — version v's own `data/b<v>`,
+    * batch-sized, never the whole table. This is the restart replay
+    * source for driver-held incremental state
+    * ([[graft.streaming.EpochedState]]): a driver that checkpointed
+    * its state at epoch C re-folds exactly these instead of
+    * re-scanning the standing corpus. Reads one KB-sized manifest per
+    * version — no data is touched until a returned relation is acted
+    * on.
+    */
+  def appendsSince(spark: SparkSession, root: String,
+      afterEpoch: Long): Seq[(Long, DataFrame)] =
+    versions(spark, root).flatMap { v =>
+      val st = loadManifest(spark, root, v)
+      if (st.op == "append" && st.epoch != NoEpoch && st.epoch > afterEpoch)
+        Some((st.epoch, spark.read.parquet(s"$root/data/b$v")))
+      else None
+    }
 
   private def currentRows(spark: SparkSession, root: String,
       version: Long): Seq[BatchRef] =
