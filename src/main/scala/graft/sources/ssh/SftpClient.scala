@@ -6,11 +6,19 @@ import java.net.Socket
 import SftpProto._
 
 /** Minimal SFTPv3 client over [[SshTransport]] — the SSH twin of
-  * [[graft.sources.ftp.FtpClient]]: one connection, synchronous
-  * request/response, streams for the Hadoop adapter. Unlike FTP,
-  * SFTP reads are RANDOM-ACCESS (`READ handle offset len`), so the
-  * `gsftp://` seek path needs no reconnect at all — a parquet footer
-  * probe is literally one 8-byte read.
+  * [[graft.sources.ftp.FtpClient]]: one connection, one caller at a
+  * time, streams for the Hadoop adapter. Unlike FTP, SFTP reads are
+  * RANDOM-ACCESS (`READ handle offset len`), so the `gsftp://` seek
+  * path needs no reconnect at all — a parquet footer probe is
+  * literally one 8-byte read.
+  *
+  * Metadata operations are synchronous request/response; the READ and
+  * WRITE hot paths PIPELINE up to [[SftpClient.PipelineDepth]]
+  * requests in flight (round 11 — OpenSSH pipelines 64; one
+  * outstanding 48 KiB request caps throughput at chunk/RTT, which a
+  * 50 ms link turns into under 1 MB/s). Responses are matched by
+  * request id into a pending map, so out-of-order completion and
+  * interleaved synchronous calls both stay correct.
   *
   * Host trust: pass `expectedHostKey` (the server's `ssh-ed25519`
   * blob) to pin it — the production posture; None accepts any host
@@ -18,13 +26,24 @@ import SftpProto._
   * and first-contact tooling). Wrong credentials surface as the
   * reference's exit-3 bad-credentials taxonomy, like the FTP 530
   * path.
+  *
+  * `rekeyBytes` forwards to the transport: the connection re-keys
+  * itself after that much traffic (OpenSSH's 1–4 GB discipline), and
+  * peer-initiated re-keys are absorbed transparently — either way a
+  * transfer larger than the limit completes byte-identical
+  * (spec-asserted with a forced tiny limit).
   */
 final class SftpClient(host: String, port: Int = 22, user: String,
-    password: String, expectedHostKey: Option[Array[Byte]] = None) {
+    password: String, expectedHostKey: Option[Array[Byte]] = None,
+    rekeyBytes: Long = 1L << 30) {
 
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
-  private val t = new SshTransport(sock, isServer = false)
+  private val t = new SshTransport(sock, isServer = false,
+    rekeyBytes = rekeyBytes)
+
+  /** Re-keys completed on this connection (spec observability). */
+  def rekeys: Int = t.rekeyCount
 
   private var peerChan = 0L
   private var peerWindow = 0L
@@ -166,22 +185,43 @@ final class SftpClient(host: String, port: Int = 22, user: String,
 
   // ---- sftp rpc ------------------------------------------------------
 
+  /** Responses read off the wire for requests not yet awaited —
+    * bounded by [[SftpClient.PipelineDepth]] in-flight requests per
+    * stream plus any interleaved synchronous call.
+    */
+  private val pendingResponses =
+    new java.util.HashMap[Long, Array[Byte]]()
+
+  /** Fire one request without waiting; returns its id. */
+  private def sendRequest(tpe: Int)
+      (build: SshWriter => SshWriter): Long = {
+    reqId += 1
+    sendSftp(build(new SshWriter().u8(tpe).u32(reqId)).bytes)
+    reqId
+  }
+
+  /** Block until the response for `id` is in, stashing other
+    * requests' responses for their own awaits (id-matched, so
+    * pipelined streams and synchronous calls interleave safely).
+    */
+  private def awaitResponse(id: Long): (Int, SshReader) = {
+    while (!pendingResponses.containsKey(id)) {
+      val resp = awaitSftpPacket()
+      val rid = new SshReader(resp, 1).u32()
+      pendingResponses.put(rid, resp)
+    }
+    val r = new SshReader(pendingResponses.remove(id))
+    val rt = r.u8()
+    r.u32() // the echoed id, already matched
+    (rt, r)
+  }
+
   /** One synchronous request; returns (response type, reader past the
     * echoed id).
     */
   private def rpc(tpe: Int)(build: SshWriter => SshWriter)
-      : (Int, SshReader) = {
-    reqId += 1
-    val payload = build(new SshWriter().u8(tpe).u32(reqId)).bytes
-    sendSftp(payload)
-    val resp = awaitSftpPacket()
-    val r = new SshReader(resp)
-    val rt = r.u8()
-    val rid = r.u32()
-    if (rid != reqId)
-      throw new IOException(s"sftp response id $rid for request $reqId")
-    (rt, r)
-  }
+      : (Int, SshReader) =
+    awaitResponse(sendRequest(tpe)(build))
 
   private def statusCode(rt: Int, r: SshReader): Long = {
     require(rt == Status, s"expected STATUS, got $rt")
@@ -304,22 +344,53 @@ final class SftpClient(host: String, port: Int = 22, user: String,
     statusCode(rt, r) == StOk
   }
 
-  /** Sequential read stream from `start` — 48 KiB requests, handle
-    * closed with the stream.
+  /** Sequential read stream from `start` — a sliding window of
+    * [[SftpClient.PipelineDepth]] 48 KiB READ requests in flight
+    * (requests are offset-addressed, so pre-issuing is exact); handle
+    * closed with the stream. A short read (a server returning fewer
+    * bytes than asked, legal per the protocol) drains the window and
+    * re-issues from the corrected offset — rare, and never wrong.
     */
   def inputStream(path: String, start: Long = 0L): InputStream = {
     val h = openRead(path)
     new InputStream {
-      private var pos = start
+      private val chunkLen = SftpClient.ChunkBytes
+      private var nextOff = start // next offset to pre-request
+      private var done = false    // EOF seen or error — stop issuing
+      private val inflight = new java.util.ArrayDeque[(Long, Long)]()
       private var chunk: Array[Byte] = Array.emptyByteArray
       private var off = 0
-      private var eof = false
+      private def issue(): Unit = {
+        val id = sendRequest(Read)(
+          _.string(h).u64(nextOff).u32(chunkLen.toLong))
+        inflight.addLast((id, nextOff))
+        nextOff += chunkLen
+      }
+      private def drainInflight(): Unit =
+        while (!inflight.isEmpty)
+          awaitResponse(inflight.pollFirst()._1) // EOFs/stale — discard
       private def fill(): Boolean = {
-        if (eof) return false
-        SftpClient.this.read(h, pos, 48 << 10) match {
-          case Some(d) if d.nonEmpty =>
-            chunk = d; off = 0; pos += d.length; true
-          case _ => eof = true; false
+        while (!done && inflight.size < SftpClient.PipelineDepth) issue()
+        if (inflight.isEmpty) return false
+        val (id, reqOff) = inflight.pollFirst()
+        val (rt, r) = awaitResponse(id)
+        if (rt == Data) {
+          val d = r.string()
+          if (d.isEmpty) { done = true; drainInflight(); return false }
+          chunk = d; off = 0
+          if (d.length < chunkLen && !done) {
+            // short read: pre-issued requests skip the tail of this
+            // chunk's range — restart the window past what we got
+            drainInflight()
+            nextOff = reqOff + d.length
+          }
+          true
+        } else {
+          val code = statusCode(rt, r)
+          done = true
+          drainInflight()
+          if (code == StEof) false
+          else throw new IOException(s"sftp READ: status $code")
         }
       }
       override def read(): Int =
@@ -330,38 +401,72 @@ final class SftpClient(host: String, port: Int = 22, user: String,
         val n = math.min(l, chunk.length - off)
         System.arraycopy(chunk, off, b, o, n); off += n; n
       }
-      override def close(): Unit = closeHandle(h)
+      override def close(): Unit = {
+        done = true
+        drainInflight()
+        closeHandle(h)
+      }
     }
   }
 
   /** Buffered write stream; offset-tracked WRITEs (or server-side
-    * append), handle closed with the stream.
+    * append) pipelined [[SftpClient.PipelineDepth]] deep — the oldest
+    * STATUS is awaited only when the window is full, so a high-RTT
+    * link stays busy. `flush`/`close` drain the window, so any write
+    * failure surfaces there at the latest. Handle closed with the
+    * stream.
     */
   def outputStream(path: String, append: Boolean = false,
       appendAt: Long = 0L): OutputStream = {
     val h = openWrite(path, append = append)
     new OutputStream {
       private var pos = appendAt
-      private val buf = new ByteArrayOutputStream(48 << 10)
+      private val buf = new ByteArrayOutputStream(SftpClient.ChunkBytes)
+      private val inflight = new java.util.ArrayDeque[java.lang.Long]()
+      private def awaitOk(id: Long): Unit = {
+        val (rt, r) = awaitResponse(id)
+        expectOk(rt, r, "WRITE")
+      }
       private def flushBuf(): Unit = if (buf.size() > 0) {
         val d = buf.toByteArray
-        SftpClient.this.write(h, pos, d)
+        val at = pos
+        while (inflight.size >= SftpClient.PipelineDepth)
+          awaitOk(inflight.pollFirst())
+        inflight.addLast(
+          sendRequest(Write)(_.string(h).u64(at).string(d)))
         pos += d.length
         buf.reset()
       }
+      private def drain(): Unit =
+        while (!inflight.isEmpty) awaitOk(inflight.pollFirst())
       override def write(b: Int): Unit = {
-        buf.write(b); if (buf.size() >= (48 << 10)) flushBuf()
+        buf.write(b)
+        if (buf.size() >= SftpClient.ChunkBytes) flushBuf()
       }
       override def write(b: Array[Byte], o: Int, l: Int): Unit = {
-        var done = 0
-        while (done < l) {
-          val n = math.min(l - done, (48 << 10) - buf.size())
-          buf.write(b, o + done, n); done += n
-          if (buf.size() >= (48 << 10)) flushBuf()
+        var written = 0
+        while (written < l) {
+          val n = math.min(l - written, SftpClient.ChunkBytes - buf.size())
+          buf.write(b, o + written, n); written += n
+          if (buf.size() >= SftpClient.ChunkBytes) flushBuf()
         }
       }
-      override def flush(): Unit = flushBuf()
-      override def close(): Unit = { flushBuf(); closeHandle(h) }
+      override def flush(): Unit = { flushBuf(); drain() }
+      override def close(): Unit = { flushBuf(); drain(); closeHandle(h) }
     }
   }
+}
+
+object SftpClient {
+  /** Request payload size for streamed READ/WRITE (48 KiB — under
+    * every server's packet cap).
+    */
+  val ChunkBytes: Int = 48 << 10
+
+  /** In-flight READ/WRITE requests per stream. 16 × 48 KiB keeps
+    * 768 KiB on the wire — at 50 ms RTT that is ~15 MB/s vs ~1 MB/s
+    * synchronous; deeper helps only past ~100 ms RTT and costs
+    * server-side buffering (OpenSSH's client defaults to 64).
+    */
+  val PipelineDepth: Int = 16
 }

@@ -14,12 +14,20 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * hmac-sha2-256 after NEWKEYS (CTR keystream is continuous across
   * packets: ONE Cipher instance, `update()` only — `doFinal` would
   * reset the counter), curve25519-sha256 key exchange with ssh-ed25519
-  * host keys, and peer-initiated re-keying. Single-threaded
-  * request/response per connection, like [[graft.sources.ftp
-  * .FtpClient]]'s one-control-connection discipline.
+  * host keys, and re-keying BOTH ways: peer-initiated (RFC 4253 §9)
+  * and self-initiated once `rekeyBytes` have crossed the connection
+  * since the last kex (OpenSSH rekeys at 1–4 GB; long transfers must
+  * survive it). Connection-layer packets that were already in flight
+  * when a kex starts — the peer legally sends until it SEES our
+  * KEXINIT — are DEFERRED, not errors: they re-queue ahead of the
+  * post-kex stream, so a rekey is invisible to the channel layer.
+  * Single-threaded request/response per connection, like
+  * [[graft.sources.ftp.FtpClient]]'s one-control-connection
+  * discipline.
   */
 final class SshTransport(sock: Socket, val isServer: Boolean,
-    localIdent: String = "SSH-2.0-graft_0.1") {
+    localIdent: String = "SSH-2.0-graft_0.1",
+    rekeyBytes: Long = 1L << 30) {
 
   private val in = new BufferedInputStream(sock.getInputStream, 64 << 10)
   private val out = new BufferedOutputStream(sock.getOutputStream, 64 << 10)
@@ -39,6 +47,17 @@ final class SshTransport(sock: Socket, val isServer: Boolean,
   // kex inputs kept for peer-initiated re-key
   private var hostKey: Option[KeyPair] = None
   private var hostBlobVerifier: Array[Byte] => Unit = _ => ()
+
+  // re-key state: traffic since the last kex, a reentrancy guard (kex
+  // itself writes packets), in-flight packets deferred across a kex,
+  // and a counter the rekey specs observe
+  private var bytesSinceKex = 0L
+  private var inKex = false
+  private val deferred = new java.util.ArrayDeque[Array[Byte]]()
+  private var kexCount = 0
+
+  /** Completed key exchanges (1 after connect; +1 per re-key). */
+  def rekeyCount: Int = kexCount - 1
 
   def close(): Unit = try sock.close() catch { case _: IOException => () }
 
@@ -74,6 +93,8 @@ final class SshTransport(sock: Socket, val isServer: Boolean,
   // ---- binary packet protocol ------------------------------------
 
   def writePacket(payload: Array[Byte]): Unit = {
+    maybeRekey()
+    bytesSinceKex += payload.length
     val block = if (sendCipher == null) 8 else 16
     var padLen = block - ((4 + 1 + payload.length) % block)
     if (padLen < 4) padLen += block
@@ -135,15 +156,19 @@ final class SshTransport(sock: Socket, val isServer: Boolean,
     val r = new SshReader(clear)
     val len = r.u32()
     val padLen = r.u8()
+    bytesSinceKex += len
     r.bytes(len.toInt - padLen - 1)
   }
 
   /** Next non-transport message; IGNORE/DEBUG/UNIMPLEMENTED are
     * swallowed, DISCONNECT throws, a peer-initiated KEXINIT re-keys
-    * transparently (RFC 4253 §9).
+    * transparently (RFC 4253 §9), and messages deferred across a kex
+    * are delivered FIRST (in arrival order).
     */
   def readMessage(): Array[Byte] = {
+    maybeRekey()
     while (true) {
+      if (!deferred.isEmpty) return deferred.pollFirst()
       val p = readPacket()
       (p(0) & 0xFF) match {
         case SshMsg.Ignore | SshMsg.Debug | SshMsg.Unimplemented => ()
@@ -153,6 +178,49 @@ final class SshTransport(sock: Socket, val isServer: Boolean,
           throw new IOException(s"ssh peer disconnected: ${r.text()}")
         case SshMsg.KexInit => rekey(p)
         case _ => return p
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Self-initiate a re-key once `rekeyBytes` of payload have crossed
+    * since the last kex (checked at every packet boundary — a safe
+    * point by construction: never mid-kex, never mid-packet). The
+    * peer may legally keep sending connection-layer packets until it
+    * sees our KEXINIT; [[waitPeerKexInit]] defers them for post-kex
+    * delivery.
+    */
+  private def maybeRekey(): Unit =
+    if (!inKex && sendCipher != null && bytesSinceKex > rekeyBytes)
+      initiateRekey()
+
+  /** Force a re-key now (also the rekey specs' hook). */
+  def initiateRekey(): Unit = {
+    if (inKex || sendCipher == null) return
+    inKex = true
+    try {
+      val own = buildKexInit()
+      writePacket(own)
+      doKex(own, waitPeerKexInit())
+    } finally inKex = false
+  }
+
+  /** After WE send KEXINIT: read until the peer's KEXINIT arrives,
+    * deferring the connection-layer packets it sent before seeing
+    * ours (channel data, window adjusts, auth/global messages —
+    * anything ≥ 50).
+    */
+  private def waitPeerKexInit(): Array[Byte] = {
+    while (true) {
+      val p = readPacket()
+      (p(0) & 0xFF) match {
+        case SshMsg.KexInit => return p
+        case SshMsg.Ignore | SshMsg.Debug | SshMsg.Unimplemented => ()
+        case SshMsg.Disconnect =>
+          val r = new SshReader(p, 1); r.u32()
+          throw new IOException(s"ssh peer disconnected: ${r.text()}")
+        case m if m >= 50 => deferred.addLast(p)
+        case m => throw new IOException(s"unexpected ssh msg $m pre-kex")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -223,9 +291,12 @@ final class SshTransport(sock: Socket, val isServer: Boolean,
   }
 
   private def rekey(peerKexInit: Array[Byte]): Unit = {
-    val own = buildKexInit()
-    writePacket(own)
-    doKex(own, peerKexInit)
+    inKex = true
+    try {
+      val own = buildKexInit()
+      writePacket(own)
+      doKex(own, peerKexInit)
+    } finally inKex = false
   }
 
   private def doKex(ownKexInit: Array[Byte],
@@ -267,20 +338,29 @@ final class SshTransport(sock: Socket, val isServer: Boolean,
     writePacket(Array(SshMsg.NewKeys.toByte))
     readMessageRaw(SshMsg.NewKeys)
     switchKeys(k, h)
+    bytesSinceKex = 0L
+    kexCount += 1
   }
 
-  /** Read one packet expecting `msg`, tolerating transport noise. */
+  /** Read one packet expecting `msg`, tolerating transport noise;
+    * mid-kex, connection-layer packets still in flight from before
+    * the kex are deferred rather than fatal.
+    */
   private def readMessageRaw(msg: Int): Array[Byte] = {
-    var p = readPacket()
-    while ((p(0) & 0xFF) == SshMsg.Ignore || (p(0) & 0xFF) == SshMsg.Debug)
-      p = readPacket()
-    if ((p(0) & 0xFF) == SshMsg.Disconnect) {
-      val r = new SshReader(p, 1); r.u32()
-      throw new IOException(s"ssh peer disconnected: ${r.text()}")
+    while (true) {
+      val p = readPacket()
+      (p(0) & 0xFF) match {
+        case m if m == msg => return p
+        case SshMsg.Ignore | SshMsg.Debug => ()
+        case SshMsg.Disconnect =>
+          val r = new SshReader(p, 1); r.u32()
+          throw new IOException(s"ssh peer disconnected: ${r.text()}")
+        case m if inKex && m >= 50 => deferred.addLast(p)
+        case m =>
+          throw new IOException(s"expected ssh msg $msg, got $m")
+      }
     }
-    if ((p(0) & 0xFF) != msg)
-      throw new IOException(s"expected ssh msg $msg, got ${p(0) & 0xFF}")
-    p
+    throw new IllegalStateException("unreachable")
   }
 
   private def exchangeHash(vC: String, vS: String, iC: Array[Byte],

@@ -215,4 +215,144 @@ class SftpSpec extends SparkSpec {
       assert(manifest.filter(col("path").contains("t.parquet")).count() > 0)
     } finally srv.close()
   }
+
+  /** TCP forwarder injecting `delayMs` ONE-WAY latency per direction
+    * without throttling bandwidth: a reader thread stamps each chunk
+    * with its due time into a queue, a writer thread delivers when
+    * due — many chunks ride the pipe concurrently, like a real
+    * long-haul link (a naive sleep-per-chunk proxy would serialize
+    * the pipelined window and fake the measurement).
+    */
+  private final class LatencyProxy(targetPort: Int, delayMs: Long) {
+    private val server = new java.net.ServerSocket(
+      0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+    val port: Int = server.getLocalPort
+    @volatile private var open = true
+    private val acceptor = new Thread(() => {
+      try while (open) {
+        val a = server.accept()
+        val b = new java.net.Socket("127.0.0.1", targetPort)
+        a.setTcpNoDelay(true); b.setTcpNoDelay(true)
+        pipe(a, b); pipe(b, a)
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    private def pipe(from: java.net.Socket, to: java.net.Socket): Unit = {
+      val q = new java.util.concurrent
+        .LinkedBlockingQueue[(Long, Array[Byte])]()
+      val reader = new Thread(() => {
+        try {
+          val in = from.getInputStream
+          val buf = new Array[Byte](64 << 10)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) q.put((System.nanoTime + delayMs * 1000000L,
+              java.util.Arrays.copyOf(buf, n)))
+            n = in.read(buf)
+          }
+        } catch { case _: Throwable => () }
+        finally q.put((0L, null))
+      })
+      val writer = new Thread(() => {
+        try {
+          val out = to.getOutputStream
+          var e = q.take()
+          while (e._2 != null) {
+            val wait = (e._1 - System.nanoTime) / 1000000L
+            if (wait > 0) Thread.sleep(wait)
+            out.write(e._2); out.flush()
+            e = q.take()
+          }
+          to.shutdownOutput()
+        } catch { case _: Throwable => () }
+      })
+      reader.setDaemon(true); writer.setDaemon(true)
+      reader.start(); writer.start()
+    }
+    def close(): Unit = {
+      open = false
+      try server.close() catch { case _: Throwable => () }
+    }
+  }
+
+  test("pipelining: >=4x synchronous throughput at 50ms RTT, bytes identical both directions") {
+    val root = freshDir()
+    val srv = startServer(root)
+    val proxy = new LatencyProxy(srv.port, delayMs = 25) // 50 ms RTT
+    try {
+      val rnd = new java.util.Random(7)
+      val payload = new Array[Byte](SftpClient.ChunkBytes * 32) // 1.5 MiB
+      rnd.nextBytes(payload)
+      val c = new SftpClient("127.0.0.1", proxy.port, "tester", "secret",
+        expectedHostKey = Some(srv.hostKeyBlob))
+      try {
+        // pipelined upload through the latency pipe
+        val tUp = System.nanoTime
+        val out = c.outputStream("/pipe.bin")
+        out.write(payload); out.close()
+        val upMs = (System.nanoTime - tUp) / 1000000L
+        assert(Files.readAllBytes(root.resolve("pipe.bin"))
+          .sameElements(payload), "pipelined upload corrupted bytes")
+        // pipelined download
+        val tDown = System.nanoTime
+        val in = c.inputStream("/pipe.bin")
+        val got = in.readAllBytes(); in.close()
+        val downMs = (System.nanoTime - tDown) / 1000000L
+        assert(got.sameElements(payload), "pipelined download corrupted bytes")
+        // the synchronous baseline: the same bytes as one-request-
+        // in-flight offset READs (what the pre-round-11 stream did) —
+        // each 48 KiB chunk pays the full RTT
+        val tSync = System.nanoTime
+        val h = c.openRead("/pipe.bin")
+        var off = 0L
+        var n = 0
+        while (n >= 0) {
+          c.read(h, off, SftpClient.ChunkBytes) match {
+            case Some(d) => off += d.length
+            case None => n = -1
+          }
+        }
+        c.closeHandle(h)
+        val syncMs = (System.nanoTime - tSync) / 1000000L
+        assert(off == payload.length.toLong)
+        assert(downMs * 4 <= syncMs,
+          s"pipelined read ${downMs}ms not 4x faster than sync ${syncMs}ms")
+        assert(upMs * 4 <= syncMs,
+          s"pipelined write ${upMs}ms not 4x faster than sync ${syncMs}ms")
+      } finally c.close()
+    } finally { proxy.close(); srv.close() }
+  }
+
+  test("rekey under load: a transfer far past the rekey limit completes byte-identical, with reads in flight") {
+    val root = freshDir()
+    val srv = startServer(root)
+    try {
+      // 96 KiB rekey limit: a 2 MiB round trip forces MANY re-keys,
+      // several of them landing while pipelined READ responses are in
+      // flight — the deferral path (CHANNEL_DATA mid-kex) must absorb
+      // them, not die in readMessageRaw
+      val c = new SftpClient("127.0.0.1", srv.port, "tester", "secret",
+        expectedHostKey = Some(srv.hostKeyBlob),
+        rekeyBytes = 96L << 10)
+      try {
+        val rnd = new java.util.Random(11)
+        val payload = new Array[Byte](2 * 1024 * 1024 + 777)
+        rnd.nextBytes(payload)
+        val out = c.outputStream("/rekey.bin")
+        out.write(payload); out.close()
+        assert(Files.readAllBytes(root.resolve("rekey.bin"))
+          .sameElements(payload), "upload across re-keys corrupted bytes")
+        val in = c.inputStream("/rekey.bin")
+        val got = in.readAllBytes(); in.close()
+        assert(got.sameElements(payload),
+          "download across re-keys corrupted bytes")
+        assert(c.rekeys >= 8,
+          s"expected many re-keys at a 96 KiB limit, saw ${c.rekeys}")
+        // the re-keyed connection is still fully usable
+        assert(c.stat("/rekey.bin").get.size
+          .contains(payload.length.toLong))
+        assert(c.remove("/rekey.bin"))
+      } finally c.close()
+    } finally srv.close()
+  }
 }
