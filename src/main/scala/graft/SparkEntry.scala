@@ -176,6 +176,7 @@ object SparkEntry {
     // personalized PageRank: q121's int64 loop with teleport mass
     // restarting at a seed supplier decile — contamination tracing
     "q125_ppr" -> ((s, d) => Graph.q125(s, d)),
+    "q126_hits" -> ((s, d) => Graph.q126(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,6 +291,7 @@ object SparkEntry {
     "q123_assoc_rules" -> Graph.q123Sql,
     "q124_bfs_hops" -> Graph.q124Sql,
     "q125_ppr" -> Graph.q125Sql,
+    "q126_hits" -> Graph.q126Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

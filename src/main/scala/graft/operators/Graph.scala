@@ -624,4 +624,113 @@ object Graph {
        |FROM it5
        |ORDER BY pr DESC, node""".stripMargin
   }
+
+  /** [[q126]]'s fixed-point grid. Smaller than [[PrScale]] on purpose:
+    * a raw HITS score is Σ w·score over in-edges, bounded by
+    * totalWeight × SCALE — at 1e9 that is ~6e15 at sf1 (lineitem
+    * count × grid), comfortably inside int64 even before the
+    * per-round renormalization pulls scores back under ~2 × SCALE.
+    */
+  val HitsScale: Long = 1000000000L
+
+  /** q126: HITS hubs & authorities (Kleinberg, JACM '99) over the
+    * BIPARTITE customer–supplier purchase graph — customers are hubs
+    * (good buyers point at good suppliers), suppliers authorities;
+    * the natural bipartite reading of the mutual-reinforcement
+    * update, and the third member of the q121/q125 int64 fixpoint
+    * family:
+    *
+    *   auth(s) = Σ_{c→s} w(c,s) × hub(c)
+    *   hub(c)  = Σ_{c→s} w(c,s) × auth(s)
+    *
+    * Textbook HITS renormalizes by the L2 norm — an IRRATIONAL
+    * scalar, impossible to hash-match across engines. This operator's
+    * contract renormalizes on the int64 grid instead:
+    *
+    *   norm(x) = x div max(1, total div SCALE),   total = Σ x
+    *
+    * — all-positive integer ops (Spark `div` ≡ DuckDB `//`), keeping
+    * every score on [0, 2·SCALE] forever (divisor error ≤ 2×), sums
+    * order-independent, ranking monotone in the real-valued scores.
+    * Three mutual-reinforcement rounds from hub₀ = SCALE.
+    *
+    * Spark shape: the pair relation is pre-aggregated ONCE to one row
+    * per trading pair and persisted; each half-round is one join +
+    * one int64 sum + a broadcast 1-row total (the q121 discipline —
+    * per-round work is graph-sized, never fact-table-sized; at 1e9
+    * nodes the totals stay 1-row and the pair relation stays
+    * hash-partitioned and scanned, never reshuffled). Oracle: the
+    * same three rounds unrolled as chained DuckDB CTEs with scalar
+    * subquery totals.
+    */
+  def q126(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .groupBy(col("cust"), col("supp"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    def renorm(df: DataFrame, key: String, raw: String,
+        out: String): DataFrame = {
+      val tot = df.agg(sum(col(raw)).as("t"))
+      df.crossJoin(broadcast(tot))
+        .selectExpr(key,
+          s"$raw div greatest(1L, t div ${HitsScale}L) AS $out")
+    }
+    var hub = pairs.select(col("cust")).distinct()
+      .withColumn("h", lit(HitsScale))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = pairs.join(hub, Seq("cust"))
+        .select(col("supp"), (col("w") * col("h")).as("c"))
+        .groupBy(col("supp")).agg(sum(col("c")).as("araw"))
+      auth = renorm(araw, "supp", "araw", "a").localCheckpoint()
+      val hraw = pairs.join(auth, Seq("supp"))
+        .select(col("cust"), (col("w") * col("a")).as("c"))
+        .groupBy(col("cust")).agg(sum(col("c")).as("hraw"))
+      hub = renorm(hraw, "cust", "hraw", "h").localCheckpoint()
+    }
+    pairs.unpersist(blocking = false)
+    hub.select(lit("hub").as("kind"), col("cust").as("key"),
+        col("h").as("score"))
+      .unionAll(auth.select(lit("auth").as("kind"), col("supp").as("key"),
+        col("a").as("score")))
+      .orderBy(col("kind"), col("score").desc, col("key"))
+  }
+
+  val q126Sql: String = {
+    def round(i: Int): String =
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT supp, CAST(SUM(w * h) AS BIGINT) AS araw
+         |  FROM pairs JOIN hub${i - 1} USING (cust) GROUP BY supp
+         |), a$i AS MATERIALIZED (
+         |  SELECT supp, araw // GREATEST(1,
+         |    (SELECT CAST(SUM(araw) AS BIGINT) FROM a${i}raw)
+         |      // $HitsScale) AS a
+         |  FROM a${i}raw
+         |), h${i}raw AS MATERIALIZED (
+         |  SELECT cust, CAST(SUM(w * a) AS BIGINT) AS hraw
+         |  FROM pairs JOIN a$i USING (supp) GROUP BY cust
+         |), hub$i AS MATERIALIZED (
+         |  SELECT cust, hraw // GREATEST(1,
+         |    (SELECT CAST(SUM(hraw) AS BIGINT) FROM h${i}raw)
+         |      // $HitsScale) AS h
+         |  FROM h${i}raw)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), hub0 AS MATERIALIZED (
+       |  SELECT DISTINCT cust, CAST($HitsScale AS BIGINT) AS h FROM pairs
+       |),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT 'hub' AS kind, cust AS key, h AS score FROM hub3
+       |UNION ALL
+       |SELECT 'auth' AS kind, supp AS key, a AS score FROM a3
+       |ORDER BY kind, score DESC, key""".stripMargin
+  }
 }

@@ -281,4 +281,65 @@ class GraphSpec extends SparkSpec {
       if (r.getAs[String]("kind") == "cust") n == 2 * k else n == 2 * k + 1
     })
   }
+
+  /** Driver twin of q126: the bipartite mutual-reinforcement update
+    * with the int64 grid renormalization, per-pair loops over plain
+    * maps — no SQL, no Spark.
+    */
+  private def bruteHits(pairs: Seq[(Long, Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    def renorm(m: collection.Map[Long, Long]): Map[Long, Long] = {
+      val d = math.max(1L, m.values.sum / Graph.HitsScale)
+      m.map { case (k, v) => k -> v / d }.toMap
+    }
+    var hub: Map[Long, Long] =
+      pairs.map(_._1).distinct.map(_ -> Graph.HitsScale).toMap
+    var auth: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((c, s, w) <- pairs) araw(s) += w * hub(c)
+      auth = renorm(araw)
+      val hraw = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((c, s, w) <- pairs) hraw(c) += w * auth(s)
+      hub = renorm(hraw)
+    }
+    (hub, auth)
+  }
+
+  test("q126 bit-equals an imperative driver HITS; sides bipartite, scores bounded") {
+    val rows = Graph.q126(spark, sf).collect()
+    val gotHub = rows.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val gotAuth = rows.filter(_.getString(0) == "auth")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (hub, auth) = bruteHits(pairs, iters = 3)
+    assert(gotHub == hub, "hub scores differ from the driver twin")
+    assert(gotAuth == auth, "authority scores differ from the driver twin")
+    // renormalization keeps every score on the documented bound
+    assert(rows.forall(_.getLong(2) <= 2 * Graph.HitsScale))
+    assert(rows.forall(_.getLong(2) >= 0L))
+    // the sides are exactly the graph's two node sets
+    assert(gotHub.keySet == pairs.map(_._1).toSet)
+    assert(gotAuth.keySet == pairs.map(_._2).toSet)
+  }
+
+  test("q126 is bit-identical at different parallelism") {
+    val a = Graph.q126(spark, sf).collect().map(_.toSeq)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      val b = Graph.q126(spark, sf).collect().map(_.toSeq)
+      assert(a.toSeq == b.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
