@@ -301,13 +301,21 @@ object Search {
   /** Atomically replace the `_stats` artifact: the new row is written
     * to a hidden temp directory and RENAMED into place (rename of a
     * directory is the closest-to-atomic primitive a generic Hadoop FS
-    * offers), so a reader never observes a partially-written `_stats`
-    * and a crash leaves either the old row, the new row, or — in the
-    * delete→rename window — no `_stats` at all, which
-    * [[readBmStatsRow]] heals by recomputing from the postings
-    * (round-8 advice: the previous in-place overwrite could be read
-    * half-written and lost a batch under concurrency; writers remain
-    * SINGLE-WRITER by contract, see [[appendBmIndex]]).
+    * offers), so a reader never observes a partially-written `_stats`.
+    * The previous row is renamed ASIDE to `_stats_old`, never deleted,
+    * before the new one lands (round 11 — the r10 §7f window: the old
+    * delete→rename form had a two-metadata-op gap with NO stats at
+    * all, and an epoch RETRY crashing exactly there lost the applied
+    * epoch — [[readBmStatsRow]]'s recompute then included the already
+    * published batch and the resumed retry folded it AGAIN, stats off
+    * by one batch). Now every crash point leaves a readable row that
+    * carries the correct last-applied epoch: the old row (swap not
+    * yet effective — the retry folds the batch exactly once) or the
+    * new row (swap effective — the retry no-ops). `_stats_old` is
+    * garbage the moment `_stats` exists and is swept here, by the
+    * epoch no-op replay, and promoted by readers only when `_stats`
+    * is absent. Writers remain SINGLE-WRITER by contract
+    * (round-8 advice; see [[appendBmIndex]]).
     */
   private def writeStatsAtomic(spark: SparkSession, indexPath: String,
       nDocs: Long, totalLen: Long, epoch: Long = -1L): Unit = {
@@ -317,8 +325,30 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val (fs, _) = indexFs(spark, indexPath)
     val statsP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats")
-    if (fs.exists(statsP)) fs.delete(statsP, true)
+    val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats_old")
+    if (fs.exists(statsP)) {
+      // aside-garbage from a completed prior swap; the live row is
+      // _stats, so the aside is droppable before taking its name
+      if (fs.exists(oldP)) fs.delete(oldP, true)
+      fs.rename(statsP, oldP)
+    }
     fs.rename(new org.apache.hadoop.fs.Path(tmp), statsP)
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+  }
+
+  /** Resolve the live stats directory: `_stats` when present, else
+    * the `_stats_old` aside a crash mid-[[writeStatsAtomic]] left
+    * behind — PROMOTED back to `_stats` by one atomic rename so the
+    * heal is persistent, not per-read. None only when neither exists
+    * (interrupted first build, or manual deletion).
+    */
+  private def resolveStats(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Option[org.apache.hadoop.fs.Path] = {
+    val statsP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats")
+    val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats_old")
+    if (fs.exists(statsP)) Some(statsP)
+    else if (fs.exists(oldP) && fs.rename(oldP, statsP)) Some(statsP)
+    else None
   }
 
   /** The epoch recorded with the last `_stats` swap (-1 when none —
@@ -331,33 +361,39 @@ object Search {
   private[graft] def readStatsEpoch(spark: SparkSession,
       indexPath: String): Long = {
     val (fs, _) = indexFs(spark, indexPath)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_stats")))
-      return -1L
-    val df = spark.read.parquet(s"$indexPath/_stats")
-    if (!df.columns.contains("epoch")) -1L
-    else df.select(col("epoch")).head().getLong(0)
+    resolveStats(fs, indexPath) match {
+      case None => -1L
+      case Some(p) =>
+        val df = spark.read.parquet(p.toString)
+        if (!df.columns.contains("epoch")) -1L
+        else df.select(col("epoch")).head().getLong(0)
+    }
   }
 
   /** The `(n_docs, total_len)` stats row of an on-disk index. `_stats`
     * is a CACHE of a value fully derivable from the postings (each
     * posting row carries its doc's `dl`, so distinct `(doc_id, dl)`
-    * pairs recount the corpus exactly) — if the artifact is missing
-    * (a crash in [[writeStatsAtomic]]'s delete→rename window, or an
-    * interrupted first build), it is recomputed from the index and
-    * re-persisted, and reads proceed. [[recomputeBmStats]] is the
-    * explicit repair for the one case this can't see: a crash between
-    * a batch's postings append and its stats swap leaves a readable
-    * but STALE `_stats` (df stays exact — it is always recounted from
+    * pairs recount the corpus exactly) — a crash mid-swap is healed
+    * by [[resolveStats]] (the `_stats_old` aside is promoted, epoch
+    * intact); only when NEITHER row exists (interrupted first build,
+    * manual deletion) is the value recomputed from the index and
+    * re-persisted. [[recomputeBmStats]] is the explicit repair for
+    * the one case this can't see: a NON-epoch append crashing between
+    * its postings append and its stats swap leaves a readable but
+    * STALE `_stats` (df stays exact — it is always recounted from
     * the pruned scan — only the N/total_len normalization lags by one
-    * batch) — run it after any suspect append.
+    * batch) — run it after any suspect append. Epoch appends have no
+    * such window: the retry resumes from the staged batch.
     */
   private[graft] def readBmStatsRow(spark: SparkSession,
       indexPath: String): (Long, Long) = {
     val (fs, _) = indexFs(spark, indexPath)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_stats"))) {
-      val r = spark.read.parquet(s"$indexPath/_stats").collect().head
-      (r.getLong(0), r.getLong(1))
-    } else recomputeBmStats(spark, indexPath)
+    resolveStats(fs, indexPath) match {
+      case Some(p) =>
+        val r = spark.read.parquet(p.toString).collect().head
+        (r.getLong(0), r.getLong(1))
+      case None => recomputeBmStats(spark, indexPath)
+    }
   }
 
   /** Recompute `(n_docs, total_len)` from the postings themselves and
@@ -434,9 +470,12 @@ object Search {
     if (epochId.isDefined &&
         readStatsEpoch(spark, indexPath) == epochId.get) {
       // replay of an already-applied batch: no-op (and sweep a staging
-      // dir orphaned by a crash between the stats swap and its delete)
+      // dir or _stats_old aside orphaned by a crash between the stats
+      // swap and the trailing deletes)
       fs.delete(new org.apache.hadoop.fs.Path(
         batchDir(indexPath, epochId.get)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_stats_old"),
+        true)
       return report
     }
     val resuming = epochId.exists(e =>

@@ -456,6 +456,8 @@ class SearchSpec extends SparkSpec {
       assert(hits(idx) === refHits, s"$state: search results differ")
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
         Search.batchDir(idx, 7L))), s"$state: staging dir leaked")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_stats_old")),
+        s"$state: _stats_old aside leaked")
       // and the retry's retry is a byte-level no-op
       Search.appendBmIndex(spark, idx, day1, epochId = Some(7L))
       assert(postings(idx) === refPostings && statsRow(idx) === refStats)
@@ -497,6 +499,40 @@ class SearchSpec extends SparkSpec {
     Search.appendBmIndex(spark, c4, day1, epochId = Some(7L))
     fs.mkdirs(new org.apache.hadoop.fs.Path(Search.batchDir(c4, 7L)))
     retryAndCheck(c4, "crash-before-staging-delete")
+
+    // crash 5: the r10 §7f window — a RETRY of a fully-published batch
+    // dies INSIDE the stats swap, after the old row is renamed aside
+    // and before the new one lands. Under the old delete→rename form
+    // this state had NO stats at all, readBmStatsRow recomputed a base
+    // that already included the published batch, and the next retry
+    // folded the batch AGAIN (stats off by one batch). Now the aside
+    // carries the pre-batch row + epoch and the retry folds exactly once.
+    val c5 = freshIndex("c5")
+    Search.stageBatchPostings(spark, c5, tfOf(), 7L)
+    Search.publishStagedPostings(spark, c5, 7L)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$c5/_stats"),
+      new org.apache.hadoop.fs.Path(s"$c5/_stats_old")))
+    // the crashed swap's half-written tmp (the next attempt overwrites it)
+    spark.range(1)
+      .select(lit(999L).as("n_docs"), lit(999L).as("total_len"),
+        lit(999L).as("epoch"))
+      .coalesce(1).write.parquet(s"$c5/_stats_tmp")
+    retryAndCheck(c5, "crash-mid-stats-swap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$c5/_stats_old")),
+      "mid-swap aside not swept")
+
+    // crash 6: new stats landed, the trailing _stats_old delete lost —
+    // readers must prefer _stats (new epoch ⇒ no-op replay) and the
+    // replay must sweep the stale aside
+    val c6 = freshIndex("c6")
+    Search.appendBmIndex(spark, c6, day1, epochId = Some(7L))
+    spark.range(1)
+      .select(lit(1L).as("n_docs"), lit(1L).as("total_len"),
+        lit(-1L).as("epoch"))
+      .coalesce(1).write.parquet(s"$c6/_stats_old")
+    retryAndCheck(c6, "crash-before-aside-delete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$c6/_stats_old")),
+      "stale aside not swept by the no-op replay")
   }
 
   test("q105 plan: query terms broadcast, top-k is a map-side group limit") {
