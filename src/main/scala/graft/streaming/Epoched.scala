@@ -123,17 +123,151 @@ object EpochedState {
       root: String): Option[(Long, Map[String, DataFrame])] =
     epochs(spark, root).lastOption.map(e => (e, load(spark, root, e)))
 
-  /** Reclaim old checkpoints, keeping the newest `keepLast`. */
+  /** Reclaim old checkpoints, keeping the newest `keepLast`, plus any
+    * delta dirs older than the oldest kept base (they can never be
+    * replayed — resolution starts from a base).
+    */
   def prune(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the newest checkpoint")
     val fs = fsOf(spark, root)
-    epochs(spark, root).dropRight(keepLast)
+    val kept = epochs(spark, root)
+    kept.dropRight(keepLast)
       .foreach(e => fs.delete(new Path(s"$root/$e"), true))
+    kept.takeRight(keepLast).headOption.foreach { oldestKept =>
+      deltaEpochs(spark, root).filter(_ <= oldestKept)
+        .foreach(e => fs.delete(new Path(s"$root/$e.d"), true))
+    }
     // sweep crashed in-flight saves
     val d = new Path(root)
     if (fs.exists(d))
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.startsWith("_tmp_"))
         .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  // ── Delta checkpoints (round 11 — the §7f full-copy cost) ─────────
+  //
+  // `save` persists the WHOLE state every checkpoint: O(state) parquet
+  // per epoch even when the epoch touched a batch-sized fraction of
+  // it. The delta form applies the snapshot store's own discipline to
+  // state: persist per-epoch keyed INCREMENTS (changed/new rows plus
+  // tombstoned keys) under `root/<epoch>.d/<name>/{up,del}`, resolve a
+  // restart as newest-base-plus-deltas, and COMPACT periodically so
+  // the replay chain stays short. Steady-state checkpoint cost is then
+  // batch-sized; compaction amortizes the O(state) write over many
+  // epochs. Keys must uniquely identify a row of their relation (the
+  // remaining columns are the payload a new version replaces) — e.g.
+  // LineDedupState: segments by (doc_id, line_id), counts by line.
+
+  /** Keyed diff `old → neu`: `(upserts, deleteKeys)` — the rows of
+    * `neu` absent from `old` (new keys AND keys whose payload
+    * changed), and the keys of `old` absent from `neu`. Applying
+    * these with [[loadResolved]]'s replace-by-key rule reconstructs
+    * `neu` exactly. Incremental folds that already KNOW their touched
+    * rows (a batch's own lines) can build the delta directly and skip
+    * the diff's two anti-joins.
+    */
+  def diff(old: DataFrame, neu: DataFrame,
+      key: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val keyCols = key.map(col)
+    (neu.exceptAll(old),
+      old.select(keyCols: _*).except(neu.select(keyCols: _*)))
+  }
+
+  /** Persist one epoch's DELTA atomically (tmp+rename, whole-or-
+    * nothing); a no-op if that epoch's delta is already checkpointed
+    * (replay-idempotent). Every relation of the state must be present
+    * in both maps (empty DataFrames are fine and cheap) so resolution
+    * never guesses which parts an epoch touched.
+    */
+  def saveDelta(spark: SparkSession, root: String, epoch: Long,
+      upserts: Map[String, DataFrame],
+      deleteKeys: Map[String, DataFrame]): Unit = {
+    require(upserts.nonEmpty, "nothing to checkpoint")
+    require(upserts.keySet == deleteKeys.keySet,
+      s"upserts/deleteKeys name mismatch: ${upserts.keySet} vs " +
+        s"${deleteKeys.keySet}")
+    val fs = fsOf(spark, root)
+    val dst = new Path(s"$root/$epoch.d")
+    if (fs.exists(dst)) return
+    val tmp = new Path(s"$root/_tmp_$epoch.d")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    upserts.foreach { case (name, df) =>
+      df.write.parquet(s"$tmp/$name/up")
+      deleteKeys(name).write.parquet(s"$tmp/$name/del")
+    }
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"delta checkpoint rename failed for epoch $epoch")
+  }
+
+  /** Delta epochs checkpointed, ascending (completed saves only). */
+  def deltaEpochs(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val d = new Path(root)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.matches("-?\\d+\\.d"))
+      .map(_.stripSuffix(".d").toLong).sorted
+  }
+
+  /** The newest checkpointed epoch of either kind — the restart
+    * protocol's `appendsSince` cursor.
+    */
+  def latestEpoch(spark: SparkSession, root: String): Option[Long] =
+    (epochs(spark, root) ++ deltaEpochs(spark, root))
+      .sorted.lastOption
+
+  /** Resolve the newest state: the newest FULL checkpoint plus every
+    * later delta applied ascending — per relation, a delta REPLACES
+    * the rows whose key it names (upsert keys and tombstones) and
+    * unions its upsert rows in. Returns `(epoch, parts)` where epoch
+    * is the last applied delta (or the base when none). None when no
+    * full checkpoint exists — a delta chain needs a base under it; a
+    * cold start bootstraps with [[save]] once.
+    *
+    * The result is a lazy plan of one anti-join per (delta, relation):
+    * fine for the ≤ K deltas a compaction cadence leaves, which is
+    * why [[compact]] exists — call it when the chain grows past K.
+    */
+  def loadResolved(spark: SparkSession, root: String,
+      keys: Map[String, Seq[String]]): Option[(Long, Map[String, DataFrame])] = {
+    import org.apache.spark.sql.functions.col
+    epochs(spark, root).lastOption.map { base =>
+      var parts = load(spark, root, base)
+      var at = base
+      deltaEpochs(spark, root).filter(_ > base).foreach { e =>
+        at = e
+        parts = parts.map { case (name, standing) =>
+          val key = keys.getOrElse(name, sys.error(
+            s"no key declared for relation '$name'"))
+          val keyCols = key.map(col)
+          val up = spark.read.parquet(s"$root/$e.d/$name/up")
+          val del = spark.read.parquet(s"$root/$e.d/$name/del")
+          val touched = up.select(keyCols: _*)
+            .union(del.select(keyCols: _*)).distinct()
+          name -> standing.join(touched, key, "left_anti")
+            .unionByName(up)
+        }
+      }
+      (at, parts)
+    }
+  }
+
+  /** Fold the current delta chain into a new FULL checkpoint at the
+    * newest epoch and drop the consumed deltas. Crash-safe in the
+    * store's style: the base lands atomically first ([[save]]), the
+    * delta deletes follow — a crash between leaves deltas ≤ the new
+    * base, which [[loadResolved]] ignores and a re-run sweeps.
+    */
+  def compact(spark: SparkSession, root: String,
+      keys: Map[String, Seq[String]]): Unit = {
+    val fs = fsOf(spark, root)
+    loadResolved(spark, root, keys).foreach { case (epoch, parts) =>
+      save(spark, root, epoch, parts)
+      deltaEpochs(spark, root).filter(_ <= epoch)
+        .foreach(e => fs.delete(new Path(s"$root/$e.d"), true))
+    }
   }
 }

@@ -295,6 +295,110 @@ class IngestLoopSpec extends SparkSpec {
     assert(EpochedState.epochs(spark, ck) === Seq(2L))
   }
 
+  test("EpochedState delta checkpoints: batch-sized saves resolve to the full state; compaction folds the chain") {
+    // the round-11 §7f cost gap: `save` wrote the WHOLE state every
+    // checkpoint — O(state) parquet per epoch for a batch-sized
+    // change. Delta checkpoints persist only the keyed increment
+    // (changed/new rows + tombstones); a restart resolves newest base
+    // + deltas, and compaction folds the chain back into one base.
+    import graft.streaming.EpochedState
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 > 2)
+    val days = (0 to 2).map(d =>
+      docs.filter(col("doc_id") % 5 === d).localCheckpoint())
+    val unionDocs = (standing +: days).reduce(_ unionByName _)
+      .localCheckpoint()
+    val keys = Map("segments" -> Seq("doc_id", "line_id"),
+      "counts" -> Seq("line"))
+    def partsOf(s: Curation.LineDedupState) = Map(
+      "segments" -> s.segments.localCheckpoint(),
+      "counts" -> s.counts.localCheckpoint())
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_delta_ck").toString
+    val fs = new org.apache.hadoop.fs.Path(ck)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // bootstrap: full base at epoch 0 (standing corpus + day 0)
+    var state = partsOf(Curation.lineDedupIncrement(
+      Curation.lineDedupState(standing), days(0))._1)
+    EpochedState.save(spark, ck, 0L, state)
+    val baseSegRows = state("segments").count()
+
+    // epochs 1..2: fold, persist only the keyed diff
+    (1 to 2).foreach { e =>
+      val next = partsOf(Curation.lineDedupIncrement(
+        Curation.LineDedupState(state("segments"), state("counts")),
+        days(e))._1)
+      val diffs = keys.map { case (n, k) =>
+        val (up, del) = EpochedState.diff(state(n), next(n), k)
+        n -> (up.localCheckpoint(), del.localCheckpoint())
+      }
+      EpochedState.saveDelta(spark, ck, e.toLong,
+        diffs.map { case (n, (up, _)) => n -> up },
+        diffs.map { case (n, (_, del)) => n -> del })
+      state = next
+    }
+    assert(EpochedState.epochs(spark, ck) === Seq(0L))
+    assert(EpochedState.deltaEpochs(spark, ck) === Seq(1L, 2L))
+    assert(EpochedState.latestEpoch(spark, ck) === Some(2L))
+    // the delta IS batch-sized: each epoch's segment upserts are far
+    // smaller than the standing segment relation
+    (1 to 2).foreach { e =>
+      val upRows = spark.read.parquet(s"$ck/$e.d/segments/up").count()
+      assert(upRows > 0 && upRows < baseSegRows / 2,
+        s"epoch $e delta not batch-sized: $upRows vs base $baseSegRows")
+    }
+
+    def resolvedRender() = {
+      val (at, parts) = EpochedState.loadResolved(spark, ck, keys).get
+      (at, verdictMap(Curation.lineVerdictsFrom(unionDocs,
+        parts("segments"))))
+    }
+    val fullRender = verdictMap(Curation.lineDedupOn(unionDocs))
+    // resolution = base + deltas == the in-memory state == full recompute
+    assert(resolvedRender() === ((2L, fullRender)))
+    assert(verdictMap(Curation.lineVerdictsFrom(unionDocs,
+      state("segments"))) === fullRender)
+
+    // a replayed delta save is a byte-level no-op
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+    val before = walk(new org.apache.hadoop.fs.Path(ck))
+    EpochedState.saveDelta(spark, ck, 2L,
+      keys.map { case (n, _) => n -> state(n) },
+      keys.map { case (n, k) =>
+        n -> state(n).select(k.map(col): _*).limit(0) })
+    assert(walk(new org.apache.hadoop.fs.Path(ck)) === before,
+      "replayed delta save rewrote files")
+
+    // a crashed in-flight save is invisible and swept by prune
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ck/_tmp_9.d"))
+    assert(resolvedRender() === ((2L, fullRender)))
+
+    // a compact that crashed between its base write and the delta
+    // sweep leaves base 2 + deltas ≤ 2 — still resolving identically
+    EpochedState.save(spark, ck, 2L,
+      EpochedState.loadResolved(spark, ck, keys).get._2
+        .map { case (n, df) => n -> df.localCheckpoint() })
+    assert(EpochedState.epochs(spark, ck) === Seq(0L, 2L))
+    assert(EpochedState.deltaEpochs(spark, ck) === Seq(1L, 2L))
+    assert(resolvedRender() === ((2L, fullRender)))
+
+    // the re-run compact consumes the chain; prune keeps the newest
+    EpochedState.compact(spark, ck, keys)
+    assert(EpochedState.deltaEpochs(spark, ck) === Seq.empty)
+    assert(resolvedRender() === ((2L, fullRender)))
+    EpochedState.prune(spark, ck, keepLast = 1)
+    assert(EpochedState.epochs(spark, ck) === Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ck/_tmp_9.d")),
+      "prune did not sweep the crashed tmp")
+    assert(resolvedRender() === ((2L, fullRender)))
+  }
+
   private def applyEpochOn(st: graft.streaming.Epoched[Curation.LineDedupState],
       e: Long, batch: DataFrame, store: String)
       : graft.streaming.Epoched[Curation.LineDedupState] = {
