@@ -177,6 +177,7 @@ object SparkEntry {
     // restarting at a seed supplier decile — contamination tracing
     "q125_ppr" -> ((s, d) => Graph.q125(s, d)),
     "q126_hits" -> ((s, d) => Graph.q126(s, d)),
+    "q127_edge_jaccard" -> (Graph.q127 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -292,6 +293,7 @@ object SparkEntry {
     "q124_bfs_hops" -> Graph.q124Sql,
     "q125_ppr" -> Graph.q125Sql,
     "q126_hits" -> Graph.q126Sql,
+    "q127_edge_jaccard" -> Graph.q127Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

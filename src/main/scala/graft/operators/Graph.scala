@@ -311,6 +311,36 @@ object Graph {
   private[graft] def trianglesOn(pairs: DataFrame,
       broadcastMaxRows: Long = BroadcastEdgeMaxRows,
       checkpointResult: Boolean = true): DataFrame = {
+    val (tris, oriented) = triangleEnum(pairs, broadcastMaxRows)
+    // the node-sized result materializes behind a checkpoint so the
+    // wedge cache can be released before returning (plan specs skip
+    // the checkpoint to inspect the join shape)
+    val agg = tris
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
+    val counts = if (checkpointResult) {
+      val c = agg.localCheckpoint()
+      oriented.unpersist(blocking = false)
+      c
+    } else {
+      // plan-spec path: the returned plan still references the cached
+      // relation (Spark recomputes through it after unpersist), but
+      // the cache must not outlive the call — plan inspection never
+      // executes it, and leaving it pinned leaks blocks session-long
+      oriented.unpersist(blocking = false)
+      agg
+    }
+    counts.orderBy(col("part"))
+  }
+
+  /** The oriented-wedge triangle enumeration shared by [[q122]] and
+    * [[q127]]: returns the triangle corner relation
+    * `(apex, lo, hi)` (lo < hi; apex the (deg,id)-minimum corner)
+    * and the PERSISTED oriented edge relation the wedge self-join
+    * read — callers unpersist it once their aggregate materializes.
+    */
+  private def triangleEnum(pairs: DataFrame,
+      broadcastMaxRows: Long): (DataFrame, DataFrame) = {
     val deg = pairs.select(col("lo").as("node"))
       .unionAll(pairs.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -367,25 +397,82 @@ object Graph {
             graft.functions.BloomContainsLong(keyExpr, bloom)))
         screened.join(pairs, Seq("lo", "hi"))
       }
-    // the node-sized result materializes behind a checkpoint so the
-    // wedge cache can be released before returning (plan specs skip
-    // the checkpoint to inspect the join shape)
-    val agg = tris
-      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
-    val counts = if (checkpointResult) {
-      val c = agg.localCheckpoint()
-      oriented.unpersist(blocking = false)
-      c
-    } else {
-      // plan-spec path: the returned plan still references the cached
-      // relation (Spark recomputes through it after unpersist), but
-      // the cache must not outlive the call — plan inspection never
-      // executes it, and leaving it pinned leaks blocks session-long
-      oriented.unpersist(blocking = false)
-      agg
-    }
-    counts.orderBy(col("part"))
+    (tris, oriented)
+  }
+
+  /** q127: per-edge triangle support and neighborhood Jaccard over
+    * the co-purchase graph — the edge-strength profile under k-truss
+    * peeling and community detection (an edge inside a community
+    * shares most of its endpoints' neighborhoods; a bridge shares
+    * none), and the graph-native near-dup signal (two products
+    * co-bought with the same basket cohort are interchangeable).
+    *
+    * For each canonical edge (lo, hi): `common_cnt` = |N(lo) ∩ N(hi)|
+    * — exactly the triangles through the edge, so the enumeration is
+    * [[triangleEnum]]'s oriented-wedge machinery (O(m^1.5) wedges,
+    * Bloom-screened above the broadcast bound) with each triangle
+    * attributed to its THREE canonical edges instead of its three
+    * corners; `union_cnt` = deg(lo) + deg(hi) − common_cnt (both
+    * endpoints belong to the union — each neighbors the other — so
+    * union_cnt ≥ max(deg)+1 ≥ 2 and the division below is total);
+    * `jaccard_pm` = (common_cnt × 1e6) DIV union_cnt — all-positive
+    * int64, Spark `div` ≡ DuckDB `//`, hash-exact cross-engine (the
+    * q121 grid discipline). Zero-support edges survive via the left
+    * join: a bridge scoring 0 is the signal, not noise.
+    *
+    * Scale shape: identical to q122 — wedge stream map-side screened,
+    * the per-edge aggregate shuffles triangle-sized 16-byte keys, the
+    * degree join broadcasts the node-sized relation onto the
+    * edge-sized result.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+      .distinct()
+      .localCheckpoint()
+    edgeJaccardOn(pairs)
+  }
+
+  /** [[q127]]'s core over an arbitrary canonical `(lo, hi)` edge
+    * relation — spec entry point for planted graphs.
+    */
+  private[graft] def edgeJaccardOn(pairs: DataFrame,
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows): DataFrame = {
+    val (tris, oriented) = triangleEnum(pairs, broadcastMaxRows)
+    // one triangle supports three edges; apex↔lo / apex↔hi need
+    // re-canonicalizing (the apex is degree-ordered, not id-ordered)
+    val support = tris.select(explode(array(
+        struct(least(col("apex"), col("lo")).as("lo"),
+          greatest(col("apex"), col("lo")).as("hi")),
+        struct(least(col("apex"), col("hi")).as("lo"),
+          greatest(col("apex"), col("hi")).as("hi")),
+        struct(col("lo"), col("hi")))).as("e"))
+      .select(col("e.lo"), col("e.hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("common_cnt"))
+    val deg = pairs.select(col("lo").as("node"))
+      .unionAll(pairs.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val out = pairs
+      .join(support, Seq("lo", "hi"), "left")
+      .na.fill(0L, Seq("common_cnt"))
+      .join(broadcast(deg).withColumnRenamed("node", "lo")
+        .withColumnRenamed("deg", "deg_lo"), Seq("lo"))
+      .join(broadcast(deg).withColumnRenamed("node", "hi")
+        .withColumnRenamed("deg", "deg_hi"), Seq("hi"))
+      .select(col("lo"), col("hi"), col("deg_lo"), col("deg_hi"),
+        col("common_cnt"),
+        (col("deg_lo") + col("deg_hi") - col("common_cnt"))
+          .as("union_cnt"),
+        expr("common_cnt * 1000000L div " +
+          "(deg_lo + deg_hi - common_cnt)").as("jaccard_pm"))
+      .localCheckpoint()
+    oriented.unpersist(blocking = false)
+    out.orderBy(col("lo"), col("hi"))
   }
 
   /** q123: pairwise association rules over order baskets — the
@@ -513,6 +600,61 @@ object Graph {
       |FROM (SELECT unnest([apex, lo, hi]) AS part FROM tris)
       |GROUP BY part
       |ORDER BY part""".stripMargin
+
+  /** DuckDB twin of [[q127]]: q122's materialized wedge enumeration,
+    * each triangle exploded to its three re-canonicalized edges (the
+    * corners union references `tris` three times — hence the
+    * MATERIALIZED, q122Sql's documented pitfall), zero-support edges
+    * kept by the left join, the Jaccard on the same ×1e6 integer
+    * grid (`//` ≡ Spark `div` on positive int64).
+    */
+  val q127Sql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+      |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |        FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |        FROM lineitem) b
+      |    ON a.ok = b.ok AND a.pk < b.pk
+      |), deg AS MATERIALIZED (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT lo AS node FROM pairs
+      |    UNION ALL SELECT hi FROM pairs)
+      |  GROUP BY node
+      |), oriented AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+      |         THEN p.lo ELSE p.hi END AS src,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+      |         THEN p.hi ELSE p.lo END AS dst
+      |  FROM pairs p
+      |  JOIN deg dl ON dl.node = p.lo
+      |  JOIN deg dh ON dh.node = p.hi
+      |), tris AS MATERIALIZED (
+      |  SELECT x.src AS apex, x.dst AS lo, y.dst AS hi
+      |  FROM oriented x JOIN oriented y
+      |    ON x.src = y.src AND x.dst < y.dst
+      |  WHERE EXISTS (SELECT 1 FROM pairs p
+      |                WHERE p.lo = x.dst AND p.hi = y.dst)
+      |), corners AS (
+      |  SELECT least(apex, lo) AS lo, greatest(apex, lo) AS hi FROM tris
+      |  UNION ALL
+      |  SELECT least(apex, hi), greatest(apex, hi) FROM tris
+      |  UNION ALL
+      |  SELECT lo, hi FROM tris
+      |), esupp AS (
+      |  SELECT lo, hi, COUNT(*) AS common_cnt FROM corners GROUP BY 1, 2
+      |)
+      |SELECT p.lo, p.hi, dl.deg AS deg_lo, dh.deg AS deg_hi,
+      |  COALESCE(s.common_cnt, 0) AS common_cnt,
+      |  dl.deg + dh.deg - COALESCE(s.common_cnt, 0) AS union_cnt,
+      |  (COALESCE(s.common_cnt, 0) * 1000000)
+      |    // (dl.deg + dh.deg - COALESCE(s.common_cnt, 0)) AS jaccard_pm
+      |FROM pairs p
+      |JOIN deg dl ON dl.node = p.lo
+      |JOIN deg dh ON dh.node = p.hi
+      |LEFT JOIN esupp s ON s.lo = p.lo AND s.hi = p.hi
+      |ORDER BY p.lo, p.hi""".stripMargin
 
   /** q124: BFS hop distance from a deterministic seed (the
     * smallest-keyed supplier) to every reachable node of the purchase

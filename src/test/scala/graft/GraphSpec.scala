@@ -342,4 +342,65 @@ class GraphSpec extends SparkSpec {
       assert(a.toSeq == b.toSeq)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("q127 bit-equals an adjacency-intersection brute force on the real graph") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    val edges = byOrder.values.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { adj(a) += b; adj(b) += a }
+    val want = edges.map { case (a, b) =>
+      val common = (adj(a) intersect adj(b)).size.toLong
+      val union = adj(a).size + adj(b).size - common
+      (a, b) -> (adj(a).size.toLong, adj(b).size.toLong, common, union,
+        common * 1000000L / union)
+    }.toMap
+    val got = Graph.q127(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got == want)
+    // cross-consistency with q122: each triangle supports three edges
+    val triTotal = Graph.q122(spark, sf).collect()
+      .map(_.getLong(1)).sum / 3 // corner credits → triangle count
+    assert(got.values.map(_._3).sum === 3 * triTotal)
+  }
+
+  test("q127 planted graphs: K4, triangle with pendant, square; arms agree") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // K4: every edge has the two remaining vertices in common;
+    // union = 3 + 3 − 2 = 4 → jaccard 0.5 exactly
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("lo", "hi")
+    assert(rows(Graph.edgeJaccardOn(k4)).forall {
+      case (_, stats) => stats == ((3L, 3L, 2L, 4L, 500000L)) })
+    // triangle {1,2,3} + pendant edge (3,4): triangle edges share one
+    // neighbor (union 3 → 333333); the bridge shares none (scores 0)
+    val pend = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("lo", "hi")
+    val pendGot = rows(Graph.edgeJaccardOn(pend))
+    assert(pendGot((1L, 2L)) === ((2L, 2L, 1L, 3L, 333333L)))
+    assert(pendGot((3L, 4L)) === ((3L, 1L, 0L, 4L, 0L)))
+    // C4: triangle-free — every edge survives with zero support
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("lo", "hi")
+    assert(rows(Graph.edgeJaccardOn(c4)).values.forall(_._3 == 0L)
+      && Graph.edgeJaccardOn(c4).count() === 4L)
+    // broadcast and shuffled wedge-closing arms are byte-identical on
+    // a planted pseudo-random graph
+    val rnd = (0 until 400).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * i * 13 + 7) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(e => e._1 != e._2).distinct.toDF("lo", "hi")
+      .localCheckpoint()
+    assert(rows(Graph.edgeJaccardOn(rnd)) ===
+      rows(Graph.edgeJaccardOn(rnd, broadcastMaxRows = 0L)))
+  }
 }
