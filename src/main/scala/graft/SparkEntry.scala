@@ -178,6 +178,7 @@ object SparkEntry {
     "q125_ppr" -> ((s, d) => Graph.q125(s, d)),
     "q126_hits" -> ((s, d) => Graph.q126(s, d)),
     "q127_edge_jaccard" -> (Graph.q127 _),
+    "q128_pmi_colloc" -> (TextAnalysis.q128 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -294,6 +295,7 @@ object SparkEntry {
     "q125_ppr" -> Graph.q125Sql,
     "q126_hits" -> Graph.q126Sql,
     "q127_edge_jaccard" -> Graph.q127Sql,
+    "q128_pmi_colloc" -> TextAnalysis.q128Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

@@ -257,6 +257,91 @@ object TextAnalysis {
       |ORDER BY n DESC, w1, w2
       |LIMIT 50""".stripMargin
 
+  /** q128: PMI-style collocation extraction — the bigrams whose
+    * observed co-occurrence beats the independence expectation
+    * (Church & Hanks, CL '90), i.e. q26's raw counts upgraded to the
+    * statistic tokenizer-vocabulary builders and phrase miners
+    * actually rank by. PMI's log is irrelevant to selection and
+    * ranking (log is monotone), so the operator works on the LIFT
+    *   n12·Nu² / (n1·n2·Nb)
+    * rendered on a ×1000 integer grid with q121's documented floor
+    * placement — two chained int64 floor-divisions,
+    *   lift_milli = ((n12·Nu·1000) DIV (n1·n2)) · Nu DIV Nb
+    * — all-positive int64, Spark `div` ≡ DuckDB `//`, hash-exact
+    * cross-engine. Overflow headroom (why the floors sit where they
+    * do): n12 ≤ n1 and the n12 ≥ 3 support floor give
+    * step1 ≤ Nu·1000/3, so step1·Nu ≤ 334·Nu² — inside int64 while
+    * Nu < 1.6e8 tokens (sf1 is 5e7; the documented knob past that is
+    * the centi grid, q121's scale-dispatch discipline).
+    *
+    * Selection: support n12 ≥ 3 (the A-priori floor, q123's
+    * discipline — the corpus's true collocations are rare-marginal
+    * pairs, so the floor must sit below their support) and
+    * lift_milli ≥ 2000 — "co-occurs at least twice as often as
+    * independence predicts".
+    *
+    * Scale shape: the token relation materializes once behind a
+    * narrow checkpoint (two consumers — the q75 codegen-reexpansion
+    * pitfall); unigram and bigram counts are one shuffle each on the
+    * token key; the two totals ride a broadcast 1-row cross join
+    * (q126's pattern); the marginal joins hit the SUPPORT-FLORED
+    * bigram relation, so the post-floor rule set — not the raw
+    * bigram stream — pays the join.
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(
+        Tables(spark, dir, "documents").select(col("text")))
+      .select(wsTokens.as("w"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i + 1] AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val totals = uni.agg(sum(col("n")).as("nu"))
+      .crossJoin(bi.agg(count(lit(1)).as("nb")))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= 3)
+      .join(uni.select(col("tok").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        expr("((n12 * nu * 1000L) div (n1 * n2)) * nu div nb")
+          .as("lift_milli"))
+      .filter(col("lift_milli") >= 2000)
+      .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+  }
+
+  /** DuckDB twin of [[q128]] — the same two-floor integer-grid lift
+    * (`//` ≡ Spark `div` on positive int64); DuckDB's integer SUM
+    * returns HUGEINT, hence the explicit BIGINT casts on the totals.
+    */
+  val q128Sql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+      |uni AS MATERIALIZED (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+      |big AS MATERIALIZED (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |tot AS (SELECT (SELECT SUM(n) FROM uni)::BIGINT AS nu,
+      |               (SELECT COUNT(*) FROM big)::BIGINT AS nb)
+      |SELECT b.w1, b.w2, b.n12, u1.n AS n1, u2.n AS n2,
+      |  (((b.n12 * t.nu * 1000) // (u1.n * u2.n)) * t.nu) // t.nb
+      |    AS lift_milli
+      |FROM (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2
+      |      HAVING COUNT(*) >= 3) b
+      |JOIN uni u1 ON u1.tok = b.w1
+      |JOIN uni u2 ON u2.tok = b.w2
+      |CROSS JOIN tot t
+      |WHERE (((b.n12 * t.nu * 1000) // (u1.n * u2.n)) * t.nu) // t.nb
+      |      >= 2000
+      |ORDER BY lift_milli DESC, w1, w2""".stripMargin
+
   /** q27: corpus heavy hitters via graft's native Misra–Gries
     * `TypedImperativeAggregate` ([[graft.functions.HeavyHitters]]) —
     * top tokens by frequency with ≤ k counters per task and a k-row
