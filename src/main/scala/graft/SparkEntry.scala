@@ -179,6 +179,7 @@ object SparkEntry {
     "q126_hits" -> ((s, d) => Graph.q126(s, d)),
     "q127_edge_jaccard" -> (Graph.q127 _),
     "q128_pmi_colloc" -> (TextAnalysis.q128 _),
+    "q129_kcore" -> ((s, d) => Graph.q129(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -296,6 +297,7 @@ object SparkEntry {
     "q126_hits" -> Graph.q126Sql,
     "q127_edge_jaccard" -> Graph.q127Sql,
     "q128_pmi_colloc" -> TextAnalysis.q128Sql,
+    "q129_kcore" -> Graph.q129Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

@@ -656,6 +656,113 @@ object Graph {
       |LEFT JOIN esupp s ON s.lo = p.lo AND s.hi = p.hi
       |ORDER BY p.lo, p.hi""".stripMargin
 
+  /** q129: weighted k-core extraction over the customer–supplier
+    * purchase graph (Seidman '83; the webgraph-era dense-subgraph
+    * filter — Batagelj & Zaveršnik '03 peeling) — SYNCHRONOUS peeling:
+    * each round drops every node whose weighted degree within the
+    * surviving subgraph is below k, all at once, until the fixed
+    * round budget. Synchronous rounds are what make the fixpoint
+    * deterministic (no peel-order dependence) and DuckDB-oracle-able
+    * as unrolled CTEs; the k-core itself is order-independent, so on
+    * ANY converged run the output is exactly the k-core. The round
+    * budget follows q124's cap discipline: 4 rounds, the spec asserts
+    * convergence is reached on the real graph at every SF (sf1
+    * measures 3 real cascade rounds, smaller SFs 1) and a planted
+    * chain spec exercises a cascade deeper than one round. The
+    * production shape is CommonCrawl-style host filtering: keep
+    * documents whose host sits in a dense interaction core, drop
+    * long-tail spam islands.
+    *
+    * Per round: weighted degree = one join of the symmetric edge
+    * relation against the alive set on BOTH endpoints + one int64
+    * sum — alive is node-sized and shrinks monotonically, so it
+    * BROADCASTS below [[BroadcastEdgeMaxRows]] (dispatch once, on the
+    * initial node count — the q34/q122 discipline; above the bound
+    * the joins shuffle on the 8-byte node key, still per-round
+    * edge-relation-sized). Weights are lineitem counts ⇒ all int64,
+    * exact, order-free.
+    */
+  def q129(spark: SparkSession, dir: String, k: Long = 60L,
+      rounds: Int = 4): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val pairs = li.join(ord, Seq("ok"))
+      .groupBy((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+    kcoreOn(pairs, k, rounds)
+  }
+
+  /** [[q129]]'s core over an arbitrary weighted `(a, b, w)` edge
+    * relation — spec entry point for planted graphs.
+    */
+  private[graft] def kcoreOn(pairs: DataFrame, k: Long, rounds: Int,
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows): DataFrame = {
+    val sym = pairs.select(col("a").as("node"), col("b").as("peer"),
+        col("w"))
+      .unionAll(pairs.select(col("b").as("node"), col("a").as("peer"),
+        col("w")))
+      .localCheckpoint()
+    var alive = sym.select(col("node")).distinct().localCheckpoint()
+    // dispatch once: a node set that starts under the bound only
+    // shrinks (deterministic for a given graph, the q34 discipline)
+    val useBroadcast = alive.count() <= broadcastMaxRows
+    for (_ <- 1 to rounds) {
+      val prev = alive
+      alive = {
+        val a = if (useBroadcast) broadcast(prev) else prev
+        sym.join(a, Seq("node"))
+          .join(a.withColumnRenamed("node", "peer"), Seq("peer"))
+          .groupBy(col("node")).agg(sum(col("w")).as("wdeg"))
+          .filter(col("wdeg") >= k)
+          .select(col("node"))
+          .localCheckpoint()
+      }
+    }
+    // final weighted degree WITHIN the core
+    val a = if (useBroadcast) broadcast(alive) else alive
+    sym.join(a, Seq("node"))
+      .join(a.withColumnRenamed("node", "peer"), Seq("peer"))
+      .groupBy(col("node")).agg(sum(col("w")).as("wdeg"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB twin of [[q129]]: the same four synchronous peeling
+    * rounds unrolled (DuckDB's integer SUM returns HUGEINT, hence the
+    * BIGINT casts).
+    */
+  val q129Sql: String = {
+    def round(prev: String, n: Int): String =
+      s"""a$n AS MATERIALIZED (
+         |  SELECT s.node FROM sym s
+         |  JOIN $prev x ON x.node = s.node
+         |  JOIN $prev y ON y.node = s.peer
+         |  GROUP BY s.node HAVING SUM(s.w) >= 60
+         |)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT ck * 2 AS a, sk * 2 + 1 AS b, COUNT(*) AS w
+       |  FROM (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem) li
+       |  JOIN (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders) o
+       |    USING (ok)
+       |  GROUP BY 1, 2
+       |), sym AS MATERIALIZED (
+       |  SELECT a AS node, b AS peer, w FROM pairs
+       |  UNION ALL SELECT b, a, w FROM pairs
+       |), a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM sym
+       |), ${round("a0", 1)},
+       |${round("a1", 2)},
+       |${round("a2", 3)},
+       |${round("a3", 4)}
+       |SELECT s.node, SUM(s.w)::BIGINT AS wdeg
+       |FROM sym s
+       |JOIN a4 x ON x.node = s.node
+       |JOIN a4 y ON y.node = s.peer
+       |GROUP BY s.node
+       |ORDER BY s.node""".stripMargin
+  }
+
   /** q124: BFS hop distance from a deterministic seed (the
     * smallest-keyed supplier) to every reachable node of the purchase
     * graph — frontier-parallel breadth-first search, the graph twin

@@ -343,6 +343,60 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q129 bit-equals a driver synchronous peel; converged at the round cap") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ordMap = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    li.foreach { case (ok, sk) =>
+      w((ordMap(ok) * 2, sk * 2 + 1)) += 1 }
+    val edges = w.toSeq.map { case ((a, b), n) => (a, b, n) }
+    def peel(rounds: Int, k: Long): Map[Long, Long] = {
+      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      def degs = {
+        val d = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        edges.foreach { case (a, b, n) =>
+          if (alive(a) && alive(b)) { d(a) += n; d(b) += n } }
+        d
+      }
+      (1 to rounds).foreach { _ =>
+        val d = degs; alive = alive.filter(d(_) >= k) }
+      degs.filter { case (n, _) => alive(n) }.toMap
+    }
+    val want = peel(4, 60L)
+    assert(want.nonEmpty)
+    // the 4-round cap is not a truncation: round 5 changes nothing
+    assert(peel(5, 60L) === want, "real graph not converged in 4 rounds")
+    val got = Graph.q129(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("q129 planted cascade: a chain peels over multiple rounds into the K4 core; arms agree") {
+    import spark.implicits._
+    // K4 (unit weights, wdeg 3 each) with a 3-link chain hanging off
+    // node 1: x-ends peel one per round — a cascade DEEPER than one
+    // synchronous round, so a single-round peel is provably not enough
+    val g = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (2L, 3L, 1L),
+      (2L, 4L, 1L), (3L, 4L, 1L), (1L, 10L, 1L), (10L, 11L, 1L),
+      (11L, 12L, 1L)).toDF("a", "b", "w").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = rows(Graph.kcoreOn(g, k = 2L, rounds = 4))
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round is not enough — the cascade is real
+    assert(rows(Graph.kcoreOn(g, k = 2L, rounds = 1)).keySet
+      .contains(10L))
+    // broadcast and shuffle-join arms agree
+    assert(rows(Graph.kcoreOn(g, k = 2L, rounds = 4,
+      broadcastMaxRows = 0L)) === core)
+  }
+
   test("q127 bit-equals an adjacency-intersection brute force on the real graph") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).collect()
