@@ -397,6 +397,28 @@ class GraphSpec extends SparkSpec {
       broadcastMaxRows = 0L)) === core)
   }
 
+  test("q129 plan: the dispatch hint alone decides the alive-set join strategy") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L))
+      .toDF("a", "b", "w").localCheckpoint()
+    // silence stats-based auto-broadcast so only the dispatch hint can
+    // broadcast — at 100 TB the alive set has no small-stats shortcut
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bcast = Graph.kcoreOn(g, k = 2L, rounds = 1)
+        .queryExecution.executedPlan.toString
+      assert(bcast.contains("BroadcastExchange"),
+        s"alive set not broadcast below the bound:\n$bcast")
+      val shuffled = Graph.kcoreOn(g, k = 2L, rounds = 1,
+          broadcastMaxRows = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!shuffled.contains("BroadcastExchange"),
+        s"alive set broadcast above the bound:\n$shuffled")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q127 bit-equals an adjacency-intersection brute force on the real graph") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).collect()
