@@ -180,6 +180,7 @@ object SparkEntry {
     "q127_edge_jaccard" -> (Graph.q127 _),
     "q128_pmi_colloc" -> (TextAnalysis.q128 _),
     "q129_kcore" -> ((s, d) => Graph.q129(s, d)),
+    "q130_coreness" -> (Graph.q130 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,6 +299,7 @@ object SparkEntry {
     "q127_edge_jaccard" -> Graph.q127Sql,
     "q128_pmi_colloc" -> TextAnalysis.q128Sql,
     "q129_kcore" -> Graph.q129Sql,
+    "q130_coreness" -> Graph.q130Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

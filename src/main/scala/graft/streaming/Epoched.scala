@@ -230,21 +230,44 @@ object EpochedState {
     * The result is a lazy plan of one anti-join per (delta, relation):
     * fine for the ≤ K deltas a compaction cadence leaves, which is
     * why [[compact]] exists — call it when the chain grows past K.
+    *
+    * READ-PIN (round 12): the delta rows are PINNED at resolve time
+    * (eager `localCheckpoint` — deltas are batch-sized by contract,
+    * so the pin is O(recent batches), never O(state)), so a lazy
+    * resolved plan collected AFTER a concurrent [[compact]] deleted
+    * the consumed delta dirs still reads the pinned rows — the plan
+    * never touches the vanished files. The BASE dir is safe without
+    * pinning: compact only writes a new base and deletes deltas;
+    * bases are reclaimed by [[prune]] alone, which the caller
+    * sequences. A delta naming a relation the base LACKS (a state
+    * grown a new relation after bootstrap) fails loudly instead of
+    * being silently dropped — re-bootstrap with [[save]] first.
     */
   def loadResolved(spark: SparkSession, root: String,
       keys: Map[String, Seq[String]]): Option[(Long, Map[String, DataFrame])] = {
     import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, root)
     epochs(spark, root).lastOption.map { base =>
       var parts = load(spark, root, base)
       var at = base
       deltaEpochs(spark, root).filter(_ > base).foreach { e =>
         at = e
+        val deltaNames = fs.listStatus(new Path(s"$root/$e.d")).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        val unknown = deltaNames -- parts.keySet
+        if (unknown.nonEmpty) throw new IllegalStateException(
+          s"delta epoch $e names relations absent from base $base: " +
+            s"${unknown.toSeq.sorted.mkString(", ")} — a relation " +
+            "added after bootstrap must be folded into a new FULL " +
+            "checkpoint (save) before deltas reference it")
         parts = parts.map { case (name, standing) =>
           val key = keys.getOrElse(name, sys.error(
             s"no key declared for relation '$name'"))
           val keyCols = key.map(col)
           val up = spark.read.parquet(s"$root/$e.d/$name/up")
+            .localCheckpoint(true)
           val del = spark.read.parquet(s"$root/$e.d/$name/del")
+            .localCheckpoint(true)
           val touched = up.select(keyCols: _*)
             .union(del.select(keyCols: _*)).distinct()
           name -> standing.join(touched, key, "left_anti")

@@ -479,4 +479,115 @@ class GraphSpec extends SparkSpec {
     assert(rows(Graph.edgeJaccardOn(rnd)) ===
       rows(Graph.edgeJaccardOn(rnd, broadcastMaxRows = 0L)))
   }
+
+  test("q130 bit-equals a driver nested-ladder peel; every rung converged") {
+    // independent yardstick: imperative nested peeling over the same
+    // weighted graph, each rung from the previous rung's survivors
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ordMap = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    li.foreach { case (ok, sk) => w((ordMap(ok) * 2, sk * 2 + 1)) += 1 }
+    val edges = w.toSeq.map { case ((a, b), n) => (a, b, n) }
+    def peelFrom(start: Set[Long], k: Long, rounds: Int): Set[Long] = {
+      var alive = start
+      (1 to rounds).foreach { _ =>
+        val d = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        edges.foreach { case (a, b, n) =>
+          if (alive(a) && alive(b)) { d(a) += n; d(b) += n } }
+        alive = alive.filter(d(_) >= k)
+      }
+      alive
+    }
+    val all = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var alive = all
+    val want = scala.collection.mutable.Map[Long, Long]()
+    all.foreach(n => want(n) = 0L)
+    Graph.CorenessLadder.foreach { k =>
+      val next = peelFrom(alive, k, Graph.CorenessRounds)
+      // the round budget is not a truncation at ANY rung
+      assert(peelFrom(alive, k, Graph.CorenessRounds + 1) === next,
+        s"rung k=$k not converged in ${Graph.CorenessRounds} rounds")
+      next.foreach(n => want(n) = k)
+      alive = next
+    }
+    val got = Graph.q130(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want.toMap)
+    // the ladder discriminates on the real graph: at least three
+    // distinct levels are populated (0 always is; 120 empties)
+    assert(got.values.toSet.size >= 3)
+  }
+
+  test("q130 planted ladder: nested monotone levels; arms agree; strict cap throws") {
+    import spark.implicits._
+    // K4 (unit weights) + a 3-link chain: chain peels at k=2, K4
+    // survives k=2 and k=3, nothing survives k=4
+    val g = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (2L, 3L, 1L),
+      (2L, 4L, 1L), (3L, 4L, 1L), (1L, 10L, 1L), (10L, 11L, 1L),
+      (11L, 12L, 1L)).toDF("a", "b", "w").localCheckpoint()
+    def levels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = levels(Graph.coreLevelsOn(g, Seq(2L, 3L, 4L), rounds = 4))
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L))
+    // broadcast and shuffle-join arms agree
+    assert(levels(Graph.coreLevelsOn(g, Seq(2L, 3L, 4L), rounds = 4,
+      broadcastMaxRows = 0L)) === got)
+    // strict + a budget too small for the 3-deep cascade must be LOUD
+    // (the r11 advice: silent non-convergence returns sub-k nodes the
+    // oracle twin cannot catch)
+    val e = intercept[IllegalStateException] {
+      Graph.kcoreOn(g, k = 2L, rounds = 1, strict = true).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // non-strict truncated budgets stay available to cascade specs
+    assert(Graph.kcoreOn(g, k = 2L, rounds = 1).collect().nonEmpty)
+  }
+
+  test("q122/q127 session tri-cache: cached results bit-equal the uncached enumeration") {
+    // the cached entries aggregate from one shared materialized
+    // triangle relation; the *On twins enumerate fresh — results must
+    // be byte-identical (determinism is what makes the cache legal)
+    val sfDir = sf
+    val pairs = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+        .distinct().localCheckpoint()
+    }
+    val tri1 = Graph.q122(spark, sfDir).collect().map(_.toSeq)
+    val tri2 = Graph.q122(spark, sfDir).collect().map(_.toSeq) // warm hit
+    val triRef = Graph.trianglesOn(pairs).collect().map(_.toSeq)
+    assert(tri1.toSeq === triRef.toSeq)
+    assert(tri2.toSeq === triRef.toSeq)
+    val ej1 = Graph.q127(spark, sfDir).collect().map(_.toSeq)
+    val ejRef = Graph.edgeJaccardOn(pairs).collect().map(_.toSeq)
+    assert(ej1.toSeq === ejRef.toSeq)
+  }
+
+  test("q127 result-pin dispatch: parquet-temp arm bit-equals the localCheckpoint arm") {
+    import spark.implicits._
+    val rnd = (0 until 400).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * i * 13 + 7) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(e => e._1 != e._2).distinct.toDF("lo", "hi")
+      .localCheckpoint()
+    val pinned = Graph.edgeJaccardOn(rnd).collect().map(_.toSeq)
+    // pinMaxRows = 0 forces every row over the bound -> parquet temp
+    val spilled = Graph.edgeJaccardOn(rnd, pinMaxRows = 0L)
+    // the spilled arm's plan reads a parquet scan, not an RDD scan
+    assert(spilled.queryExecution.executedPlan.toString
+      .contains("FileScan parquet"),
+      "pinMaxRows=0 did not dispatch the result to a parquet temp")
+    assert(spilled.collect().map(_.toSeq).toSeq === pinned.toSeq)
+  }
 }
