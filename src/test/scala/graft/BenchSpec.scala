@@ -54,4 +54,20 @@ class BenchSpec extends AnyFunSuite {
     val cur = Map("q50" -> (0.17, 0.1))
     assert(Bench.regressionsOf(prev, cur).isEmpty)
   }
+
+  test("shardCuts: contiguous cover, ~equal sizes, graph family never split") {
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val cuts = Bench.shardCuts(names, 4)
+    assert(cuts.size <= 3 && cuts == cuts.sorted && cuts.distinct == cuts)
+    val bounds = 0 +: cuts :+ names.size
+    val shards = bounds.zip(bounds.tail).map { case (a, b) => names.slice(a, b) }
+    // cover: every query in exactly one shard
+    assert(shards.flatten == names)
+    // the tri-cache pair must share a JVM
+    val qi = shards.indexWhere(_.exists(_.startsWith("q122")))
+    assert(shards(qi).exists(_.startsWith("q127")),
+      "q122 and q127 landed in different shards — tri-cache saving lost")
+    // no degenerate shard (each within 3x of the mean)
+    assert(shards.forall(s => s.nonEmpty && s.size <= names.size * 3 / 4))
+  }
 }
