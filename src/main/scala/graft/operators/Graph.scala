@@ -1214,6 +1214,85 @@ object Graph {
       .orderBy(col("kind"), col("score").desc, col("key"))
   }
 
+  /** [[q126]]'s convergence-tracked variant (round 12, the r11 §7f
+    * candidate): the same int64-grid mutual-reinforcement rounds, but
+    * the driver STOPS when the joint hub+auth RANKING is unchanged
+    * between consecutive rounds — rank order is what consumers read
+    * (top-k hubs/authorities), and it stabilizes before the grid
+    * scores do. Returns `(scores, roundsRun)`.
+    *
+    * Stopping probe, exactly (no hash shortcuts): rank both sides'
+    * scores jointly (`rank() OVER (ORDER BY score DESC, kind, key)` —
+    * a node-sized global sort, NOT edge-sized; the same cost class as
+    * the final orderBy every graph query already pays), join this
+    * round's ranks to the previous round's on (kind, key), and count
+    * rank changes — one node-sized join + a 1-row count per round,
+    * driver sees a single long. The FIXED-round [[q126]] remains the
+    * oracle gate twin: this variant is library API for pipelines that
+    * want "iterate to stability" semantics with a bounded budget
+    * (`maxIters` throws rather than silently returning an
+    * unstabilized ranking — the q129 strict discipline).
+    */
+  def hitsConverged(spark: SparkSession, dir: String,
+      maxIters: Int = 12): (DataFrame, Int) = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .groupBy(col("cust"), col("supp"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    def renorm(df: DataFrame, key: String, raw: String,
+        out: String): DataFrame = {
+      val tot = df.agg(sum(col(raw)).as("t"))
+      df.crossJoin(broadcast(tot))
+        .selectExpr(key,
+          s"$raw div greatest(1L, t div ${HitsScale}L) AS $out")
+    }
+    def scores(hub: DataFrame, auth: DataFrame): DataFrame =
+      hub.select(lit("hub").as("kind"), col("cust").as("key"),
+          col("h").as("score"))
+        .unionAll(auth.select(lit("auth").as("kind"),
+          col("supp").as("key"), col("a").as("score")))
+    def ranking(sc: DataFrame): DataFrame =
+      sc.select(col("kind"), col("key"),
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("kind"), col("key")))
+          .as("rnk")).localCheckpoint()
+    var hub = pairs.select(col("cust")).distinct()
+      .withColumn("h", lit(HitsScale))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    var prevRank: DataFrame = null
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      val araw = pairs.join(hub, Seq("cust"))
+        .select(col("supp"), (col("w") * col("h")).as("c"))
+        .groupBy(col("supp")).agg(sum(col("c")).as("araw"))
+      auth = renorm(araw, "supp", "araw", "a").localCheckpoint()
+      val hraw = pairs.join(auth, Seq("supp"))
+        .select(col("cust"), (col("w") * col("a")).as("c"))
+        .groupBy(col("cust")).agg(sum(col("c")).as("hraw"))
+      hub = renorm(hraw, "cust", "hraw", "h").localCheckpoint()
+      rounds += 1
+      val curRank = ranking(scores(hub, auth))
+      if (prevRank != null)
+        stable = curRank.as("c")
+          .join(prevRank.as("p"), Seq("kind", "key"))
+          .filter(col("c.rnk") =!= col("p.rnk")).isEmpty
+      prevRank = curRank
+    }
+    pairs.unpersist(blocking = false)
+    if (!stable) throw new IllegalStateException(
+      s"HITS ranking not stabilized within $maxIters rounds — raise " +
+        "the budget for this graph")
+    (scores(hub, auth)
+      .orderBy(col("kind"), col("score").desc, col("key")), rounds)
+  }
+
   val q126Sql: String = {
     def round(i: Int): String =
       s"""a${i}raw AS MATERIALIZED (

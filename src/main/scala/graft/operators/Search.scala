@@ -317,7 +317,7 @@ object Search {
     * is absent. Writers remain SINGLE-WRITER by contract
     * (round-8 advice; see [[appendBmIndex]]).
     */
-  private def writeStatsAtomic(spark: SparkSession, indexPath: String,
+  private[graft] def writeStatsAtomic(spark: SparkSession, indexPath: String,
       nDocs: Long, totalLen: Long, epoch: Long = -1L): Unit = {
     import spark.implicits._
     val tmp = s"$indexPath/_stats_tmp"
@@ -350,6 +350,20 @@ object Search {
             s"stats swap: rename aside failed: $statsP -> $oldP")
       }
       swapped = fs.rename(tmpP, statsP)
+      if (swapped) {
+        // Hadoop rename-into-an-existing-dir NESTS the source (HDFS
+        // semantics): if a reader promotion recreated _stats between
+        // our exists check and the rename, the tmp landed UNDER it as
+        // _stats/_stats_tmp and the rename still returned true. Undo
+        // (pull the tmp back out) and retry the swap properly.
+        val nested = new org.apache.hadoop.fs.Path(statsP, tmpP.getName)
+        if (fs.exists(nested)) {
+          swapped = false
+          if (!fs.rename(nested, tmpP))
+            throw new java.io.IOException(
+              s"stats swap: un-nesting failed: $nested -> $tmpP")
+        }
+      }
       attempts += 1
       if (!swapped && attempts >= 5)
         throw new java.io.IOException(
@@ -365,7 +379,7 @@ object Search {
     * heal is persistent, not per-read. None only when neither exists
     * (interrupted first build, or manual deletion).
     */
-  private def resolveStats(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def resolveStats(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Option[org.apache.hadoop.fs.Path] = {
     val statsP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats")
     val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats_old")

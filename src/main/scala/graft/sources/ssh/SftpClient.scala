@@ -45,10 +45,22 @@ final class SftpClient(host: String, port: Int = 22, user: String,
   /** Re-keys completed on this connection (spec observability). */
   def rekeys: Int = t.rekeyCount
 
+  /** Largest receive window this client ever advertised (spec
+    * observability — the adaptive-window bound).
+    */
+  def recvWindowCeiling: Long = maxWindowAdvertised
+
   private var peerChan = 0L
   private var peerWindow = 0L
   private var peerMaxPacket = 32768L
   private var granted = 0L
+  // adaptive receive window (round 12): the peer's remaining send
+  // allowance is kept at `recvTarget`, which slow-starts at
+  // RecvWindowInit and doubles on each refill up to RecvWindowMax —
+  // a fast sender ramps to the ceiling in ~7 refills, an idle or
+  // trickling channel never claims more than it uses
+  private var recvTarget = SftpClient.RecvWindowInit
+  private var maxWindowAdvertised = SftpClient.RecvWindowInit
   private var channelOpen = false
   private val sftpBuf = new ByteArrayOutputStream(128 << 10)
   private var reqId = 0L
@@ -80,7 +92,7 @@ final class SftpClient(host: String, port: Int = 22, user: String,
     }
   }
   t.writePacket(new SshWriter().u8(SshMsg.ChannelOpen).text("session")
-    .u32(0L).u32(1L << 30).u32(65536L).bytes)
+    .u32(0L).u32(SftpClient.RecvWindowInit).u32(65536L).bytes)
   locally {
     val p = expectMsg(SshMsg.ChannelOpenConfirmation)
     val r = new SshReader(p, 1)
@@ -121,9 +133,15 @@ final class SftpClient(host: String, port: Int = 22, user: String,
         val r = new SshReader(p, 1); r.u32()
         val data = r.string()
         granted += data.length
-        if (granted > (1L << 29)) {
+        if (granted >= recvTarget / 2) {
+          // refill keeps the peer's remaining allowance == recvTarget;
+          // consuming half a window within one refill cycle is the
+          // throughput signal — double the target (bounded)
+          val prev = recvTarget
+          recvTarget = math.min(recvTarget * 2, SftpClient.RecvWindowMax)
+          maxWindowAdvertised = math.max(maxWindowAdvertised, recvTarget)
           t.writePacket(new SshWriter().u8(SshMsg.ChannelWindowAdjust)
-            .u32(peerChan).u32(granted).bytes)
+            .u32(peerChan).u32(granted + (recvTarget - prev)).bytes)
           granted = 0
         }
         sftpBuf.write(data, 0, data.length); None
@@ -469,4 +487,19 @@ object SftpClient {
     * server-side buffering (OpenSSH's client defaults to 64).
     */
   val PipelineDepth: Int = 16
+
+  /** Initial advertised receive window (round 12 — the r11 §7f item:
+    * the old client advertised a flat 1 GiB up front, which is a
+    * fairness problem the moment a deployment multiplexes channels:
+    * every channel claims a 1 GiB buffering entitlement it almost
+    * never uses). Slow-start instead: open small, double on use.
+    */
+  val RecvWindowInit: Long = 256L << 10
+
+  /** Receive-window growth ceiling. 32 MiB outstanding saturates a
+    * 100 ms × 2.5 Gbit/s path (window ≥ bandwidth × RTT) while
+    * bounding per-channel buffer entitlement ~32× under the old flat
+    * grant.
+    */
+  val RecvWindowMax: Long = 32L << 20
 }

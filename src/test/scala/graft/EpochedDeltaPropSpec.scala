@@ -58,4 +58,54 @@ class EpochedDeltaPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("read-pin: a lazy resolved plan survives a concurrent compact deleting its deltas") {
+    import spark.implicits._
+    val keys = Map("rel" -> Seq("k"))
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_delta_readpin").toString
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    EpochedState.save(spark, ck, 0L, Map("rel" -> base))
+    EpochedState.saveDelta(spark, ck, 1L,
+      Map("rel" -> Seq((2L, 21L), (4L, 40L)).toDF("k", "v")),
+      Map("rel" -> Seq(Tuple1(3L)).toDF("k")))
+    // resolve but DO NOT collect: the plan is outstanding
+    val (at, parts) = EpochedState.loadResolved(spark, ck, keys).get
+    assert(at === 1L)
+    // compact consumes and DELETES the epoch-1 delta dir
+    EpochedState.compact(spark, ck, keys)
+    assert(EpochedState.deltaEpochs(spark, ck).isEmpty)
+    // the outstanding plan still collects the correct state (round 12:
+    // delta rows are pinned at resolve time, so the plan never touches
+    // the vanished files)
+    val got = parts("rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 21L, 4L -> 40L))
+    // and a fresh resolve off the compacted base agrees
+    val (at2, parts2) = EpochedState.loadResolved(spark, ck, keys).get
+    assert(at2 === 1L)
+    assert(parts2("rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
+  }
+
+  test("a delta naming a relation absent from the base fails loudly, never silently drops") {
+    import spark.implicits._
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_delta_unknown_rel").toString
+    EpochedState.save(spark, ck, 0L,
+      Map("rel" -> Seq((1L, 10L)).toDF("k", "v")))
+    // a state that grew a second relation after bootstrap writes a
+    // delta for it without re-bootstrapping the base first
+    EpochedState.saveDelta(spark, ck, 1L,
+      Map("rel" -> Seq((2L, 20L)).toDF("k", "v"),
+        "extra" -> Seq((9L, 90L)).toDF("k", "v")),
+      Map("rel" -> spark.emptyDataFrame.select(lit(0L).as("k")).limit(0),
+        "extra" -> spark.emptyDataFrame.select(lit(0L).as("k")).limit(0)))
+    val e = intercept[IllegalStateException] {
+      EpochedState.loadResolved(spark, ck,
+        Map("rel" -> Seq("k"), "extra" -> Seq("k")))
+    }
+    assert(e.getMessage.contains("extra"))
+    assert(e.getMessage.contains("absent from base"))
+  }
 }

@@ -590,4 +590,22 @@ class GraphSpec extends SparkSpec {
       "pinMaxRows=0 did not dispatch the result to a parquet temp")
     assert(spilled.collect().map(_.toSeq).toSeq === pinned.toSeq)
   }
+
+  test("hitsConverged: stops when rank order stabilizes, matches the fixed-round twin at that depth") {
+    val (sc, rounds) = Graph.hitsConverged(spark, sf, maxIters = 12)
+    assert(rounds >= 2 && rounds < 12, s"suspicious round count $rounds")
+    val got = sc.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    // scores at the stop equal q126 run to exactly that many rounds —
+    // the converged variant is the same computation, just self-paced
+    val twin = Graph.q126(spark, sf, iters = rounds).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === twin.toSeq)
+    // ... and one MORE round leaves the ranking unchanged (the stop
+    // really was stability, not budget exhaustion)
+    val next = Graph.q126(spark, sf, iters = rounds + 1).collect().map(r =>
+      (r.getString(0), r.getLong(1)))
+    assert(next.toSeq === got.map(t => (t._1, t._2)).toSeq,
+      "ranking moved after the claimed stabilization point")
+  }
 }

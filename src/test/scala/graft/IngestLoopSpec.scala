@@ -151,8 +151,9 @@ class IngestLoopSpec extends SparkSpec {
     .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     .toSet
 
-  test("forget loop: one deletion request erases a doc set from all four standing artifacts; each equals a survivor recompute") {
+  test("forget loop: one deletion request erases a doc set from all five standing artifacts; each equals a survivor recompute") {
     import graft.operators.Rag
+    import graft.sources.Snapshots
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     val tmp = java.nio.file.Files
@@ -161,8 +162,12 @@ class IngestLoopSpec extends SparkSpec {
     docs.write.parquet(s"$tmp/documents.parquet")
     val bmIdx = s"$tmp/bmidx"
     val ragIdx = s"$tmp/ragidx"
+    val store = s"$tmp/store"
     Search.buildBmIndex(spark, tmp, bmIdx)
     Rag.buildRagIndex(spark, tmp, ragIdx)
+    // fifth artifact (round 12 — the r11 verdict's composition gap):
+    // the versioned snapshot store holding the corpus itself
+    Snapshots.commitAppend(spark, store, docs)
     val lineState = Curation.lineDedupState(docs)
     val cutState = Curation.cutSpanState(docs)
 
@@ -181,6 +186,9 @@ class IngestLoopSpec extends SparkSpec {
       lineState, request.select(col("doc_id")))
     val (cutAfter, _, _) = Curation.cutSpanDecrement(
       cutState, request.select(col("doc_id")))
+    // the store arm: the SAME one request drives a COW delete commit
+    Snapshots.commitDelete(spark, store,
+      col("doc_id").isInCollection(requestIds))
 
     // every artifact now equals its survivor recompute
     assert(Search.searchBmIndex(spark, bmIdx).collect()
@@ -207,6 +215,26 @@ class IngestLoopSpec extends SparkSpec {
       .filter(col("doc_id").isInCollection(requestIds)).count() === 0L)
     assert(cutAfter.grams
       .filter(col("doc_id").isInCollection(requestIds)).count() === 0L)
+    // the store's live version equals the survivor corpus bit-for-bit
+    // (COW delete: untouched batches carry over, hit batches rewrite
+    // survivors only)
+    val storeRows = Snapshots.read(spark, store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val survivorRows = survivors
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(storeRows === survivorRows,
+      "store live version differs from the survivor recompute")
+    assert(Snapshots.read(spark, store)
+      .filter(col("doc_id").isInCollection(requestIds)).count() === 0L)
+    // GDPR means the BYTES are gone, not just filtered: no live data
+    // file under the store may contain a forgotten doc_id (only
+    // manifest-referenced batches remain after the COW rewrite plus
+    // expire of the pre-delete version)
+    Snapshots.expire(spark, store, Snapshots.latestVersion(spark, store))
+    val liveFiles = spark.read.parquet(s"$store/data/*")
+    assert(liveFiles.filter(col("doc_id").isInCollection(requestIds))
+      .count() === 0L,
+      "forgotten rows remain in on-disk store batches after expire")
   }
 
   test("Epoched persistence: a killed driver resumes from checkpoint + store replay, never re-scanning the corpus") {

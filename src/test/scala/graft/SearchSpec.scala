@@ -542,4 +542,45 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"per-query top-k is not a WindowGroupLimit:\n$plan")
   }
+
+  test("stats swap survives concurrently-promoting readers: no epoch lost, every read sees a valid row") {
+    // round-12 advice fix: resolveStats (reader) promotes _stats_old
+    // back to _stats; a reader interposing between the writer's
+    // rename-aside and rename-in used to make the rename-in fail
+    // SILENTLY (return value unchecked) — the new stats row was lost
+    // without any crash. The writer now return-checks and retries the
+    // swap. This hammer runs a spinning promoter against a sequence
+    // of swaps: post-fix, the final epoch is exactly the last one
+    // written and every concurrent read observed some valid epoch.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stats_race").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Search.writeStatsAtomic(spark, idx, 1L, 1L, epoch = 0L)
+    @volatile var stop = false
+    @volatile var readerFailure: Option[String] = None
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      while (!stop) {
+        // the promoting read path the race needs (resolveStats renames
+        // _stats_old -> _stats when _stats is momentarily absent)
+        val p = Search.resolveStats(fs, idx)
+        if (p.isEmpty)
+          readerFailure = Some("reader observed NO readable stats row")
+        reads.incrementAndGet()
+      }
+    })
+    reader.start()
+    val epochs = 1L to 120L
+    try epochs.foreach { e =>
+      Search.writeStatsAtomic(spark, idx, e + 1, e * 10, epoch = e)
+    } finally { stop = true; reader.join(10000) }
+    assert(readerFailure.isEmpty, readerFailure.getOrElse(""))
+    assert(reads.get() > 0)
+    // the LAST swap's row is live: nothing was silently lost
+    assert(Search.readStatsEpoch(spark, idx) === epochs.last)
+    val row = spark.read.parquet(s"$idx/_stats").collect().head
+    assert((row.getLong(0), row.getLong(1)) ===
+      ((epochs.last + 1, epochs.last * 10)))
+  }
 }

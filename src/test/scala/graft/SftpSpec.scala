@@ -355,4 +355,39 @@ class SftpSpec extends SparkSpec {
       } finally c.close()
     } finally srv.close()
   }
+
+  test("adaptive receive window: advertised window slow-starts, stays bounded, bytes identical") {
+    val root = freshDir()
+    val srv = startServer(root)
+    try {
+      val c = connect(srv)
+      try {
+        // a download large enough to force many refills and the full
+        // slow-start ramp (init 256 KiB -> ceiling via doubling)
+        val rnd = new java.util.Random(7)
+        val big = new Array[Byte](24 * 1024 * 1024 + 321)
+        rnd.nextBytes(big)
+        java.nio.file.Files.createDirectories(root.resolve("w"))
+        java.nio.file.Files.write(root.resolve("w/win.bin"), big)
+        // before any transfer the client has only the initial grant
+        assert(c.recvWindowCeiling === graft.sources.ssh.SftpClient.RecvWindowInit)
+        val in = c.inputStream("/w/win.bin")
+        val got = in.readAllBytes(); in.close()
+        // unchanged transfer: every byte arrives exactly once
+        assert(got.sameElements(big))
+        // the window GREW (slow start engaged: a flat tiny window
+        // would cap throughput; a flat huge one is the old behavior)
+        assert(c.recvWindowCeiling > graft.sources.ssh.SftpClient.RecvWindowInit,
+          "window never grew on a throughput-bound transfer")
+        // ... and stayed bounded by the documented ceiling
+        assert(c.recvWindowCeiling <= graft.sources.ssh.SftpClient.RecvWindowMax,
+          s"advertised window ${c.recvWindowCeiling} exceeds the bound")
+        // upload direction is unaffected by our receive window
+        val out = c.outputStream("/w/back.bin")
+        out.write(big); out.close()
+        assert(java.nio.file.Files.readAllBytes(root.resolve("w/back.bin"))
+          .sameElements(big))
+      } finally c.close()
+    } finally srv.close()
+  }
 }
