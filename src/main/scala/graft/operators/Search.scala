@@ -383,9 +383,25 @@ object Search {
       indexPath: String): Option[org.apache.hadoop.fs.Path] = {
     val statsP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats")
     val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/_stats_old")
-    if (fs.exists(statsP)) Some(statsP)
-    else if (fs.exists(oldP) && fs.rename(oldP, statsP)) Some(statsP)
-    else None
+    // the promotion races concurrent WRITER swaps two ways (round 12):
+    // the writer's trailing aside-sweep can delete _stats_old mid-
+    // rename (Hadoop's local rename falls back to copy and THROWS
+    // FileNotFound instead of returning false), and the writer's
+    // rename-in can land _stats between our exists check and the
+    // rename. Both mean a fresher writer is mid-swap — re-examine:
+    // within a bounded number of looks either _stats exists (the
+    // writer won, which is the freshest answer anyway) or neither
+    // name exists stably (genuinely no stats).
+    var attempts = 0
+    while (attempts < 5) {
+      if (fs.exists(statsP)) return Some(statsP)
+      val promoted =
+        try fs.exists(oldP) && fs.rename(oldP, statsP)
+        catch { case _: java.io.IOException => false }
+      if (promoted && fs.exists(statsP)) return Some(statsP)
+      attempts += 1
+    }
+    if (fs.exists(statsP)) Some(statsP) else None
   }
 
   /** The epoch recorded with the last `_stats` swap (-1 when none —
