@@ -918,12 +918,14 @@ object Graph {
     * p99 ≈ 625): 15 keeps ~98% of nodes, 30 ~78%, 60 ~15%, and 120
     * EMPTIES the graph (the bipartite cascade: once the customers
     * under 120 go, every supplier follows) — a deliberately-empty top
-    * rung that pins the empty-core path. Four rounds converge every
-    * rung at every SF (measured ≤ 3 real peels + 1 no-op; the strict
-    * check throws if a future graph needs more).
+    * rung that pins the empty-core path. Measured convergence is ≤ 3
+    * real peels + 1 no-op per rung at every SF; the budget carries
+    * one spare round (testdata regenerates between rounds — the
+    * strict check throws loudly if a future graph needs more, and
+    * early exit makes the spare free when unused).
     */
   private[graft] val CorenessLadder: Seq[Long] = Seq(15L, 30L, 60L, 120L)
-  private[graft] val CorenessRounds = 4
+  private[graft] val CorenessRounds = 5
 
   /** q130: full coreness decomposition over the weighted
     * customer–supplier graph — each node's core LEVEL on the fixed
