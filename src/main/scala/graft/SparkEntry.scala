@@ -181,6 +181,7 @@ object SparkEntry {
     "q128_pmi_colloc" -> (TextAnalysis.q128 _),
     "q129_kcore" -> ((s, d) => Graph.q129(s, d)),
     "q130_coreness" -> (Graph.q130 _),
+    "q131_clustering" -> (Graph.q131 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -300,6 +301,7 @@ object SparkEntry {
     "q128_pmi_colloc" -> TextAnalysis.q128Sql,
     "q129_kcore" -> Graph.q129Sql,
     "q130_coreness" -> Graph.q130Sql,
+    "q131_clustering" -> Graph.q131Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

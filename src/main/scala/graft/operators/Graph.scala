@@ -693,6 +693,106 @@ object Graph {
       |GROUP BY part
       |ORDER BY part""".stripMargin
 
+  /** q131: per-node LOCAL CLUSTERING COEFFICIENT over the co-purchase
+    * graph (Watts & Strogatz, Nature '98) — triangles through a node
+    * over its wedge capacity deg·(deg−1)/2, i.e. q122's numerator
+    * normalized into the density signal curation actually thresholds
+    * on: a high-degree node with near-zero clustering is a hub/spam
+    * pattern, a dense-neighborhood node sits inside a real community
+    * (the q129/q130 tiering's per-node refinement). Rendered on the
+    * ×1e6 int64 grid — `cc_pm = triangles·1e6 div max(1, wedges)` —
+    * all-positive integer ops, Spark `div` ≡ DuckDB `//`, hash-exact
+    * (deg=1 nodes have zero wedges AND zero triangles: the guard
+    * keeps the division total and the score 0).
+    *
+    * Scale shape: the THIRD consumer of the session tri-cache — with
+    * q122/q127 in the same session the triangle relation is already
+    * materialized and this query is two node-sized aggregates + one
+    * node-keyed join; cold, it pays one [[triangleEnum]] (O(m^1.5)
+    * wedges, Bloom-screened). Degree join is node-sized.
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, tris, _) = coPurchaseGraph(spark, dir)
+    clusteringFrom(pairs, tris)
+  }
+
+  /** [[q131]]'s normalization over an edge relation and its triangle
+    * relation.
+    */
+  private def clusteringFrom(pairs: DataFrame,
+      tris: DataFrame): DataFrame = {
+    val deg = pairs.select(col("lo").as("part"))
+      .unionAll(pairs.select(col("hi").as("part")))
+      .groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    val triCnt = tris
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
+    deg.join(triCnt, Seq("part"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("part"), col("deg"), col("triangles"),
+        expr("deg * (deg - 1) div 2").as("wedges"),
+        expr("triangles * 1000000L div greatest(1L, deg * (deg - 1) div 2)")
+          .as("cc_pm"))
+      .orderBy(col("part"))
+  }
+
+  /** [[q131]]'s core over an arbitrary canonical `(lo, hi)` edge
+    * relation — spec entry point for planted graphs; enumerates fresh
+    * (no session cache).
+    */
+  private[graft] def clusteringOn(pairs: DataFrame,
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows): DataFrame = {
+    val (tris, oriented) = triangleEnum(pairs, broadcastMaxRows)
+    val out = clusteringFrom(pairs, tris).localCheckpoint()
+    oriented.unpersist(blocking = false)
+    out.orderBy(col("part"))
+  }
+
+  /** DuckDB twin of [[q131]]: q122's materialized wedge enumeration,
+    * corner counts left-joined onto the degree relation, the same
+    * ×1e6 grid (`//` ≡ Spark `div` on positive int64).
+    */
+  val q131Sql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+      |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |        FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |        FROM lineitem) b
+      |    ON a.ok = b.ok AND a.pk < b.pk
+      |), deg AS MATERIALIZED (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT lo AS node FROM pairs
+      |    UNION ALL SELECT hi FROM pairs)
+      |  GROUP BY node
+      |), oriented AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+      |         THEN p.lo ELSE p.hi END AS src,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+      |         THEN p.hi ELSE p.lo END AS dst
+      |  FROM pairs p
+      |  JOIN deg dl ON dl.node = p.lo
+      |  JOIN deg dh ON dh.node = p.hi
+      |), tris AS MATERIALIZED (
+      |  SELECT x.src AS apex, x.dst AS lo, y.dst AS hi
+      |  FROM oriented x JOIN oriented y
+      |    ON x.src = y.src AND x.dst < y.dst
+      |  WHERE EXISTS (SELECT 1 FROM pairs p
+      |                WHERE p.lo = x.dst AND p.hi = y.dst)
+      |), tcnt AS MATERIALIZED (
+      |  SELECT part, COUNT(*) AS triangles
+      |  FROM (SELECT unnest([apex, lo, hi]) AS part FROM tris)
+      |  GROUP BY part
+      |)
+      |SELECT d.node AS part, d.deg,
+      |  COALESCE(t.triangles, 0) AS triangles,
+      |  d.deg * (d.deg - 1) // 2 AS wedges,
+      |  (COALESCE(t.triangles, 0) * 1000000)
+      |    // GREATEST(1, d.deg * (d.deg - 1) // 2) AS cc_pm
+      |FROM deg d LEFT JOIN tcnt t ON t.part = d.node
+      |ORDER BY part""".stripMargin
+
   /** DuckDB twin of [[q127]]: q122's materialized wedge enumeration,
     * each triangle exploded to its three re-canonicalized edges (the
     * corners union references `tris` three times — hence the

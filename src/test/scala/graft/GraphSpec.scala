@@ -608,4 +608,38 @@ class GraphSpec extends SparkSpec {
     assert(next.toSeq === got.map(t => (t._1, t._2)).toSeq,
       "ranking moved after the claimed stabilization point")
   }
+
+  test("q131 clustering: planted exact values; cross-checks q122; arms agree; cache path equal") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // K4: every node deg 3, 3 triangles, 3 wedges -> cc exactly 1e6
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("lo", "hi")
+    assert(rows(Graph.clusteringOn(k4)).values
+      .forall(_ == ((3L, 3L, 3L, 1000000L))))
+    // triangle {1,2,3} + pendant (3,4): node 3 deg 3, 1 tri, 3 wedges
+    // -> 333333; node 4 deg 1, zero wedges -> guard keeps score 0
+    val pend = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("lo", "hi")
+    val got = rows(Graph.clusteringOn(pend))
+    assert(got(3L) === ((3L, 1L, 3L, 333333L)))
+    assert(got(4L) === ((1L, 0L, 0L, 0L)))
+    // real graph: numerator is exactly q122's triangle count per node
+    val q122m = Graph.q122(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccm = Graph.q131(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q122m.forall { case (n, t) => ccm(n) == t })
+    // nodes absent from q122 (no triangles) carry 0, never drop
+    assert(ccm.keySet.size >= q122m.keySet.size)
+    // arms agree on a planted pseudo-random graph
+    val rnd = (0 until 400).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * i * 13 + 7) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(e => e._1 != e._2).distinct.toDF("lo", "hi")
+      .localCheckpoint()
+    assert(rows(Graph.clusteringOn(rnd)) ===
+      rows(Graph.clusteringOn(rnd, broadcastMaxRows = 0L)))
+  }
 }
