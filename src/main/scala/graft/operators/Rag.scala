@@ -323,8 +323,8 @@ object Rag {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       standing.filter(!col("doc_id").isInCollection(ids))
         .write.parquet(tmp.toString)
-      fs.rename(std, old)
-      fs.rename(tmp, std)
+      graft.operators.Search.renameOrThrow(fs, std, old)
+      graft.operators.Search.renameOrThrow(fs, tmp, std)
       fs.delete(old, true)
     }
     expected.toSeq.sortBy(_._1).toDF("cell", "chunks_removed")

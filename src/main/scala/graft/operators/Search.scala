@@ -247,7 +247,7 @@ object Search {
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    renameOrThrow(fs, tmp, dst)
   }
 
   /** Right-size `_termbloom` from the standing postings — the
@@ -297,6 +297,19 @@ object Search {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
+
+  /** Single-writer maintenance renames must never swallow a false
+    * return (round 12 — the stats-swap lesson generalized): a failed
+    * `rename(std, old)` followed by a rename-into-existing-dir NEST
+    * would leave the standing bucket untouched while the caller
+    * proceeds to update stats — silent corruption. Throwing leaves a
+    * crash state the existing recovery paths already heal.
+    */
+  private[graft] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** Atomically replace the `_stats` artifact: the new row is written
     * to a hidden temp directory and RENAMED into place (rename of a
@@ -672,8 +685,8 @@ object Search {
         val old = new org.apache.hadoop.fs.Path(root, s"_old_bucket_$bucket")
         graft.sources.FileOps.compactParquet(spark,
           st.getPath.toString, tmp.toString, targetBytes)
-        fs.rename(st.getPath, old)
-        fs.rename(tmp, st.getPath)
+        renameOrThrow(fs, st.getPath, old)
+        renameOrThrow(fs, tmp, st.getPath)
         fs.delete(old, true)
         report += ((bucket, files.length, want))
       }
@@ -796,8 +809,8 @@ object Search {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       standing.filter(!col("doc_id").isInCollection(ids))
         .write.parquet(tmp.toString)
-      fs.rename(std, old)
-      fs.rename(tmp, std)
+      renameOrThrow(fs, std, old)
+      renameOrThrow(fs, tmp, std)
       fs.delete(old, true)
     }
     val batch = docs
