@@ -1273,11 +1273,22 @@ object Graph {
     * one int64 sum + a broadcast 1-row total (the q121 discipline —
     * per-round work is graph-sized, never fact-table-sized; at 1e9
     * nodes the totals stay 1-row and the pair relation stays
-    * hash-partitioned and scanned, never reshuffled). Oracle: the
-    * same three rounds unrolled as chained DuckDB CTEs with scalar
-    * subquery totals.
+    * hash-partitioned and scanned, never reshuffled). Round 12: the
+    * rank-relation joins DISPATCH on the initial node count (q129's
+    * once-decided discipline) — below [[BroadcastEdgeMaxRows]] the
+    * node-sized hub/auth side BROADCASTS, so the pair relation never
+    * leaves its map stage (r12 measured sf1: the old plan re-exchanged
+    * the unpartitioned pairs every half-round, 905 MB over 3 rounds);
+    * above the bound each join shuffles on the 8-byte node key —
+    * int64 sums are order-free, so the arms are bit-identical.
+    * Oracle: the same three rounds unrolled as chained DuckDB CTEs
+    * with scalar subquery totals.
     */
-  def q126(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def q126(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    hitsFixed(spark, dir, iters, BroadcastEdgeMaxRows)
+
+  private[graft] def hitsFixed(spark: SparkSession, dir: String,
+      iters: Int, broadcastMaxRows: Long): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables(spark, dir, "orders")
@@ -1297,13 +1308,18 @@ object Graph {
     var hub = pairs.select(col("cust")).distinct()
       .withColumn("h", lit(HitsScale))
       .localCheckpoint()
+    // dispatch once, on the initial hub count (node-sized, fixed for
+    // a given graph — the q34/q129 discipline)
+    val useBroadcast = hub.count() <= broadcastMaxRows
+    def side(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = pairs.join(hub, Seq("cust"))
+      val araw = pairs.join(side(hub), Seq("cust"))
         .select(col("supp"), (col("w") * col("h")).as("c"))
         .groupBy(col("supp")).agg(sum(col("c")).as("araw"))
       auth = renorm(araw, "supp", "araw", "a").localCheckpoint()
-      val hraw = pairs.join(auth, Seq("supp"))
+      val hraw = pairs.join(side(auth), Seq("supp"))
         .select(col("cust"), (col("w") * col("a")).as("c"))
         .groupBy(col("cust")).agg(sum(col("c")).as("hraw"))
       hub = renorm(hraw, "cust", "hraw", "h").localCheckpoint()
@@ -1366,16 +1382,21 @@ object Graph {
     var hub = pairs.select(col("cust")).distinct()
       .withColumn("h", lit(HitsScale))
       .localCheckpoint()
+    // the q126 dispatch: broadcast the node-sized rank side below the
+    // bound so the pair relation never exchanges
+    val useBroadcast = hub.count() <= BroadcastEdgeMaxRows
+    def side(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     var auth: DataFrame = null
     var prevRank: DataFrame = null
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxIters) {
-      val araw = pairs.join(hub, Seq("cust"))
+      val araw = pairs.join(side(hub), Seq("cust"))
         .select(col("supp"), (col("w") * col("h")).as("c"))
         .groupBy(col("supp")).agg(sum(col("c")).as("araw"))
       auth = renorm(araw, "supp", "araw", "a").localCheckpoint()
-      val hraw = pairs.join(auth, Seq("supp"))
+      val hraw = pairs.join(side(auth), Seq("supp"))
         .select(col("cust"), (col("w") * col("a")).as("c"))
         .groupBy(col("cust")).agg(sum(col("c")).as("hraw"))
       hub = renorm(hraw, "cust", "hraw", "h").localCheckpoint()

@@ -642,4 +642,44 @@ class GraphSpec extends SparkSpec {
     assert(rows(Graph.clusteringOn(rnd)) ===
       rows(Graph.clusteringOn(rnd, broadcastMaxRows = 0L)))
   }
+
+  test("q126 dispatch: broadcast and shuffled arms bit-equal; broadcast arm moves less shuffle") {
+    // round 12: the rank-side joins dispatch on node count — below
+    // the bound the node-sized hub/auth BROADCASTS and the pair
+    // relation never exchanges (sf1 measured 905 MB of re-exchanged
+    // pairs in the old plan). int64 sums are order-free, so the arms
+    // must be bit-identical; the broadcast arm must shuffle less.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val sh = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) sh.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+    def measured(arm: => Array[org.apache.spark.sql.Row]): (Seq[Seq[Any]], Long) = {
+      Thread.sleep(300) // drain listener events from prior work
+      val s0 = sh.get()
+      val rows = arm.map(_.toSeq).toSeq
+      Thread.sleep(300)
+      (rows, sh.get() - s0)
+    }
+    // silence stats-based auto-broadcast so only the dispatch hint can
+    // broadcast (the q129 plan-pin discipline — at 100 TB the rank
+    // relation has no small-stats shortcut), and pre-run each arm once
+    // so neither measurement pays first-plan setup the other skipped
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Graph.q126(spark, sf).collect()
+      Graph.hitsFixed(spark, sf, iters = 3, broadcastMaxRows = 0L).collect()
+      val (bcast, shB) = measured(Graph.q126(spark, sf).collect())
+      val (shuf, shS) = measured(
+        Graph.hitsFixed(spark, sf, iters = 3, broadcastMaxRows = 0L).collect())
+      assert(bcast === shuf, "dispatch arms disagree")
+      assert(shB < shS,
+        s"broadcast arm shuffled $shB >= shuffled arm $shS")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
