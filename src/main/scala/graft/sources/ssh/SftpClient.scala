@@ -121,6 +121,25 @@ final class SftpClient(host: String, port: Int = 22, user: String,
 
   // ---- channel plumbing --------------------------------------------
 
+  /** Consume `n` bytes of our advertised receive window (data AND
+    * extended data both count, RFC 4254 §5.2) and refill the peer
+    * when half the target is spent. Refill keeps the peer's
+    * remaining allowance == recvTarget; consuming half a window
+    * within one refill cycle is the throughput signal — double the
+    * target (bounded by [[SftpClient.RecvWindowMax]]).
+    */
+  private def creditRecv(n: Int): Unit = {
+    granted += n
+    if (granted >= recvTarget / 2) {
+      val prev = recvTarget
+      recvTarget = math.min(recvTarget * 2, SftpClient.RecvWindowMax)
+      maxWindowAdvertised = math.max(maxWindowAdvertised, recvTarget)
+      t.writePacket(new SshWriter().u8(SshMsg.ChannelWindowAdjust)
+        .u32(peerChan).u32(granted + (recvTarget - prev)).bytes)
+      granted = 0
+    }
+  }
+
   /** Handle one incoming message; returns it if it is NOT absorbed
     * channel plumbing (data/window bookkeeping).
     */
@@ -132,25 +151,19 @@ final class SftpClient(host: String, port: Int = 22, user: String,
       case SshMsg.ChannelData =>
         val r = new SshReader(p, 1); r.u32()
         val data = r.string()
-        granted += data.length
-        if (granted >= recvTarget / 2) {
-          // refill keeps the peer's remaining allowance == recvTarget;
-          // consuming half a window within one refill cycle is the
-          // throughput signal — double the target (bounded)
-          val prev = recvTarget
-          recvTarget = math.min(recvTarget * 2, SftpClient.RecvWindowMax)
-          maxWindowAdvertised = math.max(maxWindowAdvertised, recvTarget)
-          t.writePacket(new SshWriter().u8(SshMsg.ChannelWindowAdjust)
-            .u32(peerChan).u32(granted + (recvTarget - prev)).bytes)
-          granted = 0
-        }
+        creditRecv(data.length)
         sftpBuf.write(data, 0, data.length); None
       case SshMsg.ChannelEof => None
       case SshMsg.ChannelClose =>
         channelOpen = false
         throw new EOFException("sftp channel closed by server")
       case SshMsg.ChannelExtendedData =>
-        None // stderr chatter — irrelevant to sftp
+        // stderr chatter — payload is irrelevant to sftp, but per
+        // RFC 4254 §5.2 extended data consumes the SAME channel
+        // window as data: credit it, or a chatty server exhausts the
+        // (slow-start, 256 KiB) window and the transfer stalls
+        val r = new SshReader(p, 1); r.u32(); r.u32() // chan, type code
+        creditRecv(r.string().length); None
       case _ => Some(p)
     }
 

@@ -36,6 +36,13 @@ final class SshServer(root: Path, users: Map[String, String],
     */
   @volatile var debug: Boolean = false
 
+  /** Test knob: when > 0, every data send is preceded by that many
+    * bytes of ChannelExtendedData (stderr) — models a chatty server
+    * whose extended data spends the client's receive window
+    * (RFC 4254 §5.2). 0 (default) = silent.
+    */
+  @volatile var stderrChatter: Int = 0
+
   private val acceptor = new Thread(() => {
     while (running) {
       try {
@@ -139,6 +146,23 @@ final class SshServer(root: Path, users: Map[String, String],
     }
 
     def sendData(chan: Long, bytes: Array[Byte]): Unit = {
+      if (stderrChatter > 0) {
+        // test knob: interleave stderr chatter with every data send.
+        // Extended data spends the peer's window exactly like data
+        // (RFC 4254 §5.2) — so a client that fails to credit it back
+        // stalls here, which is precisely what the spec checks.
+        val noise = new Array[Byte](stderrChatter)
+        java.util.Arrays.fill(noise, 'x'.toByte)
+        while (peerWindow < noise.length && open) {
+          inWindowWait = true
+          try dispatch(t.readMessage()) finally inWindowWait = false
+        }
+        if (!open) return
+        t.writePacket(new SshWriter().u8(SshMsg.ChannelExtendedData)
+          .u32(chan).u32(1L /* SSH_EXTENDED_DATA_STDERR */)
+          .string(noise).bytes)
+        peerWindow -= noise.length
+      }
       var off = 0
       while (off < bytes.length) {
         val n = math.min(bytes.length - off,

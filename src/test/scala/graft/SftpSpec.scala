@@ -390,4 +390,38 @@ class SftpSpec extends SparkSpec {
       } finally c.close()
     } finally srv.close()
   }
+
+  test("extended data spends the receive window: chatty-stderr server, transfer still completes byte-identical") {
+    val root = freshDir()
+    val srv = startServer(root)
+    // every SFTP response is preceded by 8 KiB of stderr chatter; over
+    // a 4 MiB download (~90 pipelined READ responses) that is ~700 KiB
+    // of extended data — far past the 256 KiB slow-start window, so a
+    // client that drops extended bytes without crediting them back
+    // (the pre-round-13 bug) stalls permanently. RFC 4254 §5.2.
+    srv.stderrChatter = 8192
+    try {
+      val c = connect(srv)
+      try {
+        val rnd = new java.util.Random(13)
+        val big = new Array[Byte](4 * 1024 * 1024 + 77)
+        rnd.nextBytes(big)
+        java.nio.file.Files.createDirectories(root.resolve("e"))
+        java.nio.file.Files.write(root.resolve("e/chat.bin"), big)
+        // watchdog: the failure mode under test is a permanent stall,
+        // which must surface as a test failure, not a hung suite
+        @volatile var got: Array[Byte] = null
+        val worker = new Thread(() => {
+          val in = c.inputStream("/e/chat.bin")
+          got = in.readAllBytes(); in.close()
+        }, "sftp-chatter-download")
+        worker.setDaemon(true)
+        worker.start()
+        worker.join(120000L)
+        assert(!worker.isAlive,
+          "download stalled: extended data exhausted the receive window")
+        assert(got.sameElements(big))
+      } finally c.close()
+    } finally srv.close()
+  }
 }
