@@ -1334,9 +1334,11 @@ object Dedup {
     *     lists (the q31 stop-shingle logic — boilerplate fingerprints
     *     shared by > dfCap docs are dropped map-side), pairs dedup'd
     *     as 8-byte id pairs;
-    *  3. verify: texts re-attach to surviving pairs only, grouped by
-    *     the left doc so its suffix automaton is built once and every
-    *     partner just walks it; keep pairs with lcs_len >= minLen.
+    *  3. verify: texts re-attach to surviving pairs only — the left
+    *     text once per (ia, salt) sub-group (a one-row cogroup arm),
+    *     each partner text once per pair — the suffix automaton is
+    *     built once per sub-group and every partner just walks it;
+    *     keep pairs with lcs_len >= minLen.
     *
     * For minLen >= [[LcsK]] and df < dfCap the result is EXACT
     * (candidate recall 1 by the winnowing theorem with the derived
@@ -1357,9 +1359,14 @@ object Dedup {
 
   /** Candidate pairs for [[q39]] with the verify-stage salt attached:
     * `(ia, ib, salt)` where salt = ib mod ceil(partners(ia)/chunk).
-    * The partner-count aggregate and the salted join both consume the
-    * candidate relation, so it is localCheckpoint'd — 16-byte rows,
-    * the same stage artifact a production pipeline would persist.
+    * The partner count rides a `count(*) over (partition by ia)`
+    * window — one exchange on the 16-byte pair relation, no
+    * self-join — and the SALTED relation is the one localCheckpoint'd
+    * stage artifact (round 13: the pre-salt checkpoint + counts join
+    * cost a second materialization barrier per run, and replaying the
+    * salt attach per verify arm re-shuffled the pair relation twice).
+    * Both q39 verify arms read this pinned 20-byte-row artifact — the
+    * same one a production pipeline would persist.
     */
   private[graft] def lcsCandidates(spark: SparkSession, dir: String,
       minLen: Int, dfCap: Int): DataFrame = {
@@ -1372,17 +1379,17 @@ object Dedup {
         winnowFingerprints(t, LcsK, w).iterator.map(h => (id, h))
       }
       .toDF("doc_id", "h")
-    val cands = cappedPairs(fps, col("h"), "doc_id", dfCap)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("ia")
+    cappedPairs(fps, col("h"), "doc_id", dfCap)
       .select(col("p.a").as("ia"), col("p.b").as("ib"))
       .distinct()
-      .localCheckpoint()
-    val counts = cands.groupBy("ia").agg(count(lit(1)).as("n_cand"))
-    cands.join(counts, "ia")
+      .withColumn("n_cand", count(lit(1)).over(win))
       .withColumn("salt",
         pmod(col("ib"),
           greatest(ceil(col("n_cand") / lit(LcsVerifyChunk.toDouble)),
             lit(1L))).cast("int"))
       .select(col("ia"), col("ib"), col("salt"))
+      .localCheckpoint()
   }
 
   def q39(spark: SparkSession, dir: String, minLen: Int = 40,
@@ -1391,18 +1398,42 @@ object Dedup {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    lcsCandidates(spark, dir, minLen, dfCap)
+    // consumed by BOTH union arms — the heavy fingerprint/candidate
+    // machinery is already pinned inside lcsCandidates; only the
+    // narrow counts-join replays per arm
+    val salted = lcsCandidates(spark, dir, minLen, dfCap)
+    // One row per (ia, salt) sub-group carrying the left text (tag 0)
+    // unioned with the per-pair partner rows (tag 1). This is the
+    // round-13 shuffle diet — joining ta onto the candidate relation
+    // shipped a hub doc's text once PER PARTNER ROW (~LcsVerifyChunk
+    // copies per sub-group) through the verify exchange; the tagged
+    // union ships it once per sub-group, while tb stays per-row
+    // (inherent: every partner walks with its own text). One
+    // exchange, one sort: flatMapSortedGroups orders each group by
+    // tag so the automaton row arrives first.
+    val leftTexts = salted.select(col("ia"), col("salt")).distinct()
       .join(docs.select(col("doc_id").as("ia"), col("text").as("ta")), "ia")
+      .select(col("ia"), col("salt"), lit(0).as("tag"),
+        lit(-1L).as("ib"), col("ta").as("txt"))
+    val partners = salted
       .join(docs.select(col("doc_id").as("ib"), col("text").as("tb")), "ib")
-      .select(col("ia"), col("ib"), col("salt"), col("ta"), col("tb"))
-      .as[(Long, Long, Int, String, String)]
-      .groupByKey(r => (r._1, r._3)) // (left doc, salt): hub docs fan out
-      .flatMapGroups { (key: (Long, Int), rows: Iterator[(Long, Long, Int, String, String)]) =>
+      .select(col("ia"), col("salt"), lit(1).as("tag"), col("ib"),
+        col("tb").as("txt"))
+    leftTexts.unionByName(partners)
+      .as[(Long, Int, Int, Long, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups($"tag") { (key, rows) =>
         val ia = key._1
-        var auto: SuffixAutomaton = null // same ta on every row of the group
-        rows.map { case (_, ib, _, ta, tb) =>
-          if (auto == null) auto = new SuffixAutomaton(ta)
-          (ia, ib, auto.longestMatch(tb).toLong)
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val head = rows.next()
+          if (head._3 != 0) Iterator.empty // no tag-0 row ⇒ no left text
+          else {
+            val auto = new SuffixAutomaton(head._5) // built once/group
+            rows.map { case (_, _, _, ib, tb) =>
+              (ia, ib, auto.longestMatch(tb).toLong)
+            }
+          }
         }
       }
       .toDF("ia", "ib", "lcs_len")
