@@ -324,6 +324,9 @@ object Graph {
         .getOrElse(System.getProperty("java.io.tmpdir"))
       val p = s"$base/graft-$tag-${java.util.UUID.randomUUID}"
       df.write.mode("overwrite").parquet(p)
+      // swept on session-context stop / JVM exit (round 13 — temps
+      // used to accumulate until JVM exit with nothing deleting them)
+      graft.SessionCaches.registerTemp(spark, p)
       spark.read.parquet(p)
     }
 
@@ -339,6 +342,12 @@ object Graph {
     * sparse graphs; both arms scale-safe regardless), so the second
     * consumer aggregates straight from the materialized triangles.
     *
+    * Round 13: storage moved to [[graft.SessionCaches]] — keys are
+    * `sessionUUID` (identity-hash keys could collide after GC and
+    * resurrect DataFrames of a stopped context), entries evict on
+    * context stop, fill time accrues to the bench's
+    * honest-accounting ledger.
+    *
     * Contract notes (re-documenting the self-contained-query rule the
     * r11 verdict asked about): each cached relation is DETERMINISTIC
     * for a given `dir` (distinct pairs, exact triangle set), so query
@@ -349,15 +358,9 @@ object Graph {
     * pipeline mutating its tables must use a fresh session or new
     * paths.
     */
-  private val triCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (DataFrame, DataFrame, Long)]()
-
   private def coPurchaseGraph(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, Long) = {
-    val key =
-      Integer.toHexString(System.identityHashCode(spark)) + " " + dir
-    triCache.computeIfAbsent(key, _ => {
+      dir: String): (DataFrame, DataFrame, Long) =
+    graft.SessionCaches.getOrBuild(spark, "tri", dir) {
       val li = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -373,8 +376,7 @@ object Graph {
       val trisMat = pinByRows(tris, nPairs, ResultPinMaxRows, "tris")
       oriented.unpersist(blocking = false)
       (pairs, trisMat, nPairs)
-    })
-  }
+    }
 
   /** [[q122]]'s corner aggregation over a triangle relation: every
     * triangle credits its three corners via one explode; node-sized
@@ -881,17 +883,36 @@ object Graph {
   /** The weighted customer–supplier purchase graph [[q129]] and
     * [[q130]] peel: node ids disambiguated by parity (customer = 2·ck,
     * supplier = 2·sk+1), weight = lineitem count — all int64.
+    *
+    * Session-cached MATERIALIZED (round 13 — the weighted twin of the
+    * tri-cache): q129 and q130 each paid the lineitem⋈orders join +
+    * groupBy per query; now the first consumer materializes the edge
+    * relation once per (session, dir) via the same [[pinByRows]] size
+    * dispatch (heap at or below [[ResultPinMaxRows]], parquet temp
+    * above — a 100 TB edge relation must never pin executor memory).
+    * Deterministic for a given dir ⇒ results bit-identical warm or
+    * cold; the *On spec entry points bypass the cache entirely.
     */
   private def coPurchaseWeighted(spark: SparkSession,
-      dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val ord = Tables(spark, dir, "orders")
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-    li.join(ord, Seq("ok"))
-      .groupBy((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
-      .agg(count(lit(1)).as("w"))
-  }
+      dir: String): DataFrame =
+    graft.SessionCaches.getOrBuild(spark, "wsym", dir) {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val w = li.join(ord, Seq("ok"))
+        .groupBy((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val n = w.count()
+      if (n <= ResultPinMaxRows) w
+      else {
+        // re-pin the big arm to a parquet temp and release the heap
+        val spilled = pinByRows(w, n, 0L, "wsym")
+        w.unpersist(blocking = false)
+        spilled
+      }
+    }
 
   /** One synchronous peeling round: the weighted degree of each alive
     * node within the alive-induced subgraph, floored at k. One join of
