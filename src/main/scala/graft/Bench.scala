@@ -15,12 +15,19 @@ import org.apache.spark.sql.SparkSession
   * lesson), each with its own code cache and codegen cache; the parent
   * merges the per-query samples and emits the same one-line contract
   * as before (totals = sum over shards, tripwire vs the same per-SF
-  * baselines). Shard boundaries snap OUT of the q122…q127 graph-family
-  * block so the session tri-cache (Graph.coPurchaseGraph) keeps its
-  * one-enumeration-two-consumers saving inside a single JVM.
+  * baselines). Shard boundaries snap OUT of the q122…q131 graph-family
+  * block so the session tri-cache (Graph.coPurchaseGraph, consumers
+  * q122/q127/q131) and the weighted-edge cache (q129/q130) keep their
+  * one-enumeration-many-consumers savings inside a single JVM.
   * `SPARK_GRAFT_ONLY` subset runs stay single-JVM, and any child that
   * dies is re-measured in-process (the bench artifact must never lose
   * queries to fork plumbing).
+  *
+  * Honest accounting (round 13): once-per-session cache fills land in
+  * runs[0] of whichever consumer measures first, and min-of-N would
+  * exclude them from the suite total — so each JVM reports its
+  * [[SessionCaches]] ledger for the benched dir and the headline
+  * `value` = Σ per-query minima + `cache_build_s`.
   */
 object Bench {
 
@@ -28,7 +35,7 @@ object Bench {
     * spill, MARGINAL codegen footprint (generated classes + JIT ms
     * beyond the sf0.001 warmup), error if any.
     */
-  private case class QRes(name: String, wall: Double, shMb: Double,
+  private[graft] case class QRes(name: String, wall: Double, shMb: Double,
       spMb: Double, cgClasses: Long, jitMs: Long, err: Option[String],
       runs: Seq[Double] = Seq.empty)
 
@@ -224,13 +231,16 @@ object Bench {
 
   /** Shard assignment: contiguous over the sorted query list (so the
     * per-shard mix is stable round over round), with cut points
-    * SNAPPED out of the q122…q127 graph-family block — the session
-    * tri-cache shares one triangle enumeration between q122 and q127
-    * and that saving requires them in the same JVM.
+    * SNAPPED out of the q122…q131 graph-family block — the session
+    * tri-cache shares one triangle enumeration between q122, q127 and
+    * q131 (round 13: the window used to stop at q127, so a cut
+    * between q127 and q131 put q131 in a cold-cache JVM paying a full
+    * re-enumeration), and the q129/q130 weighted-edge cache rides the
+    * same window. Those savings require one JVM.
     */
   private[graft] def shardCuts(names: Seq[String], n: Int): Seq[Int] = {
     val famStart = names.indexWhere(_.startsWith("q122"))
-    val famEnd = names.lastIndexWhere(_.startsWith("q127"))
+    val famEnd = names.lastIndexWhere(_.startsWith("q131"))
     (1 until n).map { i =>
       val cut = names.size * i / n
       if (famStart >= 0 && famEnd > famStart &&
@@ -239,34 +249,46 @@ object Bench {
     }.distinct.filter(c => c > 0 && c < names.size)
   }
 
-  private def shardOf(names: Seq[String], cuts: Seq[Int],
+  private[graft] def shardOf(names: Seq[String], cuts: Seq[Int],
       i: Int): Seq[String] = {
     val bounds = 0 +: cuts :+ names.size
     names.slice(bounds(i), bounds(i + 1))
   }
+
+  /** One child shard's report: its per-query samples plus the meta
+    * numbers it measured in its own JVM.
+    */
+  private[graft] case class ShardReport(results: Seq[QRes],
+      codeCacheMb: Double, cacheBuildS: Double)
 
   /** Spawn one child JVM running shard `i` of `n`; returns the shard's
     * parsed samples, or None when the child failed (caller re-measures
     * in-process). The child inherits this JVM's flags (add-opens,
     * heap, code cache) and classpath; its stdout/stderr go to a log
     * file (tail forwarded to OUR stderr on failure) so the parent's
-    * one-line stdout contract survives.
+    * one-line stdout contract survives. `extraEnv`/`outOverride` exist
+    * for the fallback spec: a scoped-down child (tiny SF, subset
+    * queries) and a deliberately unwritable out path.
     */
-  private def runShardChild(i: Int, n: Int): Option[(Seq[QRes], Double)] = {
+  private[graft] def runShardChild(i: Int, n: Int,
+      extraEnv: Map[String, String] = Map.empty,
+      outOverride: Option[String] = None): Option[ShardReport] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") ||
         a.startsWith("-javaagent"))
-    val out = java.io.File.createTempFile(s"graft-bench-shard$i-", ".jsonl")
+    val out = outOverride.getOrElse(java.io.File
+      .createTempFile(s"graft-bench-shard$i-", ".jsonl").getAbsolutePath)
     val log = java.io.File.createTempFile(s"graft-bench-shard$i-", ".log")
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench")).asJava
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_SHARD", s"$i/$n")
-    pb.environment().put("SPARK_GRAFT_SHARD_OUT", out.getAbsolutePath)
+    pb.environment().put("SPARK_GRAFT_SHARD_OUT", out)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectOutput(log)
     pb.redirectErrorStream(true)
     Console.err.println(s"[bench] forking shard $i/$n -> $out")
@@ -280,13 +302,15 @@ object Bench {
         try src.getLines().toList finally src.close()
       } catch { case _: Throwable => Nil }
     val parsed = lines.flatMap(parseQresLine)
-    val childCodeCache = lines.reverse.collectFirst {
-      case l if l.contains("code_cache_mb") =>
+    def metaNum(key: String): Double = lines.reverse.collectFirst {
+      case l if l.contains(key) =>
         try (org.json4s.jackson.JsonMethods.parse(l) \ "v")
           .extract[Double]
         catch { case _: Throwable => 0.0 }
     }.getOrElse(0.0)
-    if (exit == 0 && parsed.nonEmpty) Some((parsed, childCodeCache))
+    if (exit == 0 && parsed.nonEmpty)
+      Some(ShardReport(parsed, metaNum("code_cache_mb"),
+        metaNum("cache_build_s")))
     else {
       Console.err.println(
         s"[bench] shard $i failed (exit=$exit, parsed=${parsed.size}); " +
@@ -299,6 +323,36 @@ object Bench {
       } catch { case _: Throwable => () }
       None
     }
+  }
+
+  /** Run every shard through `runChild`, re-measuring a failed shard
+    * in-process via `measureShard` — the bench artifact must never
+    * lose queries to fork plumbing. Extracted from main (round 13) so
+    * the fallback path is spec-coverable: BenchSpec fakes a dead
+    * child and asserts the merged report still covers every query.
+    * Returns the merged report; `cacheBuildS` sums the children's
+    * ledgers only (in-process fallback fills accrue to THIS JVM's
+    * [[SessionCaches]] ledger, which the caller reads directly).
+    */
+  private[graft] def forkMerge(names: Seq[String], nForks: Int,
+      runChild: (Int, Int) => Option[ShardReport],
+      measureShard: Set[String] => Seq[QRes]): ShardReport = {
+    val cuts = shardCuts(names, nForks)
+    val nShards = cuts.size + 1
+    var codeCacheMb = 0.0
+    var cacheBuildS = 0.0
+    val merged = (0 until nShards).flatMap { i =>
+      runChild(i, nForks) match {
+        case Some(rep) =>
+          // report the worst per-JVM code-cache occupancy seen
+          codeCacheMb = math.max(codeCacheMb, rep.codeCacheMb)
+          cacheBuildS += rep.cacheBuildS
+          rep.results
+        case None =>
+          measureShard(shardOf(names, cuts, i).toSet)
+      }
+    }
+    ShardReport(merged.sortBy(_.name), codeCacheMb, cacheBuildS)
   }
 
   def main(args: Array[String]): Unit = {
@@ -326,6 +380,12 @@ object Bench {
           results.foreach(q => w.println(qresLine(q)))
           w.println(org.json4s.jackson.Serialization.write(
             Map("meta" -> "code_cache_mb", "v" -> codeCacheMbNow)))
+          // once-per-session cache fills (tri/wsym) land in runs[0]
+          // of one consumer and min-of-N excludes them — ship the
+          // ledger so the parent charges them into the honest total
+          w.println(org.json4s.jackson.Serialization.write(
+            Map("meta" -> "cache_build_s",
+              "v" -> SessionCaches.buildSecondsFor(sfDir))))
         } finally w.close()
         spark.stop()
         return
@@ -336,47 +396,48 @@ object Bench {
       .getOrElse(4)
     val fork = only.isEmpty && nForks > 1 && names.size >= nForks
     var codeCacheMb = 0.0
+    var cacheBuildS = 0.0
     val results: Seq[QRes] =
       if (!fork) {
         val spark = newSession()
         val r = measure(spark, allQueries, sfDir)
         codeCacheMb = codeCacheMbNow
+        cacheBuildS = SessionCaches.buildSecondsFor(sfDir)
         spark.stop()
         r
       } else {
-        val cuts = shardCuts(names, nForks)
-        val nShards = cuts.size + 1
         // children run SEQUENTIALLY: two Spark JVMs on one box tax
         // each other's measurements (round-3 lesson)
         var fallback: SparkSession = null
-        val merged = (0 until nShards).flatMap { i =>
-          runShardChild(i, nForks) match {
-            case Some((rs, childCc)) =>
-              // report the worst per-JVM code-cache occupancy seen
-              codeCacheMb = math.max(codeCacheMb, childCc)
-              rs
-            case None =>
-              val shard = shardOf(names, cuts, i).toSet
-              if (fallback == null) fallback = newSession()
-              measure(fallback, allQueries.filter(p => shard(p._1)), sfDir)
-          }
-        }
+        val rep = forkMerge(names, nForks, runShardChild(_, _),
+          shard => {
+            if (fallback == null) fallback = newSession()
+            measure(fallback, allQueries.filter(p => shard(p._1)), sfDir)
+          })
         if (fallback != null) {
           codeCacheMb = math.max(codeCacheMb, codeCacheMbNow)
           fallback.stop()
         }
-        merged.sortBy(_.name)
+        codeCacheMb = math.max(codeCacheMb, rep.codeCacheMb)
+        // children's ledgers + any in-process fallback fills (ours)
+        cacheBuildS =
+          rep.cacheBuildS + SessionCaches.buildSecondsFor(sfDir)
+        rep.results
       }
 
-    emit(results, sfDir, only, codeCacheMb)
+    emit(results, sfDir, only, codeCacheMb, cacheBuildS)
   }
 
   /** Aggregate samples into the detail + one-line stdout contract —
     * identical output shape whether the samples came from one JVM or
-    * four.
+    * four. `cacheBuildS` (once-per-session derived-relation fills
+    * that min-of-N would otherwise exclude) is ADDED to the headline
+    * `value` — the r12 verdict's honest-accounting item — and broken
+    * out as its own field so the per-query minima stay comparable.
     */
   private def emit(results: Seq[QRes], sfDir: String,
-      only: Option[Set[String]], codeCacheMb: Double): Unit = {
+      only: Option[Set[String]], codeCacheMb: Double,
+      cacheBuildS: Double): Unit = {
     val ok = results.filter(_.err.isEmpty)
     val qs = ok.map(q => s"\"" + q.name + "\":" + q.wall)
       .mkString("{", ",", "}")
@@ -394,7 +455,7 @@ object Bench {
     // final line past the driver's tail window
     val errsCompact = errsList.take(5).mkString("{", ",", "}")
     val totalSpill = ok.map(_.spMb).sum
-    val total = ok.map(_.wall).sum
+    val total = ok.map(_.wall).sum + cacheBuildS
     // regression tripwire: diff (wall, shuffle) against the PREVIOUS
     // committed detail — read before this run overwrites it, compared
     // only when the scale factor matches. Each SF keeps its OWN
@@ -444,6 +505,7 @@ object Bench {
       s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
       s""""codegen_classes":$cg,"jit_ms":$jit,"runs":$runsJ,""" +
       s""""code_cache_mb":${f"$codeCacheMb%.1f"},""" +
+      s""""cache_build_s":${f"$cacheBuildS%.3f"},""" +
       s""""errors":$errs,"regressions":${regsJson(8)},""" +
       s""""n_reg":${regs.size},"sf":"$sfDir"}"""
     Console.err.println(detail)
@@ -471,7 +533,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n":${ok.size},"queries":$slow,"shuffle_mb":$shTop,""" +
-      s""""spill_mb":${f"$totalSpill%.1f"},"errors":$errsCompact,""" +
+      s""""spill_mb":${f"$totalSpill%.1f"},""" +
+      s""""cache_build_s":${f"$cacheBuildS%.3f"},"errors":$errsCompact,""" +
       s""""n_err":${errsList.size},"regressions":${regsJson(4)},""" +
       s""""n_reg":${regs.size},"sf":"$sfDir"}""")
   }

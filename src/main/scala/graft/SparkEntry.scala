@@ -182,6 +182,7 @@ object SparkEntry {
     "q129_kcore" -> ((s, d) => Graph.q129(s, d)),
     "q130_coreness" -> (Graph.q130 _),
     "q131_clustering" -> (Graph.q131 _),
+    "q132_host_prior" -> ((s: SparkSession, d: String) => Curation.q132(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,6 +303,7 @@ object SparkEntry {
     "q129_kcore" -> Graph.q129Sql,
     "q130_coreness" -> Graph.q130Sql,
     "q131_clustering" -> Graph.q131Sql,
+    "q132_host_prior" -> Curation.q132Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

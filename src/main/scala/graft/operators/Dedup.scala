@@ -93,7 +93,7 @@ object Dedup {
     * in codegen. Emitted column `p` is a struct ('a','b') of sorted
     * elements (a < b elementwise by the sort).
     */
-  private def cappedPairs(df: DataFrame, key: Column, elem: String,
+  private[graft] def cappedPairs(df: DataFrame, key: Column, elem: String,
       dfCap: Int): DataFrame =
     df.groupBy(key)
       .agg(expr(s"collect_capped($elem, $dfCap)").as("dsr"))

@@ -63,11 +63,62 @@ class BenchSpec extends AnyFunSuite {
     val shards = bounds.zip(bounds.tail).map { case (a, b) => names.slice(a, b) }
     // cover: every query in exactly one shard
     assert(shards.flatten == names)
-    // the tri-cache pair must share a JVM
+    // ALL session-cache consumers must share a JVM: the tri-cache
+    // (q122/q127/q131 — round 13: a cut between q127 and q131 made
+    // q131 pay a cold full enumeration) and the weighted-edge cache
+    // (q129/q130)
     val qi = shards.indexWhere(_.exists(_.startsWith("q122")))
-    assert(shards(qi).exists(_.startsWith("q127")),
-      "q122 and q127 landed in different shards — tri-cache saving lost")
+    for (fam <- Seq("q127", "q129", "q130", "q131"))
+      assert(shards(qi).exists(_.startsWith(fam)),
+        s"q122 and $fam landed in different shards — cache saving lost")
     // no degenerate shard (each within 3x of the mean)
     assert(shards.forall(s => s.nonEmpty && s.size <= names.size * 3 / 4))
+  }
+
+  private def canned(name: String): Bench.QRes =
+    Bench.QRes(name, 1.0, 2.0, 0.0, 3L, 4L, None, Seq(1.2, 1.0))
+
+  test("forkMerge: a dead child's shard is re-measured in-process, nothing lost") {
+    val names = ('a' to 'h').map(c => s"q_$c")
+    var fellBack: List[Set[String]] = Nil
+    val rep = Bench.forkMerge(names, 4,
+      runChild = (i, _) =>
+        if (i == 1) None // shard 1's JVM "died"
+        else Some(Bench.ShardReport(
+          Bench.shardOf(names, Bench.shardCuts(names, 4), i).map(canned),
+          10.0 + i, 0.25)),
+      measureShard = shard => { fellBack ::= shard; shard.toSeq.sorted.map(canned) })
+    // exactly one fallback, for exactly the dead shard's queries
+    val cuts = Bench.shardCuts(names, 4)
+    assert(fellBack === List(Bench.shardOf(names, cuts, 1).toSet))
+    // the merged report covers every query exactly once, sorted
+    assert(rep.results.map(_.name) === names)
+    // meta numbers: worst child code cache, children's ledgers summed
+    // (the failed shard contributes nothing — its fills accrue to the
+    // parent's own ledger, which the caller reads)
+    assert(rep.codeCacheMb === 13.0)
+    assert(math.abs(rep.cacheBuildS - 0.75) < 1e-9)
+  }
+
+  test("a real dead child JVM (unwritable shard out) is detected and re-measured in-process") {
+    // the one code path of the forked-measurement stack CI never used
+    // to exercise: a child that runs but cannot deliver its samples.
+    // Scoped down: 2 cheap queries at sf0.001, 2 shards of 1.
+    val only = "q02_filter_project,q50_event_funnel"
+    val env = Map(
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_ONLY" -> only)
+    // shard 0 writes to an unwritable path -> the child JVM exits
+    // nonzero after measuring and runShardChild must report failure
+    val dead = Bench.runShardChild(0, 2, env,
+      outOverride = Some("/proc/graft-no-such-dir/out.jsonl"))
+    assert(dead.isEmpty, "unwritable out path must surface as a dead child")
+    // same shard, writable path -> real samples come back
+    val alive = Bench.runShardChild(0, 2, env)
+    assert(alive.nonEmpty, "healthy child failed — fork plumbing broken")
+    val rep = alive.get
+    assert(rep.results.nonEmpty &&
+      rep.results.forall(r => r.err.isEmpty && r.wall > 0))
+    assert(only.split(",").contains(rep.results.head.name))
   }
 }

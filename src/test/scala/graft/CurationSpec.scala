@@ -971,4 +971,54 @@ class CurationSpec extends SparkSpec {
       standing.select(col("doc_id")).union(batch.select(col("doc_id"))),
       newState.segments)) === full)
   }
+
+  test("q132 planted host graph: mean-split tiers exact, weights divided by 1+tier") {
+    import spark.implicits._
+    // boilerplate 8-gram shared A<->B by 2 docs each (4 cross-source
+    // pairs), a second 8-gram shared A<->C once, D isolated; filler
+    // words unique per doc so no accidental collisions. Graph:
+    // wdeg A=5, B=4, C=1; n=3, tot=10 -> tier2 iff wdeg*3 >= 10
+    // (A, B), tier1 = C, tier0 = D.
+    val tpl = (1 to 8).map(i => s"tpl$i").mkString(" ")
+    val xyz = (1 to 8).map(i => s"xyz$i").mkString(" ")
+    def filler(tag: String) = (1 to 6).map(i => s"f$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a1")} $tpl $xyz ${filler("a1x")}", "en", "srcA"),
+      (2L, s"${filler("a2")} $tpl ${filler("a2x")}", "en", "srcA"),
+      (3L, s"${filler("b1")} $tpl ${filler("b1x")}", "en", "srcB"),
+      (4L, s"${filler("b2")} $tpl ${filler("b2x")}", "en", "srcB"),
+      (5L, s"${filler("c1")} $xyz ${filler("c1x")}", "de", "srcC"),
+      (6L, s"${filler("d1")} plain unshared words only here now then", "de", "srcD"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q132").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = Curation.q132(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(4),
+        r.getDouble(5))).toMap
+    val wantTier = Map("srcA" -> 2L, "srcB" -> 2L, "srcC" -> 1L,
+      "srcD" -> 0L)
+    got.foreach { case (id, (srcName, tier, _)) =>
+      assert(tier === wantTier(srcName), s"doc $id source $srcName")
+    }
+    // adj_weight is EXACTLY q75's sample_weight / (1 + tier) — the
+    // prior downweights, never re-verdicts
+    val q75w = Curation.q75(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    got.foreach { case (id, (_, tier, adj)) =>
+      assert(adj === q75w(id) / (1.0 + tier), s"doc $id")
+    }
+  }
+
+  test("q132 on the real corpus: all three tiers inhabited, mean split is the int64 compare") {
+    val rows = Curation.q132(spark, sf).collect()
+    val tiers = rows.map(_.getLong(4)).toSet
+    assert(tiers === Set(0L, 1L, 2L),
+      s"host tiers degenerate at sf0.001: $tiers")
+    // every doc of one source carries one tier (source-grain prior)
+    val bySrc = rows.groupBy(_.getString(2))
+      .map { case (s, rs) => s -> rs.map(_.getLong(4)).toSet }
+    assert(bySrc.values.forall(_.size == 1),
+      "a source carries more than one tier")
+  }
 }
