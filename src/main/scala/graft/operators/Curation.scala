@@ -442,8 +442,23 @@ object Curation {
     * text never enters it) and computed exactly once. Every float is
     * recomposed from exact integers (q47's floor-scaled denominator),
     * so the oracle hash-matches end to end.
+    *
+    * Session-cached (round 13): FIVE registry queries run this chain
+    * internally (q75, q102's kept-slice LM, q103, q112, q132), each
+    * paying the two gram passes per execution. The final verdict
+    * relation (5 narrow columns, doc-sized, deterministic for a
+    * given dir) is materialized once per (session, dir) in
+    * [[graft.SessionCaches]] — results bit-identical warm or cold,
+    * fill seconds on the bench's honest-accounting ledger, the
+    * tri-cache contract verbatim (inputs under a dir are
+    * session-immutable).
     */
-  def q75(spark: SparkSession, dir: String): DataFrame = {
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCaches.getOrBuild(spark, "verdicts", dir) {
+      verdictChain(spark, dir).localCheckpoint()
+    }.orderBy(col("doc_id"))
+
+  private def verdictChain(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     // stage 1: repetition verdict (q45's fractions, map-only)
@@ -497,7 +512,6 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("verdict"),
         when(col("verdict") === "kept", col("lang_weight"))
           .otherwise(lit(0.0)).as("sample_weight"))
-      .orderBy(col("doc_id"))
   }
 
   /** q75's verdict chain as a SQL CTE block — shared by [[q75Sql]]
