@@ -259,7 +259,8 @@ object Bench {
     * numbers it measured in its own JVM.
     */
   private[graft] case class ShardReport(results: Seq[QRes],
-      codeCacheMb: Double, cacheBuildS: Double)
+      codeCacheMb: Double, cacheBuildS: Double,
+      cacheBuilds: Map[String, Double] = Map.empty)
 
   /** Spawn one child JVM running shard `i` of `n`; returns the shard's
     * parsed samples, or None when the child failed (caller re-measures
@@ -308,9 +309,16 @@ object Bench {
           .extract[Double]
         catch { case _: Throwable => 0.0 }
     }.getOrElse(0.0)
+    def metaMap(key: String): Map[String, Double] =
+      lines.reverse.collectFirst {
+        case l if l.contains(key) =>
+          try (org.json4s.jackson.JsonMethods.parse(l) \ "v")
+            .extract[Map[String, Double]]
+          catch { case _: Throwable => Map.empty[String, Double] }
+      }.getOrElse(Map.empty)
     if (exit == 0 && parsed.nonEmpty)
       Some(ShardReport(parsed, metaNum("code_cache_mb"),
-        metaNum("cache_build_s")))
+        metaNum("cache_build_s"), metaMap("cache_builds")))
     else {
       Console.err.println(
         s"[bench] shard $i failed (exit=$exit, parsed=${parsed.size}); " +
@@ -341,18 +349,23 @@ object Bench {
     val nShards = cuts.size + 1
     var codeCacheMb = 0.0
     var cacheBuildS = 0.0
+    var cacheBuilds = Map.empty[String, Double]
     val merged = (0 until nShards).flatMap { i =>
       runChild(i, nForks) match {
         case Some(rep) =>
           // report the worst per-JVM code-cache occupancy seen
           codeCacheMb = math.max(codeCacheMb, rep.codeCacheMb)
           cacheBuildS += rep.cacheBuildS
+          cacheBuilds = rep.cacheBuilds.foldLeft(cacheBuilds) {
+            case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0.0) + v)
+          }
           rep.results
         case None =>
           measureShard(shardOf(names, cuts, i).toSet)
       }
     }
-    ShardReport(merged.sortBy(_.name), codeCacheMb, cacheBuildS)
+    ShardReport(merged.sortBy(_.name), codeCacheMb, cacheBuildS,
+      cacheBuilds)
   }
 
   def main(args: Array[String]): Unit = {
@@ -386,6 +399,9 @@ object Bench {
           w.println(org.json4s.jackson.Serialization.write(
             Map("meta" -> "cache_build_s",
               "v" -> SessionCaches.buildSecondsFor(sfDir))))
+          w.println(org.json4s.jackson.Serialization.write(
+            Map("meta" -> "cache_builds",
+              "v" -> SessionCaches.buildBreakdownFor(sfDir))))
         } finally w.close()
         spark.stop()
         return
@@ -397,12 +413,18 @@ object Bench {
     val fork = only.isEmpty && nForks > 1 && names.size >= nForks
     var codeCacheMb = 0.0
     var cacheBuildS = 0.0
+    var cacheBuilds = Map.empty[String, Double]
+    def mergeBuilds(m: Map[String, Double]): Unit =
+      cacheBuilds = m.foldLeft(cacheBuilds) {
+        case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0.0) + v)
+      }
     val results: Seq[QRes] =
       if (!fork) {
         val spark = newSession()
         val r = measure(spark, allQueries, sfDir)
         codeCacheMb = codeCacheMbNow
         cacheBuildS = SessionCaches.buildSecondsFor(sfDir)
+        mergeBuilds(SessionCaches.buildBreakdownFor(sfDir))
         spark.stop()
         r
       } else {
@@ -422,10 +444,12 @@ object Bench {
         // children's ledgers + any in-process fallback fills (ours)
         cacheBuildS =
           rep.cacheBuildS + SessionCaches.buildSecondsFor(sfDir)
+        mergeBuilds(rep.cacheBuilds)
+        mergeBuilds(SessionCaches.buildBreakdownFor(sfDir))
         rep.results
       }
 
-    emit(results, sfDir, only, codeCacheMb, cacheBuildS)
+    emit(results, sfDir, only, codeCacheMb, cacheBuildS, cacheBuilds)
   }
 
   /** Aggregate samples into the detail + one-line stdout contract —
@@ -437,7 +461,8 @@ object Bench {
     */
   private def emit(results: Seq[QRes], sfDir: String,
       only: Option[Set[String]], codeCacheMb: Double,
-      cacheBuildS: Double): Unit = {
+      cacheBuildS: Double,
+      cacheBuilds: Map[String, Double] = Map.empty): Unit = {
     val ok = results.filter(_.err.isEmpty)
     val qs = ok.map(q => s"\"" + q.name + "\":" + q.wall)
       .mkString("{", ",", "}")
@@ -506,6 +531,8 @@ object Bench {
       s""""codegen_classes":$cg,"jit_ms":$jit,"runs":$runsJ,""" +
       s""""code_cache_mb":${f"$codeCacheMb%.1f"},""" +
       s""""cache_build_s":${f"$cacheBuildS%.3f"},""" +
+      s""""cache_builds":${cacheBuilds.toSeq.sorted.map { case (k, v) =>
+          "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")},""" +
       s""""errors":$errs,"regressions":${regsJson(8)},""" +
       s""""n_reg":${regs.size},"sf":"$sfDir"}"""
     Console.err.println(detail)

@@ -35,8 +35,12 @@ object SessionCaches {
   private val entries = new ConcurrentHashMap[String, Entry]()
   // temp path -> owning context (swept on that context's stop)
   private val temps = new ConcurrentHashMap[String, SparkContext]()
-  // input dir -> accumulated cache-fill wall seconds (bench ledger)
+  // input dir -> accumulated cache-fill wall seconds (bench ledger),
+  // plus the per-kind breakdown the bench detail line reports so a
+  // cache_build_s jump is attributable to the cache that grew
   private val buildSecs = new ConcurrentHashMap[String, java.lang.Double]()
+  private val buildSecsByKind =
+    new ConcurrentHashMap[(String, String), java.lang.Double]()
   // contexts that already carry our eviction listener (identity map —
   // a context is a live singleton while registered; stopped contexts
   // are removed by the listener itself)
@@ -75,6 +79,7 @@ object SessionCaches {
       val v = build
       val secs = (System.nanoTime() - t0) / 1e9
       buildSecs.merge(dir, secs, (a, b) => a + b)
+      buildSecsByKind.merge((dir, kind), secs, (a, b) => a + b)
       Entry(v, spark.sparkContext)
     }).value.asInstanceOf[T]
   }
@@ -92,6 +97,14 @@ object SessionCaches {
     */
   def buildSecondsFor(dir: String): Double =
     Option(buildSecs.get(dir)).fold(0.0)(_.doubleValue())
+
+  /** Per-kind breakdown of [[buildSecondsFor]] — which cache grew. */
+  def buildBreakdownFor(dir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecsByKind.asScala.collect {
+      case ((d, kind), secs) if d == dir => kind -> secs.doubleValue()
+    }.toMap
+  }
 
   /** Evict every entry and sweep every temp owned by `sc`. Invoked by
     * the per-context listener on application end; exposed for specs.

@@ -27,6 +27,12 @@ import SftpProto._
   * reference's exit-3 bad-credentials taxonomy, like the FTP 530
   * path.
   *
+  * Auth: password by default; pass `identity` (an Ed25519 KeyPair)
+  * for publickey auth (RFC 4252 §7 — the signature binds to the
+  * session id, so a captured blob cannot replay; the server side of
+  * the same exchange is OpenSSH-interop-proven). A rejected key or
+  * password surfaces as the reference's exit-3 taxonomy either way.
+  *
   * `rekeyBytes` forwards to the transport: the connection re-keys
   * itself after that much traffic (OpenSSH's 1–4 GB discipline), and
   * peer-initiated re-keys are absorbed transparently — either way a
@@ -35,7 +41,8 @@ import SftpProto._
   */
 final class SftpClient(host: String, port: Int = 22, user: String,
     password: String, expectedHostKey: Option[Array[Byte]] = None,
-    rekeyBytes: Long = 1L << 30) {
+    rekeyBytes: Long = 1L << 30,
+    identity: Option[java.security.KeyPair] = None) {
 
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
@@ -74,9 +81,24 @@ final class SftpClient(host: String, port: Int = 22, user: String,
   t.writePacket(new SshWriter().u8(SshMsg.ServiceRequest)
     .text("ssh-userauth").bytes)
   expectMsg(SshMsg.ServiceAccept)
-  t.writePacket(new SshWriter().u8(SshMsg.UserauthRequest)
-    .text(user).text("ssh-connection").text("password").bool(false)
-    .text(password).bytes)
+  identity match {
+    case Some(kp) =>
+      // publickey auth (RFC 4252 §7): sign session-id ++ the request
+      // (the binding that makes a captured signature non-replayable),
+      // send the signed request directly — the probe round-trip is
+      // optional and we know our one key
+      val blob = SshCrypto.ed25519Blob(kp.getPublic)
+      val req = new SshWriter().u8(SshMsg.UserauthRequest)
+        .text(user).text("ssh-connection").text("publickey").bool(true)
+        .text(SshCrypto.HostKeyAlgo).string(blob).bytes
+      val sig = SshCrypto.ed25519Sign(kp.getPrivate,
+        new SshWriter().string(t.sessionId).raw(req).bytes)
+      t.writePacket(new SshWriter().raw(req).string(sig).bytes)
+    case None =>
+      t.writePacket(new SshWriter().u8(SshMsg.UserauthRequest)
+        .text(user).text("ssh-connection").text("password").bool(false)
+        .text(password).bytes)
+  }
   locally {
     var done = false
     while (!done) {

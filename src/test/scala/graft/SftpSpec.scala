@@ -391,6 +391,37 @@ class SftpSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("client publickey auth: authorized key round-trips, unknown key is the exit-3 taxonomy") {
+    val root = freshDir()
+    val kp = SshCrypto.ed25519KeyPair()
+    val srv = startServer(root,
+      keys = Seq(SshCrypto.ed25519Blob(kp.getPublic.asInstanceOf[java.security.PublicKey])))
+    try {
+      // authorized identity, wrong password on purpose: the key is
+      // what authenticates
+      val c = new SftpClient("127.0.0.1", srv.port, "tester", "IGNORED",
+        expectedHostKey = Some(srv.hostKeyBlob), identity = Some(kp))
+      try {
+        val data = ("key auth payload " * 100).getBytes("UTF-8")
+        java.nio.file.Files.createDirectories(root.resolve("k"))
+        val out = c.outputStream("/k/key.bin")
+        out.write(data); out.close()
+        val in = c.inputStream("/k/key.bin")
+        val got = in.readAllBytes(); in.close()
+        assert(got.sameElements(data))
+      } finally c.close()
+      // an UNAUTHORIZED key must fail as bad credentials (exit 3),
+      // exactly like a wrong password — never hang, never connect
+      val stranger = SshCrypto.ed25519KeyPair()
+      val err = intercept[graft.sources.FileOps.GraftFsError] {
+        new SftpClient("127.0.0.1", srv.port, "tester", "IGNORED",
+          expectedHostKey = Some(srv.hostKeyBlob),
+          identity = Some(stranger))
+      }
+      assert(err.code === 3)
+    } finally srv.close()
+  }
+
   test("extended data spends the receive window: chatty-stderr server, transfer still completes byte-identical") {
     val root = freshDir()
     val srv = startServer(root)
