@@ -82,7 +82,7 @@ class PerplexitySpec extends SparkSpec {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val ss = Seq("", "a", "the quick brown", "naïve café ünïcödé",
-      "aa bb cc dd ee", "x\ty z")
+      "aa bb cc dd ee", "x\ty \u0001z")
     val got = ss.toDF("s").selectExpr("fingerprint64(s)")
       .collect().map(_.getLong(0)).toSeq
     assert(got === ss.map(graft.functions.Fingerprint64.of))
