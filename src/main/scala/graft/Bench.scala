@@ -31,13 +31,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** One query's bench sample: min wall, per-run-averaged shuffle and
+  /** One query's bench sample: min wall, WARM-run shuffle (the
+    * minimum per-run shuffle — round 14: the per-run average diluted
+    * one-time cache fills into the per-query number, so q122's sf1
+    * shuffle read 1010.9 MB in a 2-run round and 521.7 in a 4-run
+    * round at an identical plan, and the regression tripwire
+    * false-flagged its own honesty machinery), per-run-averaged
     * spill, MARGINAL codegen footprint (generated classes + JIT ms
-    * beyond the sf0.001 warmup), error if any.
+    * beyond the sf0.001 warmup), error if any. `shRuns` carries every
+    * run's shuffle in run order so a cold fill stays visible as
+    * runs[0] exceeding the warm floor.
     */
   private[graft] case class QRes(name: String, wall: Double, shMb: Double,
       spMb: Double, cgClasses: Long, jitMs: Long, err: Option[String],
-      runs: Seq[Double] = Seq.empty)
+      runs: Seq[Double] = Seq.empty, shRuns: Seq[Double] = Seq.empty)
+
+  /** One measurement pass's output: the samples plus the
+    * [[SessionCaches]] ledger DELTA this pass caused for the benched
+    * dir (snapshotted after the warmup loop — round 14: when the
+    * benched dir IS the warmup dir, warmup-phase fills used to accrue
+    * to the reported ledger even though they ran outside timed runs).
+    */
+  private[graft] case class Measured(results: Seq[QRes],
+      cacheBuildS: Double, cacheBuilds: Map[String, Double])
 
   /** (wall_sec, shuffle_mb) per query from a bench detail line —
     * the tolerant inverse of the writer below (numeric sections only;
@@ -115,11 +131,12 @@ object Bench {
   }
 
   /** Warm + measure `queryList` in THIS JVM; the timing loop shared by
-    * single-JVM runs and forked children.
+    * single-JVM runs and forked children. Package-private so the
+    * ledger-vs-runs cross-examination spec can drive it directly.
     */
-  private def measure(spark: SparkSession,
+  private[graft] def measure(spark: SparkSession,
       queryList: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      sfDir: String): Seq[QRes] = {
+      sfDir: String): Measured = {
     // shuffle/spill telemetry: wall time says WHETHER a query got
     // slower, bytes-through-the-shuffle says WHY
     val shuffleBytes = new AtomicLong
@@ -140,6 +157,12 @@ object Bench {
       queryList.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // ledger baseline AFTER warmup: when sfDir == warmDir (spec runs,
+    // sf0.001 iterations) the warmup loop itself fills the session
+    // caches for the benched dir — those fills ran outside timed runs
+    // and must not inflate the reported cache_build_s
+    val ledger0 = SessionCaches.buildSecondsFor(sfDir)
+    val builds0 = SessionCaches.buildBreakdownFor(sfDir)
     // codegen/JIT telemetry (round 9): per query, how many classes
     // Janino generated and how much JIT compile time elapsed. The
     // class counts rank the codegen producers to shrink; a jit_ms
@@ -148,31 +171,40 @@ object Bench {
     val codegenHist = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_GENERATED_CLASS_BYTECODE_SIZE
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
-    queryList.map { case (name, fn) =>
-      // min of two timed executions: this box is shared (background
-      // load spikes showed up as multi-second stalls on trivial
-      // queries), and min-of-N is the standard steady-state estimator
-      // under external noise
-      val sh0 = shuffleBytes.get(); val sp0 = spilledBytes.get()
+    val results = queryList.map { case (name, fn) =>
+      val sp0 = spilledBytes.get()
       val cg0 = codegenHist.getCount; val jit0 = jitBean.getTotalCompilationTime
       // a failing query must surface as err, never as a bogus timing
       var err: Option[String] = None
-      def timedRun(): Double = {
+      // each timed run records its OWN shuffle delta (round 14 — the
+      // all-runs average diluted one-time cache fills into the
+      // per-query number; the listener bus is async, but the gc +
+      // 200 ms drain at the head of the NEXT run flushes the previous
+      // run's task events before its successor reads the baseline, so
+      // per-run attribution is as sharp as the old per-query delta)
+      def timedRun(): (Double, Double) = {
         // Spark's ContextCleaner is GC-driven: with a large pinned
         // heap the JVM never collects, so shuffle registrations /
         // broadcasts / checkpoint blocks pile up and tax later
         // queries. Collect (untimed) between measurements.
         System.gc()
         Thread.sleep(200) // let the async cleaner drain before timing
+        val sh0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(120))
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9,
+          (shuffleBytes.get() - sh0) / 1e6)
       }
-      var times = List(timedRun(), timedRun())
+      // min of two timed executions: this box is shared (background
+      // load spikes showed up as multi-second stalls on trivial
+      // queries), and min-of-N is the standard steady-state estimator
+      // under external noise
+      var samples = List(timedRun(), timedRun())
+      def walls = samples.map(_._1)
       // JIT warmup storms are nondeterministic and can cover BOTH
       // default runs: a new-at-this-SF plan's generated classes run
       // interpreted until C2 catches up (observed on q31 — 80 s stage
@@ -181,21 +213,30 @@ object Bench {
       // looks stormy (> 2 s) or the two runs disagree badly;
       // min-of-N converges on steady state where min-of-2 reported
       // the storm. Genuinely-slow queries pay ≤ 2 extra runs.
-      while (err.isEmpty && times.size < 4 && (times.min > 2.0 ||
-          (times.min > 0.75 &&
-            (times.max - times.min) / times.min > 0.5)))
-        times = timedRun() :: times
-      // metric deltas cover every run → report the per-run average
-      val shMb = (shuffleBytes.get() - sh0) / times.size.toDouble / 1e6
-      val spMb = (spilledBytes.get() - sp0) / times.size.toDouble / 1e6
+      while (err.isEmpty && samples.size < 4 && (walls.min > 2.0 ||
+          (walls.min > 0.75 &&
+            (walls.max - walls.min) / walls.min > 0.5)))
+        samples = timedRun() :: samples
+      // spill covers every run → report the per-run average; shuffle
+      // reports the WARM floor (min over runs — a once-per-session
+      // cache fill only ever ADDS bytes, so the min is the steady
+      // state and the fill stays visible in shRuns)
+      val shMb = samples.map(_._2).min
+      val spMb = (spilledBytes.get() - sp0) / samples.size.toDouble / 1e6
       // codegen/JIT deltas are NOT averaged: classes compile once per
       // plan (the warmup at sf0.001 already absorbed most), so the
       // raw delta over all runs IS the query's marginal footprint
-      QRes(name, times.min, shMb, spMb,
+      QRes(name, walls.min, shMb, spMb,
         codegenHist.getCount - cg0,
         jitBean.getTotalCompilationTime - jit0, err,
-        times.reverse)
+        walls.reverse, samples.map(_._2).reverse)
     }
+    val builds1 = SessionCaches.buildBreakdownFor(sfDir)
+    Measured(results,
+      SessionCaches.buildSecondsFor(sfDir) - ledger0,
+      builds1.map { case (k, v) =>
+        k -> (v - builds0.getOrElse(k, 0.0))
+      }.filter(_._2 > 1e-12))
   }
 
   private def codeCacheMbNow: Double = scala.jdk.CollectionConverters
@@ -213,7 +254,7 @@ object Bench {
     org.json4s.jackson.Serialization.write(Map(
       "name" -> q.name, "wall" -> q.wall, "sh_mb" -> q.shMb,
       "sp_mb" -> q.spMb, "cg" -> q.cgClasses, "jit" -> q.jitMs,
-      "err" -> q.err.orNull, "runs" -> q.runs))
+      "err" -> q.err.orNull, "runs" -> q.runs, "sh_runs" -> q.shRuns))
 
   private def parseQresLine(line: String): Option[QRes] =
     try {
@@ -226,7 +267,8 @@ object Bench {
         (j \ "cg").extract[Long],
         (j \ "jit").extract[Long],
         (j \ "err").extractOpt[String],
-        (j \ "runs").extract[Seq[Double]]))
+        (j \ "runs").extract[Seq[Double]],
+        (j \ "sh_runs").extractOpt[Seq[Double]].getOrElse(Seq.empty)))
     } catch { case _: Throwable => None }
 
   /** Shard assignment: contiguous over the sorted query list (so the
@@ -339,8 +381,11 @@ object Bench {
     * the fallback path is spec-coverable: BenchSpec fakes a dead
     * child and asserts the merged report still covers every query.
     * Returns the merged report; `cacheBuildS` sums the children's
-    * ledgers only (in-process fallback fills accrue to THIS JVM's
-    * [[SessionCaches]] ledger, which the caller reads directly).
+    * ledgers only (in-process fallback fills are the per-pass
+    * [[Measured]] deltas the caller's `measureShard` closure
+    * accumulates itself — a second fallback shard at a warm cache
+    * charges each fill exactly once, BenchSpec's ledger-vs-runs
+    * cross-examination).
     */
   private[graft] def forkMerge(names: Seq[String], nForks: Int,
       runChild: (Int, Int) => Option[ShardReport],
@@ -385,23 +430,21 @@ object Bench {
         val cuts = shardCuts(names, n)
         val mine = shardOf(names, cuts, i).toSet
         val spark = newSession()
-        val results =
-          measure(spark, allQueries.filter(p => mine(p._1)), sfDir)
+        val m = measure(spark, allQueries.filter(p => mine(p._1)), sfDir)
         val outPath = sys.env("SPARK_GRAFT_SHARD_OUT")
         val w = new java.io.PrintWriter(outPath)
         try {
-          results.foreach(q => w.println(qresLine(q)))
+          m.results.foreach(q => w.println(qresLine(q)))
           w.println(org.json4s.jackson.Serialization.write(
             Map("meta" -> "code_cache_mb", "v" -> codeCacheMbNow)))
           // once-per-session cache fills (tri/wsym) land in runs[0]
           // of one consumer and min-of-N excludes them — ship the
-          // ledger so the parent charges them into the honest total
+          // ledger (post-warmup delta) so the parent charges them
+          // into the honest total
           w.println(org.json4s.jackson.Serialization.write(
-            Map("meta" -> "cache_build_s",
-              "v" -> SessionCaches.buildSecondsFor(sfDir))))
+            Map("meta" -> "cache_build_s", "v" -> m.cacheBuildS)))
           w.println(org.json4s.jackson.Serialization.write(
-            Map("meta" -> "cache_builds",
-              "v" -> SessionCaches.buildBreakdownFor(sfDir))))
+            Map("meta" -> "cache_builds", "v" -> m.cacheBuilds)))
         } finally w.close()
         spark.stop()
         return
@@ -421,12 +464,12 @@ object Bench {
     val results: Seq[QRes] =
       if (!fork) {
         val spark = newSession()
-        val r = measure(spark, allQueries, sfDir)
+        val m = measure(spark, allQueries, sfDir)
         codeCacheMb = codeCacheMbNow
-        cacheBuildS = SessionCaches.buildSecondsFor(sfDir)
-        mergeBuilds(SessionCaches.buildBreakdownFor(sfDir))
+        cacheBuildS = m.cacheBuildS
+        mergeBuilds(m.cacheBuilds)
         spark.stop()
-        r
+        m.results
       } else {
         // children run SEQUENTIALLY: two Spark JVMs on one box tax
         // each other's measurements (round-3 lesson)
@@ -434,18 +477,23 @@ object Bench {
         val rep = forkMerge(names, nForks, runShardChild(_, _),
           shard => {
             if (fallback == null) fallback = newSession()
-            measure(fallback, allQueries.filter(p => shard(p._1)), sfDir)
+            val m = measure(fallback,
+              allQueries.filter(p => shard(p._1)), sfDir)
+            // fallback fills accrue here, per measurement pass —
+            // a SECOND fallback shard sharing a warm cache charges
+            // nothing twice (its delta is zero for warm kinds)
+            cacheBuildS += m.cacheBuildS
+            mergeBuilds(m.cacheBuilds)
+            m.results
           })
         if (fallback != null) {
           codeCacheMb = math.max(codeCacheMb, codeCacheMbNow)
           fallback.stop()
         }
         codeCacheMb = math.max(codeCacheMb, rep.codeCacheMb)
-        // children's ledgers + any in-process fallback fills (ours)
-        cacheBuildS =
-          rep.cacheBuildS + SessionCaches.buildSecondsFor(sfDir)
+        // children's ledgers + the fallback deltas added above
+        cacheBuildS += rep.cacheBuildS
         mergeBuilds(rep.cacheBuilds)
-        mergeBuilds(SessionCaches.buildBreakdownFor(sfDir))
         rep.results
       }
 
@@ -468,7 +516,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = ok.map(q =>
       s"\"" + q.name + "\":" + f"${q.shMb}%.1f").mkString("{", ",", "}")
-    val errsList = results.collect { case QRes(k, _, _, _, _, _, Some(e), _) =>
+    val errsList = results.collect { case QRes(k, _, _, _, _, _, Some(e), _, _) =>
       // exception text can carry ANY control char (Netty/Hadoop
       // messages embed NULs and ESC) — strip the whole C0 range, not
       // just \n\r\t, or the one-line bench JSON stops parsing
@@ -525,9 +573,17 @@ object Bench {
       q.runs.map(t => math.rint(t * 1000) / 1000)
         .mkString("[", ",", "]"))
       .mkString("{", ",", "}")
+    // per-run shuffle in run order (round 14): `shuffle_mb` above is
+    // the WARM floor (min over runs) the regression gate keys on;
+    // a one-time cache fill shows up here as runs[0] > the floor
+    val shRunsJ = ok.map(q => s"\"" + q.name + "\":" +
+      q.shRuns.map(v => math.rint(v * 10) / 10)
+        .mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_mb":$sh,"spill_mb":${f"$totalSpill%.1f"},""" +
+      s""""shuffle_mb":$sh,"shuffle_runs":$shRunsJ,""" +
+      s""""spill_mb":${f"$totalSpill%.1f"},""" +
       s""""codegen_classes":$cg,"jit_ms":$jit,"runs":$runsJ,""" +
       s""""code_cache_mb":${f"$codeCacheMb%.1f"},""" +
       s""""cache_build_s":${f"$cacheBuildS%.3f"},""" +

@@ -30,7 +30,29 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionCaches {
 
-  private final case class Entry(value: AnyRef, sc: SparkContext)
+  /** Claim-then-build holder: the map stores the CLAIM (cheap,
+    * lock-free via putIfAbsent) and the build runs under the holder's
+    * own lazy-init lock, never under a ConcurrentHashMap bin lock
+    * (round 14 — computeIfAbsent held the bin for the whole
+    * multi-minute Spark build, blocking unrelated keys that hashed to
+    * the same bin, and a build that recursively called getOrBuild
+    * risked IllegalStateException("recursive update")). A throwing
+    * build leaves the lazy uninitialized, so the next caller retries
+    * it — the same re-attempt semantics computeIfAbsent had.
+    */
+  private final class Holder(kind: String, dir: String,
+      build: () => AnyRef) {
+    lazy val value: AnyRef = {
+      val t0 = System.nanoTime()
+      val v = build()
+      val secs = (System.nanoTime() - t0) / 1e9
+      buildSecs.merge(dir, secs, (a, b) => a + b)
+      buildSecsByKind.merge((dir, kind), secs, (a, b) => a + b)
+      v
+    }
+  }
+
+  private final case class Entry(holder: Holder, sc: SparkContext)
 
   private val entries = new ConcurrentHashMap[String, Entry]()
   // temp path -> owning context (swept on that context's stop)
@@ -68,20 +90,21 @@ object SessionCaches {
   /** Fetch-or-build a session-scoped cache entry. `build` runs at
     * most once per (session, kind, dir); its wall seconds accrue to
     * `dir`'s ledger. The entry lives until the session's
-    * SparkContext stops.
+    * SparkContext stops. The map holds only a claim — the build runs
+    * outside any map lock (see [[Holder]]), so concurrent builds of
+    * DIFFERENT keys never serialize and a build may itself call
+    * getOrBuild for another key.
     */
   def getOrBuild[T <: AnyRef](spark: SparkSession, kind: String,
       dir: String)(build: => T): T = {
     ensureHooks(spark.sparkContext)
     val key = s"${sessionId(spark)} $kind $dir"
-    entries.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
-      val v = build
-      val secs = (System.nanoTime() - t0) / 1e9
-      buildSecs.merge(dir, secs, (a, b) => a + b)
-      buildSecsByKind.merge((dir, kind), secs, (a, b) => a + b)
-      Entry(v, spark.sparkContext)
-    }).value.asInstanceOf[T]
+    val fresh = Entry(new Holder(kind, dir, () => build), spark.sparkContext)
+    val claimed = entries.putIfAbsent(key, fresh) match {
+      case null => fresh
+      case prior => prior
+    }
+    claimed.holder.value.asInstanceOf[T]
   }
 
   /** Register a parquet temp dir for sweeping when `spark`'s context

@@ -451,11 +451,22 @@ object Curation {
     * [[graft.SessionCaches]] — results bit-identical warm or cold,
     * fill seconds on the bench's honest-accounting ledger, the
     * tri-cache contract verbatim (inputs under a dir are
-    * session-immutable).
+    * session-immutable). Pinned via the wsym cache's count-then-
+    * dispatch (round 14): heap-resident at or below
+    * [[Graph.ResultPinMaxRows]] rows, parquet temp above it — a
+    * 100 TB corpus's verdict relation must never pin executor
+    * storage just because it is narrow.
     */
   def q75(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCaches.getOrBuild(spark, "verdicts", dir) {
-      verdictChain(spark, dir).localCheckpoint()
+      val v = verdictChain(spark, dir).localCheckpoint()
+      val n = v.count()
+      if (n <= Graph.ResultPinMaxRows) v
+      else {
+        val spilled = Graph.pinByRows(v, n, 0L, "verdicts")
+        v.unpersist(blocking = false)
+        spilled
+      }
     }.orderBy(col("doc_id"))
 
   private def verdictChain(spark: SparkSession, dir: String): DataFrame = {

@@ -315,7 +315,7 @@ object Graph {
     * or `java.io.tmpdir` until JVM exit; at cluster scale the conf
     * points at the job's scratch prefix on the shared store.
     */
-  private def pinByRows(df: DataFrame, rows: Long, bound: Long,
+  private[graft] def pinByRows(df: DataFrame, rows: Long, bound: Long,
       tag: String): DataFrame =
     if (rows <= bound) df.localCheckpoint()
     else {

@@ -45,9 +45,64 @@ class SessionCachesSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(tmp), "temp dir not swept")
     get()
     assert(builds === 2, "entry survived eviction")
-    // eviction is per-context: a foreign (null-keyed) eviction must
-    // not touch the rebuilt entry
+    // eviction is per-context: evicting a FOREIGN context (the null
+    // sentinel — no entry is owned by it) must not touch the rebuilt
+    // entry (round 14 — this block used to just re-run get() without
+    // any foreign eviction, leaving the scoping contract untested)
+    SessionCaches.evictContext(null)
     get()
-    assert(builds === 2)
+    assert(builds === 2, "foreign eviction dropped another context's entry")
+  }
+
+  test("getOrBuild: build runs outside the map lock — a slow build blocks neither an unrelated key nor a nested getOrBuild") {
+    val dir = s"/spec/dir/${java.util.UUID.randomUUID()}"
+    // nested: a build that itself calls getOrBuild for ANOTHER key
+    // (the old computeIfAbsent risked IllegalStateException
+    // "recursive update" when the keys hashed to one bin)
+    val outer = SessionCaches.getOrBuild(spark, "spec-outer", dir) {
+      val inner = SessionCaches.getOrBuild(spark, "spec-inner", dir) {
+        java.lang.Integer.valueOf(7)
+      }
+      java.lang.Integer.valueOf(inner.intValue() + 1)
+    }
+    assert(outer.intValue() === 8)
+    // concurrent: thread A holds a build open on key A; key B must
+    // complete while A is still building (bounded wait, not forever)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => {
+      SessionCaches.getOrBuild(spark, "spec-slow", dir) {
+        started.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        java.lang.Integer.valueOf(1)
+      }: Unit
+    })
+    a.start()
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val b = new Thread(() => {
+        SessionCaches.getOrBuild(spark, "spec-fast", dir) {
+          java.lang.Integer.valueOf(2)
+        }
+        done.countDown()
+      })
+      b.start()
+      assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "an unrelated key blocked behind a slow build")
+    } finally { release.countDown(); a.join(30000) }
+  }
+
+  test("getOrBuild: a throwing build is retried by the next caller") {
+    val dir = s"/spec/dir/${java.util.UUID.randomUUID()}"
+    var attempts = 0
+    def get() = SessionCaches.getOrBuild(spark, "spec-throw", dir) {
+      attempts += 1
+      if (attempts == 1) sys.error("first build dies")
+      java.lang.Integer.valueOf(attempts)
+    }
+    intercept[RuntimeException] { get() }
+    assert(get().intValue() === 2, "failed build poisoned the entry")
+    assert(get().intValue() === 2, "retry was not cached")
   }
 }
