@@ -615,7 +615,7 @@ object Curation {
     * shingle discipline at a longer window; 8-byte keys through the
     * shuffle, gram text never leaves the task).
     */
-  private def hostGrams(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hostGrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text")))
@@ -651,10 +651,14 @@ object Curation {
     *
     * Scale shape: gram pass is map-only; pair emission is the q31
     * capped inverted index (posting lists above `dfCap` tombstone
-    * map-side; cap not binding on this corpus — max 8-gram df is 4 at
-    * sf1, spec-asserted); everything after the doc-pair distinct is
-    * source-grain (≤ |sources| rows, broadcast). The q75 chain is
-    * reused as-is.
+    * map-side). The cap is MIRRORED in [[q132Sql]] (a `HAVING
+    * COUNT(*) <= dfCap` stop-shingle filter — round 14: the engine
+    * capped while the oracle didn't, so a binding cap would have
+    * silently diverged the two), and CurationSpec asserts it is
+    * non-binding on the gate corpora (max 8-gram df 2 at sf0.001 /
+    * sf0.01; 4 observed at sf1). Everything after the doc-pair
+    * distinct is source-grain (≤ |sources| rows, broadcast). The q75
+    * chain is reused as-is.
     */
   def q132(spark: SparkSession, dir: String,
       dfCap: Int = Dedup.DefaultDfCap): DataFrame = {
@@ -713,9 +717,14 @@ object Curation {
        |    range(1, len(w) - ${HostGramN - 2}),
        |    i -> concat_ws(' ', list_slice(w, i, i + ${HostGramN - 1}))))) AS g
        |  FROM t WHERE len(w) >= $HostGramN),
+       |hok AS (
+       |  SELECT g FROM hg GROUP BY g
+       |  HAVING COUNT(*) <= ${Dedup.DefaultDfCap}),
        |hp AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM hg a JOIN hg b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |  FROM hg a
+       |  JOIN hok USING (g)
+       |  JOIN hg b ON a.g = b.g AND a.doc_id < b.doc_id),
        |he AS (
        |  SELECT least(x.source, y.source) AS lo,
        |    greatest(x.source, y.source) AS hi, COUNT(*) AS w

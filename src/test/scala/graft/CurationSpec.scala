@@ -1021,4 +1021,28 @@ class CurationSpec extends SparkSpec {
     assert(bySrc.values.forall(_.size == 1),
       "a source carries more than one tier")
   }
+
+  test("q132 dfCap is non-binding on the gate corpora (and the SQL twin mirrors it)") {
+    // The ADVICE-r13 medium: cappedPairs tombstones grams whose df
+    // exceeds dfCap MAP-SIDE — exactly the template-farm signal q132
+    // measures — so the bound must be PINNED, not just claimed in a
+    // scaladoc. The oracle now mirrors the cap (q132Sql's hok CTE);
+    // this asserts the cap is far from binding on both gate corpora,
+    // so engine and oracle agree with or without it.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val maxDf = Curation.hostGrams(spark, dir)
+        .groupBy(org.apache.spark.sql.functions.col("h"))
+        .count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .collect().head.getLong(0)
+      assert(maxDf <= operators.Dedup.DefaultDfCap,
+        s"8-gram df $maxDf exceeds dfCap ${operators.Dedup.DefaultDfCap} at $dir")
+      assert(maxDf <= 16,
+        s"8-gram df $maxDf is within an order of the cap at $dir — " +
+          "re-examine before trusting the non-binding claim")
+    }
+    // and the SQL twin does carry the mirrored stop-shingle filter
+    assert(Curation.q132Sql.contains(
+      s"HAVING COUNT(*) <= ${operators.Dedup.DefaultDfCap}"))
+  }
 }
