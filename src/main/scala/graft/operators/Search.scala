@@ -589,13 +589,32 @@ object Search {
     }
     // fold the batch vocabulary into the term Bloom BEFORE the stats
     // swap, so an epoch recorded in _stats implies every artifact of
-    // its batch landed (putString is idempotent, so a resume re-folding
-    // is harmless; the collect is the batch's DISTINCT terms —
-    // batch-sized by contract); an index without a bloom stays
-    // bloom-less, the documented legacy mode
+    // its batch landed (bloom puts are idempotent, so a resume
+    // re-folding is harmless); an index without a bloom stays
+    // bloom-less, the documented legacy mode. Round 14: the fold is
+    // DISTRIBUTED — the old collect of the batch's distinct terms was
+    // bounded only by contract, and a backfill-sized "batch" (10⁷+
+    // distinct terms) would have materialized hundreds of MB of
+    // strings on the driver. `stat.bloomFilter` builds the batch
+    // bloom executor-side with numBits matching the standing artifact
+    // and expectedNumItems solved so the optimal hash count rounds to
+    // the standing bloom's (every graft-built bloom uses
+    // [[TermBloomFpp]] = 1%, whose optimal k is 7 at ANY size); the
+    // merge is then a bit-OR. A foreign bloom with a different hash
+    // count (never graft-written) surfaces as an incompatible merge
+    // and falls back to a STREAMED per-partition fold — still no full
+    // driver materialization.
     readTermBloom(spark, indexPath).foreach { b =>
-      tf.select(col("term")).distinct().collect()
-        .foreach(r => b.putString(r.getString(0)))
+      val bits = b.bitSize()
+      val nItems = math.max(1L, math.ceil(bits * math.log(2) / 7.0).toLong)
+      val batchBloom = tf.stat.bloomFilter("term", nItems, bits)
+      try b.mergeInPlace(batchBloom)
+      catch {
+        case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+          import scala.jdk.CollectionConverters._
+          tf.select(col("term")).distinct().toLocalIterator().asScala
+            .foreach(r => b.putString(r.getString(0)))
+      }
       writeTermBloomAtomic(spark, indexPath, b)
     }
     writeStatsAtomic(spark, indexPath,

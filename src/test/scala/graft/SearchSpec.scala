@@ -368,6 +368,29 @@ class SearchSpec extends SparkSpec {
           .toDF("doc_id", "text")), mixed)))
   }
 
+  test("append's distributed bloom fold takes the mergeInPlace fast path at every bloom size") {
+    // The round-14 fold relies on one invariant: a graft-built bloom
+    // (fpp 1% at ANY expectedNumItems) has optimal hash count 7, and
+    // the batch bloom built with numBits = standing.bitSize() and
+    // expectedNumItems = ceil(bits·ln2/7) rounds to the same 7 — so
+    // mergeInPlace is a plain bit-OR, never the streamed fallback.
+    // Pin it across four decades of vocabulary size.
+    import spark.implicits._
+    for (n <- Seq(3L, 1000L, 50000L, 2000000L)) {
+      val standing = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(1024L, n * 2), Search.TermBloomFpp)
+      val bits = standing.bitSize()
+      val nItems = math.max(1L, math.ceil(bits * math.log(2) / 7.0).toLong)
+      val batch = Seq("alpha", "beta", "gamma").toDF("term")
+        .stat.bloomFilter("term", nItems, bits)
+      // must NOT throw IncompatibleMergeException
+      standing.mergeInPlace(batch)
+      for (t <- Seq("alpha", "beta", "gamma"))
+        assert(standing.mightContainString(t),
+          s"term $t lost in the fold at vocab size $n")
+    }
+  }
+
   test("rebuildTermBloom unlearns deleted-only vocabulary; results stay identical") {
     import spark.implicits._
     val tmp = java.nio.file.Files
