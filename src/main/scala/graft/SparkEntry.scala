@@ -183,6 +183,7 @@ object SparkEntry {
     "q130_coreness" -> (Graph.q130 _),
     "q131_clustering" -> (Graph.q131 _),
     "q132_host_prior" -> ((s: SparkSession, d: String) => Curation.q132(s, d)),
+    "q133_mixture_with_prior" -> ((s: SparkSession, d: String) => Curation.q133(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,6 +305,7 @@ object SparkEntry {
     "q130_coreness" -> Graph.q130Sql,
     "q131_clustering" -> Graph.q131Sql,
     "q132_host_prior" -> Curation.q132Sql,
+    "q133_mixture_with_prior" -> Curation.q133Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

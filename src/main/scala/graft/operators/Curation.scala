@@ -661,29 +661,55 @@ object Curation {
     * chain is reused as-is.
     */
   def q132(spark: SparkSession, dir: String,
-      dfCap: Int = Dedup.DefaultDfCap): DataFrame = {
+      dfCap: Int = Dedup.DefaultDfCap): DataFrame =
+    hostPrior(spark, dir, dfCap).orderBy(col("doc_id"))
+
+  /** [[q132]]'s relation without the presentation sort — the shared
+    * feed for q132 itself and [[q133]]'s realization (a consumer must
+    * not inherit a pointless range exchange).
+    */
+  private def hostPrior(spark: SparkSession, dir: String,
+      dfCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val src = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
-    val pairs = Dedup.cappedPairs(hostGrams(spark, dir), col("h"),
-        "doc_id", dfCap)
-      .select(col("p.a").as("da"), col("p.b").as("db"))
-      .distinct()
-    val edges = pairs
-      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
-      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
-      .filter(col("sa") =!= col("sb"))
-      .select(least(col("sa"), col("sb")).as("lo"),
-        greatest(col("sa"), col("sb")).as("hi"))
-      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("w"))
-    val wd = edges.select(col("lo").as("source"), col("w"))
-      .unionAll(edges.select(col("hi").as("source"), col("w")))
-      .groupBy(col("source")).agg(sum(col("w")).as("wdeg"))
-    val tot = wd.agg(sum(col("wdeg")).as("t"), count(lit(1)).as("n"))
-    val tiers = wd.crossJoin(broadcast(tot))
-      .select(col("source"),
-        when(col("wdeg") * col("n") >= col("t"), lit(2L))
-          .otherwise(lit(1L)).as("host_tier"))
+    // the source-grain tier relation is session-cached (round 14 —
+    // q133 made it a two-consumer relation, the §7i trigger): the
+    // 8-gram pass + pair emission run once per (session, dir, cap),
+    // and what persists is ≤ |sources| rows. Keyed by dfCap so a
+    // non-default-cap caller never reads a default-cap cache. Same
+    // count-then-pin dispatch as the verdicts entry: heap-resident at
+    // web-host cardinalities seen here, parquet temp past the bound.
+    val tiers = graft.SessionCaches.getOrBuild(spark, s"tiers-$dfCap",
+        dir) {
+      val src = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val pairs = Dedup.cappedPairs(hostGrams(spark, dir), col("h"),
+          "doc_id", dfCap)
+        .select(col("p.a").as("da"), col("p.b").as("db"))
+        .distinct()
+      val edges = pairs
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("lo"),
+          greatest(col("sa"), col("sb")).as("hi"))
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("w"))
+      val wd = edges.select(col("lo").as("source"), col("w"))
+        .unionAll(edges.select(col("hi").as("source"), col("w")))
+        .groupBy(col("source")).agg(sum(col("w")).as("wdeg"))
+      val tot = wd.agg(sum(col("wdeg")).as("t"), count(lit(1)).as("n"))
+      val t = wd.crossJoin(broadcast(tot))
+        .select(col("source"),
+          when(col("wdeg") * col("n") >= col("t"), lit(2L))
+            .otherwise(lit(1L)).as("host_tier"))
+        .localCheckpoint()
+      val n = t.count()
+      if (n <= Graph.ResultPinMaxRows) t
+      else {
+        val spilled = Graph.pinByRows(t, n, 0L, "tiers")
+        t.unpersist(blocking = false)
+        spilled
+      }
+    }
     q75(spark, dir)
       .join(broadcast(tiers), Seq("source"), "left")
       .withColumn("host_tier", coalesce(col("host_tier"), lit(0L)))
@@ -691,15 +717,15 @@ object Curation {
         col("host_tier"),
         (col("sample_weight") / (lit(1.0) + col("host_tier")))
           .as("adj_weight"))
-      .orderBy(col("doc_id"))
   }
 
-  /** DuckDB twin of [[q132]]: [[q75Sql]]'s full chain + the host
-    * dup-network CTEs (string-gram joins where the engine pairs on
-    * 64-bit fingerprints — the q31 oracle convention).
+  /** [[q75Sql]]'s full chain + the host dup-network CTEs (string-gram
+    * joins where the engine pairs on 64-bit fingerprints — the q31
+    * oracle convention), ending in the `pri` relation both [[q132Sql]]
+    * and [[q133Sql]] project from.
     */
-  val q132Sql: String =
-    s"""WITH $verdictCtes,
+  private def hostPriorSqlCtes: String =
+    s"""$verdictCtes,
        |kc AS (
        |  SELECT lang, COUNT(*) AS lang_kept FROM verdicts
        |  WHERE verdict = 'kept' GROUP BY lang),
@@ -743,15 +769,107 @@ object Curation {
        |  SELECT source,
        |    CAST(CASE WHEN wdeg * n >= t THEN 2 ELSE 1 END AS BIGINT)
        |      AS host_tier
-       |  FROM hwd CROSS JOIN hn)
-       |SELECT v.doc_id, v.lang, v.source, v.verdict,
-       |  COALESCE(ti.host_tier, 0) AS host_tier,
-       |  (CASE WHEN v.verdict = 'kept' THEN w.lang_weight ELSE 0.0 END)
-       |    / (1.0 + COALESCE(ti.host_tier, 0)) AS adj_weight
-       |FROM verdicts v
-       |LEFT JOIN wt w USING (lang)
-       |LEFT JOIN tier ti USING (source)
-       |ORDER BY v.doc_id""".stripMargin
+       |  FROM hwd CROSS JOIN hn),
+       |pri AS (
+       |  SELECT v.doc_id, v.lang, v.source, v.verdict,
+       |    COALESCE(ti.host_tier, 0) AS host_tier,
+       |    (CASE WHEN v.verdict = 'kept' THEN w.lang_weight ELSE 0.0 END)
+       |      / (1.0 + COALESCE(ti.host_tier, 0)) AS adj_weight
+       |  FROM verdicts v
+       |  LEFT JOIN wt w USING (lang)
+       |  LEFT JOIN tier ti USING (source))""".stripMargin
+
+  /** DuckDB twin of [[q132]]. */
+  val q132Sql: String =
+    s"""WITH $hostPriorSqlCtes
+       |SELECT doc_id, lang, source, verdict, host_tier, adj_weight
+       |FROM pri
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[q133]]: the `pri` chain + the exact-int64
+    * denominator + q106's hash-bump realization, expression trees
+    * mirrored.
+    */
+  val q133Sql: String =
+    s"""WITH $hostPriorSqlCtes,
+       |pdn AS (
+       |  SELECT SUM(CAST(floor(adj_weight * 1000000000.0) AS BIGINT))
+       |    AS denom
+       |  FROM pri),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS h
+       |  FROM documents),
+       |pr AS (
+       |  SELECT p.doc_id, p.lang, p.source, p.verdict, p.host_tier,
+       |    adj_weight * 10000.0 / (CAST(denom AS DOUBLE) / 1000000000.0)
+       |      AS rate,
+       |    h
+       |  FROM pri p
+       |  JOIN ph USING (doc_id)
+       |  CROSS JOIN pdn)
+       |SELECT doc_id, lang, source, verdict, host_tier, rate,
+       |  CAST(floor(rate) +
+       |    CASE WHEN CAST(h AS DOUBLE) / 16777216.0 < rate - floor(rate)
+       |      THEN 1 ELSE 0 END AS BIGINT) AS copies
+       |FROM pr
+       |ORDER BY doc_id""".stripMargin
+
+  /** Fixed-point scale for [[q133]]'s per-document weight
+    * denominator: 1e9 keeps 9 fractional digits per doc (far below
+    * any realization-visible grain) while the int64 sum holds to
+    * ~9.2e9 documents — two orders past a 100 TB corpus. q47's 1e15
+    * scale is per-LANG (a handful of rows) and would overflow a
+    * per-DOC sum past ~9200 documents.
+    */
+  private[graft] val PriorDenomScale = 1e9
+
+  /** q133: mixture realization UNDER the host prior — the step that
+    * makes [[q132]]'s `adj_weight` provably change what a dataloader
+    * draws (the r13 verdict's growth item). [[q106]] realizes q47's
+    * per-lang weights; this realizes the per-DOCUMENT host-adjusted
+    * weights: each doc's draw rate is its share of the corpus's total
+    * adjusted weight, `rate = adj_weight × sampleSize / Σ adj_weight`,
+    * so two kept docs of the same language draw at rates in the exact
+    * ratio (1+tier_b)/(1+tier_a) — template-farm hosts are
+    * down-drawn, never silently dropped. Realization is q106's
+    * deterministic content-hash systematic sampling (`floor(rate)` +
+    * one more iff the md5 fraction falls under the fractional
+    * residue; never `rand()`).
+    *
+    * Scale shape: the denominator is ONE int64 aggregate over
+    * [[PriorDenomScale]]-scaled weights (order-independent, exact —
+    * the float sum a naive Σ adj_weight would make
+    * partitioning-dependent), broadcast back; the doc side is the
+    * cached verdict chain joined to a map-side (doc_id, md5-fraction)
+    * projection — no corpus text through any exchange. Floats: rate
+    * recomposes from the exact integer denominator through the same
+    * expression tree as the oracle, the q47/q106 discipline.
+    */
+  def q133(spark: SparkSession, dir: String,
+      sampleSize: Int = 10000): DataFrame = {
+    val pri = hostPrior(spark, dir, Dedup.DefaultDfCap)
+    val denom = pri.agg(
+      sum(floor(col("adj_weight") * lit(PriorDenomScale)).cast("long"))
+        .as("denom_scaled"))
+    val hashes = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long")
+          .as("h"))
+    val frac = col("rate") - floor(col("rate"))
+    pri.join(hashes, Seq("doc_id"))
+      .crossJoin(broadcast(denom))
+      .withColumn("rate",
+        col("adj_weight") * lit(sampleSize.toDouble) /
+          (col("denom_scaled").cast("double") / lit(PriorDenomScale)))
+      .withColumn("copies",
+        (floor(col("rate")) +
+          when(col("h").cast("double") / lit(16777216.0) < frac, 1.0)
+            .otherwise(0.0)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("verdict"),
+        col("host_tier"), col("rate"), col("copies"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Span gram size for q72. 5 matches q45's duplicate-gram window;
     * on the synthetic vocabulary cross-doc 5-gram collisions are rare

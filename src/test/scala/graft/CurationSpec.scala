@@ -1045,4 +1045,57 @@ class CurationSpec extends SparkSpec {
     assert(Curation.q132Sql.contains(
       s"HAVING COUNT(*) <= ${operators.Dedup.DefaultDfCap}"))
   }
+
+  test("host-tier session cache: q132 bit-identical across a warm re-read and a cold session") {
+    def dump(s: org.apache.spark.sql.SparkSession) =
+      Curation.q132(s, sf).collect().map(_.toSeq).toSeq
+    val cold = dump(spark)
+    val warm = dump(spark)            // same session: cached tiers
+    val fresh = dump(spark.newSession()) // new session: cold rebuild
+    assert(warm === cold, "warm tier cache changed q132")
+    assert(fresh === cold, "cold rebuild changed q132")
+  }
+
+  test("q133 realization under the host prior: rates recompose from q132, the prior provably changes the draw, totals conserved") {
+    val sampleSize = 10000
+    val pri = Curation.q132(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(3), r.getLong(4), r.getDouble(5))).toMap
+    val rows = Curation.q133(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === pri.keySet)
+    // driver-side recomputation of the exact-int64 denominator
+    val denom = pri.values.map { case (_, _, adj) =>
+      math.floor(adj * 1e9).toLong }.sum
+    rows.foreach { r =>
+      val (verdict, tier, adj) = pri(r.getLong(0))
+      assert(r.getString(3) === verdict)
+      assert(r.getLong(4) === tier)
+      val want = adj * sampleSize.toDouble / (denom.toDouble / 1e9)
+      assert(r.getDouble(5) === want, s"doc ${r.getLong(0)} rate")
+      // non-kept docs never draw
+      if (verdict != "kept")
+        assert(r.getDouble(5) === 0.0 && r.getLong(6) === 0L)
+      // copies is floor(rate) or floor(rate)+1, nothing else
+      assert(r.getLong(6) === math.floor(want).toLong ||
+        r.getLong(6) === math.floor(want).toLong + 1)
+    }
+    // the PRIOR changes the draw: among kept docs, rate*(1+tier) is
+    // constant per lang (the undamped lang rate), and at least one
+    // lang draws at MORE than one distinct tier — so two equal-weight
+    // docs of one language provably realize at different rates
+    val kept = rows.filter(_.getString(3) == "kept")
+    val byLang = kept.groupBy(_.getString(1))
+    byLang.foreach { case (lang, ks) =>
+      val undamped = ks.map(r => r.getDouble(5) * (1.0 + r.getLong(4)))
+      assert(undamped.max - undamped.min <= 1e-9 * undamped.max,
+        s"lang $lang: rate*(1+tier) not constant")
+    }
+    assert(byLang.values.exists(_.map(_.getLong(4)).distinct.length > 1),
+      "no lang draws at two tiers — the prior changed nothing")
+    // conservation: E[sum copies] = sum rate ~= sampleSize; the
+    // deterministic hash-bump realization stays within a few dozen
+    val total = kept.map(_.getLong(6)).sum
+    assert(math.abs(total - sampleSize) < 200,
+      s"realized $total of $sampleSize")
+  }
 }
