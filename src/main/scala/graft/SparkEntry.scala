@@ -184,6 +184,7 @@ object SparkEntry {
     "q131_clustering" -> (Graph.q131 _),
     "q132_host_prior" -> ((s: SparkSession, d: String) => Curation.q132(s, d)),
     "q133_mixture_with_prior" -> ((s: SparkSession, d: String) => Curation.q133(s, d)),
+    "q134_langid_trained" -> ((s: SparkSession, d: String) => LangId.q134(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

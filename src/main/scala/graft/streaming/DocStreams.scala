@@ -292,6 +292,29 @@ object DocStreams {
       .toDF("doc_id", "score", "kept")
   }
 
+  /** Streaming language ID — the LIVE twin of
+    * [[graft.operators.LangId.q134]]'s apply stage: arriving documents
+    * are scored with the char-n-gram Naive Bayes model the nightly
+    * batch job trained (the qc/ppl lifecycle shape). Map-only, the
+    * model broadcast, NO state; per-row predictions are bit-equal the
+    * batch arm by construction (same [[LangId.LangIdModel.score]]
+    * closure, pure int64 sums) — spec-asserted against a batch run.
+    */
+  def langIdOn(spark: SparkSession, src: DataFrame,
+      model: graft.operators.LangId.LangIdModel): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    src.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, t) =>
+          val (pred, margin) = m.score(t)
+          (id, pred, margin)
+        }
+      }
+      .toDF("doc_id", "pred_lang", "margin")
+  }
+
   /** Streaming BPE tokenization — the LIVE twin of
     * [[graft.operators.Bpe.q98]]: arriving documents are encoded with
     * a merge table the nightly batch job trained ([[Bpe.trainCached]]
