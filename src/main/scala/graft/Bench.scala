@@ -273,16 +273,18 @@ object Bench {
 
   /** Shard assignment: contiguous over the sorted query list (so the
     * per-shard mix is stable round over round), with cut points
-    * SNAPPED out of the q122…q131 graph-family block — the session
-    * tri-cache shares one triangle enumeration between q122, q127 and
-    * q131 (round 13: the window used to stop at q127, so a cut
-    * between q127 and q131 put q131 in a cold-cache JVM paying a full
-    * re-enumeration), and the q129/q130 weighted-edge cache rides the
-    * same window. Those savings require one JVM.
+    * SNAPPED out of the q122…q133 session-cache block — the tri-cache
+    * shares one triangle enumeration between q122, q127 and q131
+    * (round 13: the window used to stop at q127, so a cut between
+    * q127 and q131 put q131 in a cold-cache JVM paying a full
+    * re-enumeration), the q129/q130 weighted-edge cache rides the
+    * same window, and round 14 extends it to q133 so q132/q133 share
+    * one host-tier build. Those savings require one JVM.
     */
   private[graft] def shardCuts(names: Seq[String], n: Int): Seq[Int] = {
     val famStart = names.indexWhere(_.startsWith("q122"))
-    val famEnd = names.lastIndexWhere(_.startsWith("q131"))
+    val famEnd = names.lastIndexWhere(n =>
+      n.startsWith("q133") || n.startsWith("q131"))
     (1 until n).map { i =>
       val cut = names.size * i / n
       if (famStart >= 0 && famEnd > famStart &&

@@ -216,16 +216,13 @@ object LangId {
     */
   def q134(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val model = modelCache.getOrElseUpdate(
-      (dir, graft.Tables.versionStamp(spark, dir, "documents")),
-      trainLangId(docs))
+    // the nightly-train artifact memo rides SessionCaches (not the
+    // q111 TrieMap): the one-time training scan lands on the bench's
+    // honest-accounting ledger instead of hiding in runs[0], and the
+    // model is dropped when its context stops
+    val model = graft.SessionCaches.getOrBuild(spark, "langid", dir) {
+      trainLangId(docs)
+    }
     langIdOn(docs, model).orderBy(col("doc_id"))
   }
-
-  /** Model memo keyed on (dir, corpus content version) — the
-    * [[QualityFilter.q111]] discipline: the model is a pure function
-    * of the corpus, so bench/verify re-runs skip the training scan.
-    */
-  private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), LangIdModel]
 }
