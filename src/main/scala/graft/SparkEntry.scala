@@ -185,6 +185,9 @@ object SparkEntry {
     "q132_host_prior" -> ((s: SparkSession, d: String) => Curation.q132(s, d)),
     "q133_mixture_with_prior" -> ((s: SparkSession, d: String) => Curation.q133(s, d)),
     "q134_langid_trained" -> ((s: SparkSession, d: String) => LangId.q134(s, d)),
+    // quantile-parameterized k-truss: the support floor is the lower
+    // median of the graph's own initial support distribution
+    "q135_ktruss" -> ((s, d) => Graph.q135(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -307,6 +310,7 @@ object SparkEntry {
     "q131_clustering" -> Graph.q131Sql,
     "q132_host_prior" -> Curation.q132Sql,
     "q133_mixture_with_prior" -> Curation.q133Sql,
+    "q135_ktruss" -> Graph.q135Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

@@ -521,11 +521,14 @@ object Graph {
     * to executor memory; above [[ResultPinMaxRows]] it now spills to
     * a parquet temp, byte-identical either way).
     */
-  private def edgeJaccardFrom(pairs: DataFrame, tris: DataFrame,
-      nEdges: Long, pinMaxRows: Long): DataFrame = {
-    // one triangle supports three edges; apex↔lo / apex↔hi need
-    // re-canonicalizing (the apex is degree-ordered, not id-ordered)
-    val support = tris.select(explode(array(
+  /** Per-canonical-edge triangle count from a triangle corner
+    * relation: one triangle supports its THREE edges; apex↔lo and
+    * apex↔hi need re-canonicalizing (the apex is degree-ordered, not
+    * id-ordered). Shared by [[q127]] (as `common_cnt`) and [[q135]]
+    * (as truss support). Shuffles triangle-sized 16-byte keys once.
+    */
+  private def edgeSupportCounts(tris: DataFrame, as: String): DataFrame =
+    tris.select(explode(array(
         struct(least(col("apex"), col("lo")).as("lo"),
           greatest(col("apex"), col("lo")).as("hi")),
         struct(least(col("apex"), col("hi")).as("lo"),
@@ -533,7 +536,11 @@ object Graph {
         struct(col("lo"), col("hi")))).as("e"))
       .select(col("e.lo"), col("e.hi"))
       .groupBy(col("lo"), col("hi"))
-      .agg(count(lit(1)).as("common_cnt"))
+      .agg(count(lit(1)).as(as))
+
+  private def edgeJaccardFrom(pairs: DataFrame, tris: DataFrame,
+      nEdges: Long, pinMaxRows: Long): DataFrame = {
+    val support = edgeSupportCounts(tris, "common_cnt")
     val deg = pairs.select(col("lo").as("node"))
       .unionAll(pairs.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1467,5 +1474,216 @@ object Graph {
        |UNION ALL
        |SELECT 'auth' AS kind, supp AS key, a AS score FROM a3
        |ORDER BY kind, score DESC, key""".stripMargin
+  }
+
+  /** Round budget for [[q135]]'s support peeling, shared with the
+    * oracle twin's unroll (the q129 discipline: both engines peel the
+    * SAME bounded computation). Probed on the real co-purchase graph
+    * at four SFs — synchronous recompute rounds to fixpoint including
+    * the terminal no-op: sf0.001 → 3, sf0.01 → 4, sf0.1 → 4, sf1 → 4.
+    * The budget carries two spare rounds (testdata regenerates
+    * between rounds); early exit makes the spares free when unused,
+    * and the strict check throws loudly if a future graph needs more.
+    */
+  private[graft] val TrussRounds = 6
+
+  /** q135: QUANTILE-parameterized k-truss over the co-purchase graph
+    * (Cohen '08 "Trusses: cohesive subgraphs for social network
+    * analysis") — the maximal subgraph in which every surviving edge
+    * closes at least `thr` triangles WITH OTHER SURVIVORS, where the
+    * support floor `thr` is not a fixed constant but the LOWER MEDIAN
+    * of the graph's own initial per-edge support distribution. The
+    * fixed-k form was probed and REJECTED in round 12 (SURVEY §7h):
+    * per-edge support medians move 4× between SFs, so no constant
+    * both discriminates and converges everywhere. The quantile form
+    * computes the threshold INSIDE the query from the same data both
+    * engines read — smallest support value v with
+    * #{e : support(e) ≤ v} ≥ (|E|+1) div 2, all-integer rank
+    * arithmetic — so it adapts per SF while staying hash-exact
+    * cross-engine (probed thresholds: 42 / 10 / 5 / 5 at
+    * sf0.001/0.01/0.1/1). In a curation pipeline this is the
+    * edge-grain sibling of [[q129]]'s node tiers: keep co-purchase
+    * (or co-citation / co-host) relations that sit inside mutually
+    * reinforcing communities, peel hub-spoke noise that q127's raw
+    * support cannot separate from community mass.
+    *
+    * Semantics: synchronous peeling (Batagelj–Zaveršnik shape) —
+    * each round recomputes every survivor's support within the
+    * surviving subgraph via [[triangleEnum]] and drops ALL edges
+    * under `thr` at once, so the fixpoint is peel-order-free and the
+    * DuckDB twin unrolls the identical rounds. On the probed corpora
+    * the sf0.001 graph peels to EMPTY (its dense little blob is a
+    * mutual-support house of cards at every quantile — probed down to
+    * p10) — a converged, correct answer that pins the empty-truss
+    * path, exactly as [[q130]]'s deliberately-empty top rung does;
+    * sf0.01 keeps 1127 of 115729 edges, sf1 4434420 of 11960000.
+    *
+    * Output grain: surviving canonical edges with their within-truss
+    * support and the computed threshold
+    * (`lo, hi, supp, thr`) — `thr` rides the result so the per-SF
+    * parameter is part of the checked contract.
+    *
+    * Scale shape: the initial support reuses the session tri-cache's
+    * materialized triangle relation (free when [[q122]]/[[q127]] ran
+    * first); each round is one [[triangleEnum]] over the SURVIVOR
+    * edge set — wedge stream Bloom-screened/broadcast-closed per the
+    * q122 dispatch, and the median floor guarantees round 1 halves
+    * the edge set, so per-round cost shrinks geometrically. The
+    * threshold itself is a histogram-of-supports aggregate (rows
+    * bounded by the distinct support values — ≪ |E|, ~30 on the real
+    * graphs) plus one 1-row driver read; no edge-sized data ever
+    * reaches the driver.
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, tris, _) = coPurchaseGraph(spark, dir)
+    trussOn(pairs, Some(tris), TrussRounds, strict = true)
+  }
+
+  /** One peeling round's support relation: every edge of `cur` with
+    * its triangle count WITHIN `cur`, zero-support edges kept via the
+    * left join (they are exactly the ones the next filter peels).
+    */
+  private def trussSupport(cur: DataFrame,
+      broadcastMaxRows: Long): DataFrame = {
+    val (tris, oriented) = triangleEnum(cur, broadcastMaxRows)
+    val s = cur.join(edgeSupportCounts(tris, "supp"), Seq("lo", "hi"),
+        "left")
+      .na.fill(0L, Seq("supp"))
+      .localCheckpoint()
+    oriented.unpersist(blocking = false)
+    s
+  }
+
+  /** [[q135]]'s core over an arbitrary canonical `(lo, hi)` edge
+    * relation — spec entry point for planted graphs (enumerates
+    * fresh when `cachedTris` is None). With `strict`, a budget that
+    * ran out before an observed fixpoint buys one COUNT-ONLY
+    * verification round and throws if it would still drop edges —
+    * count-only (not a replacement round) so engine and oracle twin
+    * emit the same bounded computation even when the budget lands
+    * exactly on the fixpoint round (q129's discipline; on any
+    * converged run the early-exit no-op round makes the emitted
+    * support the true within-fixpoint support).
+    */
+  private[graft] def trussOn(pairs: DataFrame,
+      cachedTris: Option[DataFrame] = None,
+      rounds: Int = TrussRounds,
+      broadcastMaxRows: Long = BroadcastEdgeMaxRows,
+      strict: Boolean = false): DataFrame = {
+    val nEdges = pairs.count()
+    if (nEdges == 0)
+      return pairs.select(col("lo"), col("hi"), lit(0L).as("supp"),
+        lit(0L).as("thr"))
+    val sup0 = cachedTris match {
+      case Some(tris) =>
+        pairs.join(edgeSupportCounts(tris, "supp"), Seq("lo", "hi"),
+            "left")
+          .na.fill(0L, Seq("supp"))
+          .localCheckpoint()
+      case None => trussSupport(pairs, broadcastMaxRows)
+    }
+    // lower-median support: smallest v whose cumulative edge count
+    // reaches ceil(|E|/2) — the histogram is bounded by the distinct
+    // support values (≪ |E|), so the unpartitioned window and the
+    // 1-row read are constant-sized, never edge-sized
+    val target = (nEdges + 1L) / 2L
+    val thr = sup0.groupBy(col("supp")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("supp"))))
+      .filter(col("cum") >= target)
+      .agg(min(col("supp")).as("t"))
+      .head.getLong(0)
+    var cur = sup0.filter(col("supp") >= thr).localCheckpoint()
+    var n = cur.count()
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
+      val next = trussSupport(cur.select(col("lo"), col("hi")),
+          broadcastMaxRows)
+        .filter(col("supp") >= thr)
+        .localCheckpoint()
+      val m = next.count()
+      if (m == n) converged = true
+      cur = next
+      n = m
+      i += 1
+    }
+    if (strict && !converged &&
+        trussSupport(cur.select(col("lo"), col("hi")), broadcastMaxRows)
+          .filter(col("supp") >= thr).count() != n)
+      throw new IllegalStateException(
+        s"k-truss peel (thr=$thr) not converged within $rounds rounds" +
+          " — raise the round budget (and the oracle twin's unroll) " +
+          "for this graph")
+    cur.select(col("lo"), col("hi"), col("supp"), lit(thr).as("thr"))
+      .orderBy(col("lo"), col("hi"))
+  }
+
+  /** DuckDB twin of [[q135]]: the same initial-support median
+    * threshold and [[TrussRounds]] synchronous recompute rounds
+    * unrolled (fixpoints are stable, so Spark's early exit is
+    * output-identical to the full unroll). Every multiply-referenced
+    * CTE is AS MATERIALIZED — q122Sql's documented inlining pitfall.
+    */
+  val q135Sql: String = {
+    def supportBlock(edges: String, tag: String): String =
+      s"""deg$tag AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT lo AS node FROM $edges
+         |    UNION ALL SELECT hi FROM $edges)
+         |  GROUP BY node
+         |), ori$tag AS MATERIALIZED (
+         |  SELECT
+         |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+         |         THEN p.lo ELSE p.hi END AS src,
+         |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p.lo < p.hi)
+         |         THEN p.hi ELSE p.lo END AS dst
+         |  FROM $edges p
+         |  JOIN deg$tag dl ON dl.node = p.lo
+         |  JOIN deg$tag dh ON dh.node = p.hi
+         |), tri$tag AS MATERIALIZED (
+         |  SELECT x.src AS apex, x.dst AS lo, y.dst AS hi
+         |  FROM ori$tag x JOIN ori$tag y
+         |    ON x.src = y.src AND x.dst < y.dst
+         |  WHERE EXISTS (SELECT 1 FROM $edges p
+         |                WHERE p.lo = x.dst AND p.hi = y.dst)
+         |), sup$tag AS MATERIALIZED (
+         |  SELECT e.lo, e.hi, COALESCE(c.cnt, 0) AS supp
+         |  FROM $edges e LEFT JOIN (
+         |    SELECT lo, hi, COUNT(*) AS cnt FROM (
+         |      SELECT LEAST(apex, lo) AS lo, GREATEST(apex, lo) AS hi
+         |      FROM tri$tag
+         |      UNION ALL SELECT LEAST(apex, hi), GREATEST(apex, hi)
+         |      FROM tri$tag
+         |      UNION ALL SELECT lo, hi FROM tri$tag) GROUP BY 1, 2) c
+         |    ON c.lo = e.lo AND c.hi = e.hi
+         |)""".stripMargin
+    val roundBlocks = (1 to TrussRounds).map { r =>
+      val survivors =
+        s"""s$r AS MATERIALIZED (
+           |  SELECT lo, hi FROM sup${r - 1}
+           |  WHERE supp >= (SELECT t FROM thr)
+           |)""".stripMargin
+      s"$survivors,\n${supportBlock(s"s$r", s"$r")}"
+    }
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+       |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |        FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |        FROM lineitem) b
+       |    ON a.ok = b.ok AND a.pk < b.pk
+       |), ${supportBlock("pairs", "0")},
+       |thr AS MATERIALIZED (
+       |  SELECT MIN(supp) AS t FROM (
+       |    SELECT supp, SUM(c) OVER (ORDER BY supp) AS cum FROM (
+       |      SELECT supp, COUNT(*) AS c FROM sup0 GROUP BY supp))
+       |  WHERE cum >= (SELECT (COUNT(*) + 1) // 2 FROM pairs)
+       |),
+       |${roundBlocks.mkString(",\n")}
+       |SELECT lo, hi, supp, (SELECT t FROM thr) AS thr
+       |FROM sup$TrussRounds
+       |WHERE supp >= (SELECT t FROM thr)
+       |ORDER BY lo, hi""".stripMargin
   }
 }

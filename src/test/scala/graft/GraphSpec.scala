@@ -682,4 +682,126 @@ class GraphSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Driver twin of q135: adjacency-set support, lower-median
+    * threshold by sorted rank, synchronous peel to the true fixpoint
+    * (no budget) — an independent yardstick with no SQL and no Spark.
+    * Returns (thr, fixpoint edge -> within-truss support).
+    */
+  private def bruteTruss(edges: Set[(Long, Long)])
+      : (Long, Map[(Long, Long), Long]) = {
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      for ((a, b) <- es) { adj(a) += b; adj(b) += a }
+      es.iterator.map { case (a, b) =>
+        (a, b) -> (adj(a) intersect adj(b)).size.toLong }.toMap
+    }
+    val s0 = supports(edges)
+    val target = (edges.size + 1) / 2
+    val thr = s0.values.toSeq.sorted.apply(target - 1)
+    // NB: `s0.collect { case (e, s) ... => e }` would rebuild a MAP
+    // (the collected elements are pairs), collapsing edges that share
+    // a lo — filter + keySet keeps the edge set an edge set
+    var cur = s0.filter(_._2 >= thr).keySet
+    var changed = true
+    while (changed) {
+      val next = supports(cur).filter(_._2 >= thr).keySet
+      changed = next != cur
+      cur = next
+    }
+    (thr, supports(cur))
+  }
+
+  private def trussRows(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, Long), (Long, Long)] = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+
+  test("q135 planted cascade: octahedron + K6 + fan peel to exact hand values; strict budget throws") {
+    import spark.implicits._
+    // K6 on 1-6 (15 edges, support 4), octahedron K_{2,2,2} on 11-16
+    // with antipodal pairs (11,12)(13,14)(15,16) (12 edges, support
+    // 2), fan center 21 rim 22-25 (7 edges, supports 1,2,2,1 spokes /
+    // 1,1,1 rim). n=34 -> target 17; cum: supp1 5, supp2 19 -> thr 2.
+    // Initial filter keeps interior spokes (21,23)(21,24); their
+    // triangles used the dropped rim, so round 1 peels them (a real
+    // cascade); round 2 is the no-op. Fixpoint = octahedron + K6.
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val octa = for {
+      a <- 11L to 16L; b <- (a + 1) to 16L
+      if !(a % 2 == 1 && b == a + 1)
+    } yield (a, b)
+    val fan = Seq((21L, 22L), (21L, 23L), (21L, 24L), (21L, 25L),
+      (22L, 23L), (23L, 24L), (24L, 25L))
+    val g = (k6 ++ octa ++ fan).toDF("lo", "hi").localCheckpoint()
+    val got = trussRows(Graph.trussOn(g, strict = true))
+    val want = (k6.map(e => e -> ((4L, 2L))) ++
+      octa.map(e => e -> ((2L, 2L)))).toMap
+    assert(got === want)
+    // the driver twin lands on the same threshold and fixpoint
+    val (bthr, bfix) = bruteTruss((k6 ++ octa ++ fan).toSet)
+    assert(bthr === 2L && bfix.keySet === want.keySet)
+    // a zero-round strict budget must be LOUD on a graph that needs a
+    // real peel (the q129 discipline: silent non-convergence would
+    // return sub-threshold edges the oracle twin can't catch)
+    val e = intercept[IllegalStateException] {
+      Graph.trussOn(g, rounds = 0, strict = true).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("q135 isolates a planted community from noise; bit-equals the driver twin; arms agree") {
+    import spark.implicits._
+    // K12 community on 0-11 buried in 645 LCG-noise edges over nodes
+    // 100-159: noise support is HOMOGENEOUS (a uniform random graph
+    // cascades to empty at its own median — probed, the same physics
+    // as the sf0.001 corpus), the community is not. The median lands
+    // at 7 and the fixpoint is EXACTLY the K12 (within-truss support
+    // 10), noise fully peeled in 3 rounds — the semantic contract:
+    // keep mutually reinforcing community mass, peel everything else.
+    val k12 = (for (a <- 0L until 12L; b <- (a + 1) until 12L)
+      yield (a, b)).toSet
+    var x = 12345L
+    def lcg(): Long = { x = (x * 1103515245L + 12345L) & 0x7FFFFFFFL; x }
+    val noise = (0 until 700).map { _ =>
+      val a = (lcg() >> 16) % 60; val b = (lcg() >> 16) % 60
+      (100L + math.min(a, b), 100L + math.max(a, b))
+    }.filter(e => e._1 != e._2).toSet
+    val edges = k12 ++ noise
+    val df = edges.toSeq.toDF("lo", "hi").localCheckpoint()
+    val got = trussRows(Graph.trussOn(df, strict = true))
+    assert(got === k12.map(e => e -> ((10L, 7L))).toMap)
+    // the independent driver twin lands on the same threshold/fixpoint
+    val (bthr, bfix) = bruteTruss(edges)
+    assert(bthr === 7L &&
+      bfix === k12.map(_ -> 10L).toMap)
+    // broadcast and Bloom-screened shuffle arms are byte-identical
+    assert(trussRows(Graph.trussOn(df, broadcastMaxRows = 0L,
+      strict = true)) === got)
+  }
+
+  test("q135 real corpus: empty truss converges quietly; cache path equals fresh enumeration") {
+    // the sf0.001 co-purchase blob is a mutual-support house of cards
+    // (probed down to p10 in SURVEY §8m) — the truss is EMPTY, a
+    // converged, correct answer that pins the empty-truss path the
+    // way q130's deliberately-empty top rung does
+    val viaCache = Graph.q135(spark, sf).collect()
+    assert(viaCache.isEmpty)
+    // the driver twin agrees the fixpoint is empty
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .values.flatMap(ps =>
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j)))
+      .toSet
+    val (bthr, bfix) = bruteTruss(edges)
+    assert(bfix.isEmpty, s"driver twin kept ${bfix.size} at thr=$bthr")
+    // fresh enumeration (no session tri-cache) reaches the same answer
+    import spark.implicits._
+    val pairsDf = edges.toSeq.toDF("lo", "hi").localCheckpoint()
+    assert(Graph.trussOn(pairsDf, strict = true).collect().isEmpty)
+  }
 }
