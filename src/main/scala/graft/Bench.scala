@@ -203,7 +203,11 @@ object Bench {
       // load spikes showed up as multi-second stalls on trivial
       // queries), and min-of-N is the standard steady-state estimator
       // under external noise
-      var samples = List(timedRun(), timedRun())
+      // CHRONOLOGICAL order (round 14: extra samples used to prepend
+      // and the final arrays reversed — a 3/4-sample query's runs
+      // array was scrambled, breaking the "cold fill visible as
+      // runs[0]" reading of shRuns)
+      var samples = Vector(timedRun(), timedRun())
       def walls = samples.map(_._1)
       // JIT warmup storms are nondeterministic and can cover BOTH
       // default runs: a new-at-this-SF plan's generated classes run
@@ -216,7 +220,7 @@ object Bench {
       while (err.isEmpty && samples.size < 4 && (walls.min > 2.0 ||
           (walls.min > 0.75 &&
             (walls.max - walls.min) / walls.min > 0.5)))
-        samples = timedRun() :: samples
+        samples = samples :+ timedRun()
       // spill covers every run → report the per-run average; shuffle
       // reports the WARM floor (min over runs — a once-per-session
       // cache fill only ever ADDS bytes, so the min is the steady
@@ -229,7 +233,7 @@ object Bench {
       QRes(name, walls.min, shMb, spMb,
         codegenHist.getCount - cg0,
         jitBean.getTotalCompilationTime - jit0, err,
-        walls.reverse, samples.map(_._2).reverse)
+        walls, samples.map(_._2))
     }
     val builds1 = SessionCaches.buildBreakdownFor(sfDir)
     Measured(results,
@@ -273,18 +277,20 @@ object Bench {
 
   /** Shard assignment: contiguous over the sorted query list (so the
     * per-shard mix is stable round over round), with cut points
-    * SNAPPED out of the q122…q133 session-cache block — the tri-cache
-    * shares one triangle enumeration between q122, q127 and q131
-    * (round 13: the window used to stop at q127, so a cut between
-    * q127 and q131 put q131 in a cold-cache JVM paying a full
+    * SNAPPED out of the q122…q135 session-cache block — the tri-cache
+    * shares one triangle enumeration between q122, q127, q131 and
+    * q135 (round 13: the window used to stop at q127, so a cut
+    * between q127 and q131 put q131 in a cold-cache JVM paying a full
     * re-enumeration), the q129/q130 weighted-edge cache rides the
-    * same window, and round 14 extends it to q133 so q132/q133 share
-    * one host-tier build. Those savings require one JVM.
+    * same window, and round 14 extends it through q133 (q132/q133
+    * share one host-tier build) to q135 (initial truss support reads
+    * the materialized triangles). Those savings require one JVM.
     */
   private[graft] def shardCuts(names: Seq[String], n: Int): Seq[Int] = {
     val famStart = names.indexWhere(_.startsWith("q122"))
     val famEnd = names.lastIndexWhere(n =>
-      n.startsWith("q133") || n.startsWith("q131"))
+      n.startsWith("q135") || n.startsWith("q133") ||
+        n.startsWith("q131"))
     (1 until n).map { i =>
       val cut = names.size * i / n
       if (famStart >= 0 && famEnd > famStart &&

@@ -188,6 +188,8 @@ object SparkEntry {
     // quantile-parameterized k-truss: the support floor is the lower
     // median of the graph's own initial support distribution
     "q135_ktruss" -> ((s, d) => Graph.q135(s, d)),
+    // context-length economics sweep: fit/pad/truncate costs per cap
+    "q136_ctx_sweep" -> ((s: SparkSession, d: String) => Curation.q136(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,6 +313,7 @@ object SparkEntry {
     "q132_host_prior" -> Curation.q132Sql,
     "q133_mixture_with_prior" -> Curation.q133Sql,
     "q135_ktruss" -> Graph.q135Sql,
+    "q136_ctx_sweep" -> Curation.q136Sql,
   )
 
   /** DuckDB twin of [[Versioning.q112]]: version B derived by the

@@ -382,6 +382,103 @@ object Curation {
        |FROM w
        |ORDER BY doc_id""".stripMargin
 
+  /** The context-length ladder [[q136]] sweeps, placed to BRACKET the
+    * corpus's own token distribution (probed SF-stable: p25 ≈ 32,
+    * median ≈ 55, max 100): rung 16 forces every regime's worst case,
+    * 32/64 straddle the mass, and the saturated top rungs pin where
+    * the fit curve flattens to 100% (the q130 deliberately-degenerate
+    * rung discipline).
+    */
+  private[graft] val CtxLadder = Seq(16L, 32L, 64L, 128L, 256L)
+
+  /** q136: context-length packing-economics sweep (round 14) — for
+    * each candidate cap on [[CtxLadder]], the order-free per-document
+    * economics of the three packing regimes a dataloader chooses
+    * between (Ding et al. '24 "Fewer Truncations Improve Language
+    * Modeling" — the q93-vs-q115 trade, quantified so the choice is
+    * data, not taste):
+    *
+    *   - fit_pm: share of docs that fit WHOLE under the cap (×1e6) —
+    *     the population best-fit packing ([[q115]]) can place uncut;
+    *   - chunks / pad_tokens / pad_ppm: ceil(tok/cap) pieces per doc
+    *     and the padding cost of the pad-to-multiple regime (each doc
+    *     padded to its own chunk boundary — the no-cross-doc-packing
+    *     baseline; [[q93]]'s concatenation drives this to zero at the
+    *     price of straddles);
+    *   - trunc_tokens / trunc_ppm: tokens lost by the
+    *     one-doc-one-example truncate-at-cap regime.
+    *
+    * All-integer arithmetic on the ×1e6 grid (Spark `div` ≡ DuckDB
+    * `//`); zero-token docs contribute zero chunks and count as
+    * fitting. Scale shape: ONE corpus scan projects each doc to a
+    * single int64 token count BEFORE the 5-way cap explode (text is
+    * never replicated), then a 5-group aggregate with map-side
+    * combine — the whole sweep is one pass at any corpus size.
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    ctxSweepOn(Tables(spark, dir, "documents"), CtxLadder)
+
+  /** [[q136]]'s sweep over an arbitrary `text` relation and ladder —
+    * spec entry point for planted corpora.
+    */
+  private[graft] def ctxSweepOn(docs: DataFrame,
+      ladder: Seq[Long]): DataFrame = {
+    val caps = array(ladder.map(lit): _*)
+    docs
+      .select(size(wsTokens).cast("long").as("tok"))
+      .select(col("tok"), explode(caps).as("cap"))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tok") <= col("cap"), 1L).otherwise(0L))
+          .as("fit_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(expr("(tok + cap - 1) div cap")).as("chunks"),
+        sum(greatest(col("tok") - col("cap"), lit(0L)))
+          .as("trunc_tokens"))
+      .select(col("cap"), col("n_docs"), col("fit_docs"),
+        expr("fit_docs * 1000000L div n_docs").as("fit_pm"),
+        col("total_tokens"), col("chunks"),
+        (col("chunks") * col("cap") - col("total_tokens"))
+          .as("pad_tokens"),
+        expr("(chunks * cap - total_tokens) * 1000000L div " +
+          "greatest(1L, chunks * cap)").as("pad_ppm"),
+        col("trunc_tokens"),
+        expr("trunc_tokens * 1000000L div greatest(1L, total_tokens)")
+          .as("trunc_ppm"))
+      .orderBy(col("cap"))
+  }
+
+  val q136Sql: String = {
+    val ladder = CtxLadder.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |    AS tok
+       |  FROM documents
+       |), caps AS (
+       |  SELECT CAST(UNNEST([$ladder]) AS BIGINT) AS cap
+       |), a AS (
+       |  SELECT cap, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN tok <= cap THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS fit_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |    CAST(SUM((tok + cap - 1) // cap) AS BIGINT) AS chunks,
+       |    CAST(SUM(GREATEST(tok - cap, 0)) AS BIGINT) AS trunc_tokens
+       |  FROM t CROSS JOIN caps
+       |  GROUP BY cap
+       |)
+       |SELECT cap, n_docs, fit_docs,
+       |  fit_docs * 1000000 // n_docs AS fit_pm,
+       |  total_tokens, chunks,
+       |  chunks * cap - total_tokens AS pad_tokens,
+       |  (chunks * cap - total_tokens) * 1000000
+       |    // GREATEST(1, chunks * cap) AS pad_ppm,
+       |  trunc_tokens,
+       |  trunc_tokens * 1000000 // GREATEST(1, total_tokens) AS trunc_ppm
+       |FROM a
+       |ORDER BY cap""".stripMargin
+  }
+
   val q49Sql: String =
     """WITH tok AS (
       |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token

@@ -1509,9 +1509,9 @@ object Graph {
     *
     * Semantics: synchronous peeling (Batagelj–Zaveršnik shape) —
     * each round recomputes every survivor's support within the
-    * surviving subgraph via [[triangleEnum]] and drops ALL edges
-    * under `thr` at once, so the fixpoint is peel-order-free and the
-    * DuckDB twin unrolls the identical rounds. On the probed corpora
+    * surviving subgraph and drops ALL edges under `thr` at once, so
+    * the fixpoint is peel-order-free and the DuckDB twin unrolls the
+    * identical rounds. On the probed corpora
     * the sf0.001 graph peels to EMPTY (its dense little blob is a
     * mutual-support house of cards at every quantile — probed down to
     * p10) — a converged, correct answer that pins the empty-truss
@@ -1523,47 +1523,91 @@ object Graph {
     * (`lo, hi, supp, thr`) — `thr` rides the result so the per-SF
     * parameter is part of the checked contract.
     *
-    * Scale shape: the initial support reuses the session tri-cache's
-    * materialized triangle relation (free when [[q122]]/[[q127]] ran
-    * first); each round is one [[triangleEnum]] over the SURVIVOR
-    * edge set — wedge stream Bloom-screened/broadcast-closed per the
-    * q122 dispatch, and the median floor guarantees round 1 halves
-    * the edge set, so per-round cost shrinks geometrically. The
-    * threshold itself is a histogram-of-supports aggregate (rows
-    * bounded by the distinct support values — ≪ |E|, ~30 on the real
-    * graphs) plus one 1-row driver read; no edge-sized data ever
-    * reaches the driver.
+    * Scale shape: the wedge enumeration runs ONCE (and is free when
+    * the session tri-cache is warm — [[q122]]/[[q127]]/[[q131]] share
+    * it). A triangle of the survivor-induced subgraph is exactly an
+    * initial triangle whose three edges all survive, so each round
+    * FILTERS the materialized triangle relation — three semi-joins
+    * against the survivor edge set (broadcast below the q122 bound,
+    * decided once; 8+8-byte keys above it) + one triangle-sized
+    * explode/count — never re-enumerates, and both the triangle and
+    * edge relations shrink monotonically round over round (the
+    * median floor halves the edge set up front). The threshold
+    * itself is a histogram-of-supports aggregate (rows bounded by
+    * the distinct support values — ≪ |E|, ~30 on the real graphs)
+    * plus one 1-row driver read; no edge-sized data ever reaches the
+    * driver.
     */
   def q135(spark: SparkSession, dir: String): DataFrame = {
     val (pairs, tris, _) = coPurchaseGraph(spark, dir)
     trussOn(pairs, Some(tris), TrussRounds, strict = true)
   }
 
-  /** One peeling round's support relation: every edge of `cur` with
-    * its triangle count WITHIN `cur`, zero-support edges kept via the
-    * left join (they are exactly the ones the next filter peels).
+  /** The triangle relation as canonical EDGE TRIPLES — the peeling
+    * rounds' working form: a triangle of the survivor-induced
+    * subgraph is exactly an initial triangle whose three edges all
+    * survive, so every round FILTERS this relation instead of
+    * re-running the O(m^1.5) wedge enumeration (apex↔lo / apex↔hi
+    * re-canonicalized once, here).
     */
-  private def trussSupport(cur: DataFrame,
-      broadcastMaxRows: Long): DataFrame = {
-    val (tris, oriented) = triangleEnum(cur, broadcastMaxRows)
-    val s = cur.join(edgeSupportCounts(tris, "supp"), Seq("lo", "hi"),
-        "left")
-      .na.fill(0L, Seq("supp"))
+  private def triEdgeTriples(tris: DataFrame): DataFrame =
+    tris.select(
+      least(col("apex"), col("lo")).as("e1lo"),
+      greatest(col("apex"), col("lo")).as("e1hi"),
+      least(col("apex"), col("hi")).as("e2lo"),
+      greatest(col("apex"), col("hi")).as("e2hi"),
+      col("lo").as("e3lo"), col("hi").as("e3hi"))
+
+  /** One peeling round's support relation: every edge of `cur` with
+    * its triangle count WITHIN `cur` — the surviving triangles of
+    * `triples` (all three edges semi-joined against `cur`, which
+    * broadcasts below the caller's once-decided bound) exploded back
+    * onto their edges; zero-support edges kept via the left join
+    * (they are exactly the ones the next filter peels). Returns the
+    * support relation AND the filtered triple relation so the next
+    * round filters a shrinking input.
+    */
+  private def trussRound(triples: DataFrame, cur: DataFrame,
+      useBroadcast: Boolean): (DataFrame, DataFrame) = {
+    // ONE survivor-side plan shared by all three semi-joins (join
+    // CONDITIONS instead of per-side renames keep the three broadcast
+    // subtrees canonically identical, so ReuseExchange ships the
+    // survivor set once per round instead of three times)
+    val s = if (useBroadcast) broadcast(cur) else cur
+    def semi(t: DataFrame, pre: String): DataFrame =
+      t.join(s, t(s"${pre}lo") === s("lo") && t(s"${pre}hi") === s("hi"),
+        "left_semi")
+    val alive = semi(semi(semi(triples, "e1"), "e2"), "e3")
       .localCheckpoint()
-    oriented.unpersist(blocking = false)
-    s
+    // no checkpoint here: the caller materializes the filtered child,
+    // and supp's own plan above the checkpointed `alive` is two ops
+    val supp = cur.join(
+        alive.select(explode(array(
+            struct(col("e1lo").as("lo"), col("e1hi").as("hi")),
+            struct(col("e2lo").as("lo"), col("e2hi").as("hi")),
+            struct(col("e3lo").as("lo"), col("e3hi").as("hi")))).as("e"))
+          .select(col("e.lo"), col("e.hi"))
+          .groupBy(col("lo"), col("hi"))
+          .agg(count(lit(1)).as("supp")),
+        Seq("lo", "hi"), "left")
+      .na.fill(0L, Seq("supp"))
+    (supp, alive)
   }
 
   /** [[q135]]'s core over an arbitrary canonical `(lo, hi)` edge
     * relation — spec entry point for planted graphs (enumerates
-    * fresh when `cachedTris` is None). With `strict`, a budget that
-    * ran out before an observed fixpoint buys one COUNT-ONLY
-    * verification round and throws if it would still drop edges —
-    * count-only (not a replacement round) so engine and oracle twin
-    * emit the same bounded computation even when the budget lands
-    * exactly on the fixpoint round (q129's discipline; on any
-    * converged run the early-exit no-op round makes the emitted
-    * support the true within-fixpoint support).
+    * fresh when `cachedTris` is None). Round 1 recomputes support in
+    * full (the median floor just halved the edge set); later rounds
+    * are DECREMENTAL — identical arithmetic, applied as subtraction —
+    * and the loop invariant (suppRel = current survivors with support
+    * within the current set; sub-thr rows are next round's peel)
+    * makes convergence detection a filter instead of an extra
+    * recompute. With `strict`, an exhausted budget with sub-thr rows
+    * still present throws loudly (q129's discipline: silent
+    * non-convergence returns sub-threshold edges the oracle twin
+    * can't catch); the rounds=0 degenerate keeps the old count-only
+    * verification round, since stale initial supports say nothing
+    * about stability.
     */
   private[graft] def trussOn(pairs: DataFrame,
       cachedTris: Option[DataFrame] = None,
@@ -1574,14 +1618,18 @@ object Graph {
     if (nEdges == 0)
       return pairs.select(col("lo"), col("hi"), lit(0L).as("supp"),
         lit(0L).as("thr"))
-    val sup0 = cachedTris match {
-      case Some(tris) =>
-        pairs.join(edgeSupportCounts(tris, "supp"), Seq("lo", "hi"),
-            "left")
-          .na.fill(0L, Seq("supp"))
-          .localCheckpoint()
-      case None => trussSupport(pairs, broadcastMaxRows)
+    // the ONE enumeration — free when the session tri-cache is warm;
+    // every peeling round below filters it, never re-enumerates
+    val tris0 = cachedTris.getOrElse {
+      val (t, oriented) = triangleEnum(pairs, broadcastMaxRows)
+      val m = pinByRows(t, nEdges, ResultPinMaxRows, "truss-tris")
+      oriented.unpersist(blocking = false)
+      m
     }
+    val sup0 = pairs.join(edgeSupportCounts(tris0, "supp"),
+        Seq("lo", "hi"), "left")
+      .na.fill(0L, Seq("supp"))
+      .localCheckpoint()
     // lower-median support: smallest v whose cumulative edge count
     // reaches ceil(|E|/2) — the histogram is bounded by the distinct
     // support values (≪ |E|), so the unpartitioned window and the
@@ -1593,29 +1641,107 @@ object Graph {
       .filter(col("cum") >= target)
       .agg(min(col("supp")).as("t"))
       .head.getLong(0)
-    var cur = sup0.filter(col("supp") >= thr).localCheckpoint()
-    var n = cur.count()
+    // alive-set joins broadcast below the bound, decided once on the
+    // initial edge count (monotone shrinking — the q34/q129 discipline)
+    val useBroadcast = nEdges <= broadcastMaxRows
+    def bcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    val s1 = sup0.filter(col("supp") >= thr)
+      .select(col("lo"), col("hi")).localCheckpoint()
+    // INVARIANT through the loop: suppRel = every edge of the current
+    // survivor set with its support WITHIN that set (sub-thr rows are
+    // the ones the next round peels; none left ⟺ fixpoint — so
+    // convergence detection is a filter, not an extra recompute)
+    var suppRel: DataFrame = null
+    var triples = triEdgeTriples(tris0)
     var converged = false
     var i = 0
+    // round 1 recomputes in full — the median floor just halved the
+    // edge set, so the support delta is edge-set-sized and a
+    // decrement pass would cost as much as the recompute
+    if (rounds >= 1) {
+      val (supp, alive) = trussRound(triples, s1, useBroadcast)
+      suppRel = supp.localCheckpoint()
+      triples = alive
+      converged = suppRel.filter(col("supp") < thr).isEmpty
+      i = 1
+    } else
+      suppRel = sup0.filter(col("supp") >= thr).localCheckpoint()
+    // rounds 2+ go DECREMENTAL: past the first peel the survivor set
+    // moves by a trickle, so instead of re-counting every triangle we
+    // subtract the triangles that LOST an edge. The triangle base is
+    // materialized ONCE (round 1's `alive`); each later round derives
+    // its alive view by three broadcast anti-probes against the
+    // CUMULATIVE dropped set — constant chain depth, map-side, and no
+    // triangle-sized re-write per round (the first decremental cut
+    // re-materialized the relation every round: 720 MB/round at sf1
+    // to delete 20 edges)
+    var cumDropped: DataFrame = null
     while (i < rounds && !converged) {
-      val next = trussSupport(cur.select(col("lo"), col("hi")),
-          broadcastMaxRows)
-        .filter(col("supp") >= thr)
+      val dropped =
+        bcast(suppRel.filter(col("supp") < thr)
+          .select(col("lo"), col("hi")).localCheckpoint())
+      def hitBy(t: DataFrame, pre: String,
+          s: DataFrame): org.apache.spark.sql.Column =
+        t(s"${pre}lo") === s("lo") && t(s"${pre}hi") === s("hi")
+      val aliveT =
+        if (cumDropped == null) triples
+        else {
+          val c = bcast(cumDropped)
+          triples
+            .join(c, hitBy(triples, "e1", c), "left_anti")
+            .join(c, hitBy(triples, "e2", c), "left_anti")
+            .join(c, hitBy(triples, "e3", c), "left_anti")
+        }
+      val corners = array(
+        struct(col("e1lo").as("lo"), col("e1hi").as("hi")),
+        struct(col("e2lo").as("lo"), col("e2hi").as("hi")),
+        struct(col("e3lo").as("lo"), col("e3hi").as("hi")))
+      // triangles losing >= 1 edge this round, each counted ONCE (a
+      // triangle can lose two edges at once — hence the distinct):
+      // ONE exploded scan probed against the broadcast dropped set
+      val removed = aliveT
+        .select(col("e1lo"), col("e1hi"), col("e2lo"), col("e2hi"),
+          col("e3lo"), col("e3hi"), explode(corners).as("e"))
+        .select(col("e1lo"), col("e1hi"), col("e2lo"), col("e2hi"),
+          col("e3lo"), col("e3hi"),
+          col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .join(dropped, Seq("lo", "hi"), "left_semi")
+        .select(col("e1lo"), col("e1hi"), col("e2lo"), col("e2hi"),
+          col("e3lo"), col("e3hi"))
+        .distinct()
+      val dec = removed.select(explode(corners).as("e"))
+        .select(col("e.lo"), col("e.hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("dec"))
+      val next = suppRel.filter(col("supp") >= thr)
+        .join(dec, Seq("lo", "hi"), "left")
+        .select(col("lo"), col("hi"),
+          (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
         .localCheckpoint()
-      val m = next.count()
-      if (m == n) converged = true
-      cur = next
-      n = m
+      converged = next.filter(col("supp") < thr).isEmpty
+      suppRel = next
+      cumDropped =
+        if (cumDropped == null) dropped
+        else cumDropped.unionAll(dropped).localCheckpoint()
       i += 1
     }
-    if (strict && !converged &&
-        trussSupport(cur.select(col("lo"), col("hi")), broadcastMaxRows)
-          .filter(col("supp") >= thr).count() != n)
-      throw new IllegalStateException(
-        s"k-truss peel (thr=$thr) not converged within $rounds rounds" +
-          " — raise the round budget (and the oracle twin's unroll) " +
-          "for this graph")
-    cur.select(col("lo"), col("hi"), col("supp"), lit(thr).as("thr"))
+    if (strict && !converged) {
+      // i > 0: the invariant makes `converged` exact — throw directly.
+      // The rounds=0 degenerate (spec-only) keeps the old count-only
+      // verification: stale initial supports say nothing about
+      // stability, so one full recompute decides
+      val stable = i == 0 &&
+        trussRound(triples, s1, useBroadcast)._1
+          .filter(col("supp") < thr).isEmpty
+      if (!stable)
+        throw new IllegalStateException(
+          s"k-truss peel (thr=$thr) not converged within $rounds " +
+            "rounds — raise the round budget (and the oracle twin's " +
+            "unroll) for this graph")
+    }
+    suppRel.filter(col("supp") >= thr)
+      .select(col("lo"), col("hi"), col("supp"), lit(thr).as("thr"))
       .orderBy(col("lo"), col("hi"))
   }
 

@@ -64,11 +64,12 @@ class BenchSpec extends AnyFunSuite {
     // cover: every query in exactly one shard
     assert(shards.flatten == names)
     // ALL session-cache consumers must share a JVM: the tri-cache
-    // (q122/q127/q131 — round 13: a cut between q127 and q131 made
-    // q131 pay a cold full enumeration), the weighted-edge cache
+    // (q122/q127/q131/q135 — round 13: a cut between q127 and q131
+    // made q131 pay a cold full enumeration), the weighted-edge cache
     // (q129/q130), and round 14's host-tier cache (q132/q133)
     val qi = shards.indexWhere(_.exists(_.startsWith("q122")))
-    for (fam <- Seq("q127", "q129", "q130", "q131", "q132", "q133"))
+    for (fam <- Seq("q127", "q129", "q130", "q131", "q132", "q133",
+        "q135"))
       assert(shards(qi).exists(_.startsWith(fam)),
         s"q122 and $fam landed in different shards — cache saving lost")
     // no degenerate shard (each within 3x of the mean)

@@ -1098,4 +1098,39 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(total - sampleSize) < 200,
       s"realized $total of $sampleSize")
   }
+
+  test("q136 planted corpus: exact hand-computed economics at two caps; zero-token doc conventions") {
+    import spark.implicits._
+    // docs of 3, 20, 70 and 0 tokens; ladder {8, 64}. Hand values:
+    //   cap 8:  fit 2/4 (3-tok + empty), chunks 1+3+9+0 = 13,
+    //           pad 13*8-93 = 11 (ppm 11e6//104 = 105769),
+    //           trunc 0+12+62+0 = 74 (ppm 74e6//93 = 795698)
+    //   cap 64: fit 3/4, chunks 1+1+2+0 = 4, pad 256-93 = 163
+    //           (ppm 163e6//256 = 636718), trunc 6 (ppm 64516)
+    val docs = Seq(
+      "a b c",
+      (1 to 20).map(i => s"w$i").mkString(" "),
+      (1 to 70).map(i => s"x$i").mkString(" "),
+      "").toDF("text")
+    val got = Curation.ctxSweepOn(docs, Seq(8L, 64L)).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(8L) === Seq(4L, 2L, 500000L, 93L, 13L, 11L, 105769L,
+      74L, 795698L))
+    assert(got(64L) === Seq(4L, 3L, 750000L, 93L, 4L, 163L, 636718L,
+      6L, 64516L))
+  }
+
+  test("q136 real corpus: ladder discriminates and the curves are monotone") {
+    val rows = operators.Curation.q136(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(7), r.getLong(9)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Curation.CtxLadder)
+    // bottom rung forces truncation/chunking, top rung saturates —
+    // the ladder brackets the (SF-stable) token distribution
+    assert(rows.head._2 < 1000000L, "every doc fits at rung 16?!")
+    assert(rows.last._2 === 1000000L && rows.last._4 === 0L)
+    // fit share rises with cap; truncation loss falls
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._4 >= b._4 })
+  }
 }
