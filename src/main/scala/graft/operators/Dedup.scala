@@ -724,45 +724,70 @@ object Dedup {
     * round count on skewed stars). Oracle: DuckDB recursive-CTE
     * transitive closure with MIN over reachable nodes.
     */
-  def q35(spark: SparkSession, dir: String): DataFrame = {
-    val edges = q31(spark, dir).select(col("ia"), col("ib")).localCheckpoint()
-    val sym = edges.unionAll(
-      edges.select(col("ib").as("ia"), col("ia").as("ib")))
-      .toDF("a", "b")
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
-    // min-propagation strictly decreases sum(comp) until the fixpoint,
-    // so convergence is one scan-aggregate on the fresh labels — no
-    // join-with-previous needed
-    var labelSum = Long.MaxValue
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val viaEdges = sym.join(labels, sym("a") === labels("node"))
-        .select(col("b").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp")).unionAll(viaEdges)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy(col("doc_id"))
+
+  /** The q35 cluster-label relation `(doc_id, cluster_id,
+    * cluster_size)`, session-cached (round 14): FOUR registry queries
+    * run the full q31 → min-label-propagation chain internally (q35,
+    * q36, q38, q79), each paying the shingle pass, the capped pair
+    * emission AND the CC rounds per execution — the same
+    * multi-consumer shape the verdict chain (q75 family) and the
+    * tri/wsym caches already ride. The relation is deterministic for
+    * a given dir (min-id labels, exact counts), so results are
+    * bit-identical warm or cold; fill seconds accrue to the bench's
+    * honest-accounting ledger; pinned via the verdicts cache's
+    * count-then-dispatch so a 100 TB corpus's label relation never
+    * pins executor storage.
+    */
+  private[graft] def clusterLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionCaches.getOrBuild(spark, "ccLabels", dir) {
+      val edges = q31(spark, dir).select(col("ia"), col("ib")).localCheckpoint()
+      val sym = edges.unionAll(
+        edges.select(col("ib").as("ia"), col("ia").as("ib")))
+        .toDF("a", "b")
+      var labels = sym.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node")).localCheckpoint()
+      // min-propagation strictly decreases sum(comp) until the fixpoint,
+      // so convergence is one scan-aggregate on the fresh labels — no
+      // join-with-previous needed
+      var labelSum = Long.MaxValue
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val viaEdges = sym.join(labels, sym("a") === labels("node"))
+          .select(col("b").as("node"), col("comp"))
+        val next = labels.select(col("node"), col("comp")).unionAll(viaEdges)
+          .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint()
+        val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
+        converged = nextSum == labelSum
+        labelSum = nextSum
+        labels = next
+        rounds += 1
+      }
+      // a component with diameter > the round cap would return a silently
+      // partial clustering (and q36/q38 would inherit it) — make it loud
+      if (!converged)
+        throw new IllegalStateException(
+          s"q35 label propagation did not converge within $rounds rounds; " +
+            "raise the cap or switch to large-star/small-star")
+      val wComp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp"))
+      val rel = labels
+        .withColumn("cluster_size", count(lit(1)).over(wComp))
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
+          col("cluster_size"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
-      converged = nextSum == labelSum
-      labelSum = nextSum
-      labels = next
-      rounds += 1
+      val n = rel.count()
+      if (n <= graft.operators.Graph.ResultPinMaxRows) rel
+      else {
+        val spilled = graft.operators.Graph.pinByRows(rel, n, 0L, "ccLabels")
+        rel.unpersist(blocking = false)
+        spilled
+      }
     }
-    // a component with diameter > the round cap would return a silently
-    // partial clustering (and q36/q38 would inherit it) — make it loud
-    if (!converged)
-      throw new IllegalStateException(
-        s"q35 label propagation did not converge within $rounds rounds; " +
-          "raise the cap or switch to large-star/small-star")
-    val wComp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("comp"))
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(wComp))
-      .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
-        col("cluster_size"))
-      .orderBy(col("doc_id"))
-  }
 
   /** Connected components by alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -949,7 +974,7 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    q35(spark, dir).join(docs, Seq("doc_id"))
+    clusterLabels(spark, dir).join(docs, Seq("doc_id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
@@ -996,7 +1021,8 @@ object Dedup {
     val hashed = docs.select(col("doc_id"),
       (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
         .as("bucket"))
-    val clusters = q35(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val clusters = clusterLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
     hashed.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1088,7 +1114,8 @@ object Dedup {
     val exact = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("content_hash"))
       .withColumn("keep_id", min(col("doc_id")).over(wHash))
-    val labels = q35(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val labels = clusterLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
     val wRep = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     val reps = labels

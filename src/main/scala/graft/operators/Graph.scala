@@ -69,15 +69,9 @@ object Graph {
     * trick applied to a fixpoint loop).
     */
   def q121(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("cnode"),
-        (col("l_suppkey") * 2 + 1).as("snode"))
-      .groupBy(col("cnode"), col("snode"))
-      .agg(count(lit(1)).as("w"))
+    // one row per trading pair, session-cached (round 14) — the
+    // fact-table join + aggregate used to re-run per execution
+    val pairs = purchasePairs(spark, dir)
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"),
         col("w"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
@@ -146,15 +140,7 @@ object Graph {
     * unrolled as chained DuckDB CTEs.
     */
   def q125(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("cnode"),
-        (col("l_suppkey") * 2 + 1).as("snode"))
-      .groupBy(col("cnode"), col("snode"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = purchasePairs(spark, dir) // session-cached, see q121
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"),
         col("w"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
@@ -358,6 +344,40 @@ object Graph {
     * pipeline mutating its tables must use a fresh session or new
     * paths.
     */
+  /** Session-scoped cache of the WEIGHTED customer–supplier purchase
+    * pair relation `(cnode, snode, w)` — `lineitem ⨝ orders`
+    * pre-aggregated to one row per trading pair (round 14): FOUR
+    * registry queries derive their graph from this exact aggregate
+    * ([[q121]]/[[q125]] as-is, [[q124]] as its distinct key set,
+    * [[q126]] under the bijective `cust = cnode div 2` /
+    * `supp = (snode - 1) div 2` re-keying — COUNT per pair is
+    * invariant under a bijection of the keys), and each used to pay
+    * the fact-table join + aggregate per bench run. Deterministic for
+    * a given dir ⇒ consumers bit-identical warm or cold; fill seconds
+    * on the honest-accounting ledger; pinned via the verdicts cache's
+    * count-then-dispatch (graph-pair-sized, never fact-table-sized).
+    */
+  private def purchasePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCaches.getOrBuild(spark, "pedges", dir) {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .groupBy(col("cnode"), col("snode"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val n = p.count()
+      if (n <= ResultPinMaxRows) p
+      else {
+        val spilled = pinByRows(p, n, 0L, "pedges")
+        p.unpersist(blocking = false)
+        spilled
+      }
+    }
+
   private def coPurchaseGraph(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, Long) =
     graft.SessionCaches.getOrBuild(spark, "tri", dir) {
@@ -1180,14 +1200,8 @@ object Graph {
     * the spec asserts the cap was not binding on the real graph).
     */
   def q124(spark: SparkSession, dir: String, maxHops: Int = 12): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("cnode"),
-        (col("l_suppkey") * 2 + 1).as("snode"))
-      .distinct()
+    // the weighted pair aggregate's key set IS the distinct pair set
+    val pairs = purchasePairs(spark, dir).select(col("cnode"), col("snode"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .repartition(col("src")).localCheckpoint()
@@ -1297,7 +1311,8 @@ object Graph {
     * Three mutual-reinforcement rounds from hub₀ = SCALE.
     *
     * Spark shape: the pair relation is pre-aggregated ONCE to one row
-    * per trading pair and persisted; each half-round is one join +
+    * per trading pair (session-cached via [[purchasePairs]] since
+    * round 14); each half-round is one join +
     * one int64 sum + a broadcast 1-row total (the q121 discipline —
     * per-round work is graph-sized, never fact-table-sized; at 1e9
     * nodes the totals stay 1-row and the pair relation stays
@@ -1317,15 +1332,12 @@ object Graph {
 
   private[graft] def hitsFixed(spark: SparkSession, dir: String,
       iters: Int, broadcastMaxRows: Long): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .groupBy(col("cust"), col("supp"))
-      .agg(count(lit(1)).as("w"))
-      .persist()
+    // the session-cached weighted pair relation under the bijective
+    // re-keying (cnode = cust×2, snode = supp×2+1 ⇒ COUNT per pair
+    // invariant; `div` keeps int64) — already materialized, so the
+    // per-query persist/unpersist pair is gone with the rebuild
+    val pairs = purchasePairs(spark, dir)
+      .selectExpr("cnode div 2 AS cust", "(snode - 1) div 2 AS supp", "w")
     def renorm(df: DataFrame, key: String, raw: String,
         out: String): DataFrame = {
       val tot = df.agg(sum(col(raw)).as("t"))
@@ -1352,7 +1364,6 @@ object Graph {
         .groupBy(col("cust")).agg(sum(col("c")).as("hraw"))
       hub = renorm(hraw, "cust", "hraw", "h").localCheckpoint()
     }
-    pairs.unpersist(blocking = false)
     hub.select(lit("hub").as("kind"), col("cust").as("key"),
         col("h").as("score"))
       .unionAll(auth.select(lit("auth").as("kind"), col("supp").as("key"),
@@ -1381,15 +1392,8 @@ object Graph {
     */
   def hitsConverged(spark: SparkSession, dir: String,
       maxIters: Int = 12): (DataFrame, Int) = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .groupBy(col("cust"), col("supp"))
-      .agg(count(lit(1)).as("w"))
-      .persist()
+    val pairs = purchasePairs(spark, dir) // session-cached, see hitsFixed
+      .selectExpr("cnode div 2 AS cust", "(snode - 1) div 2 AS supp", "w")
     def renorm(df: DataFrame, key: String, raw: String,
         out: String): DataFrame = {
       val tot = df.agg(sum(col(raw)).as("t"))
@@ -1436,7 +1440,6 @@ object Graph {
           .filter(col("c.rnk") =!= col("p.rnk")).isEmpty
       prevRank = curRank
     }
-    pairs.unpersist(blocking = false)
     if (!stable) throw new IllegalStateException(
       s"HITS ranking not stabilized within $maxIters rounds — raise " +
         "the budget for this graph")
