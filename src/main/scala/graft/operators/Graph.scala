@@ -77,23 +77,30 @@ object Graph {
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
         col("w")))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-    // (src, dst, w, deg) — the one relation every round joins; built
-    // once, HASH-PARTITIONED ON src and PERSISTED. persist (not
-    // localCheckpoint) is load-bearing: an InMemoryRelation keeps its
-    // child's outputPartitioning, a checkpointed ExistingRDD does NOT
-    // (measured in Spark 4.1 — the scan re-exchanged every round), so
-    // only the cached form lets every round's shuffle join see ew
-    // already partitioned and exchange nothing but the 16-byte ranks
-    // side. At bench scale ranks broadcast and the point is moot; at
-    // 1e9 nodes (ranks >> broadcast budget) it is one edge-relation
-    // shuffle per ROUND saved. Unpersisted after the last round — the
-    // per-round checkpoints make the final ranks self-contained.
+    // (src, dst, w, deg) — the one relation every round joins,
+    // HASH-PARTITIONED ON src by the explicit repartition. Round 14:
+    // the persist/unpersist pair is gone along with the per-round
+    // checkpoints — with all five rounds in ONE plan, every round's
+    // join references the structurally identical ew subtree, so
+    // ReuseExchange computes the repartition exchange once and later
+    // rounds read its shuffle files (the same one-edge-shuffle-total
+    // guarantee the persisted relation gave, without pinning executor
+    // storage; at 1e9 nodes shuffle files spill to disk gracefully
+    // where a pinned relation would evict).
     val ew = edges.join(deg, Seq("src"))
-      .repartition(col("src")).persist()
+      .repartition(col("src"))
 
     val base = (15L * PrScale) / DampDen
+    // the rounds CHAIN without materialization barriers (round 14):
+    // each round's ranks feed exactly ONE consumer (the next round),
+    // so there is no multi-consumer re-expansion to guard against
+    // (the q75 codegen lesson does not apply) and no per-round driver
+    // read (unlike q35/q124's convergence probes) — per-round
+    // localCheckpoint was 5 extra materialization jobs + scheduler
+    // barriers per execution. All five rounds now run as ONE job whose
+    // stages pipeline; AQE still broadcasts the node-sized ranks side
+    // per round from runtime stage stats.
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       ranks = ew.join(ranks, ew("src") === ranks("node"))
         .selectExpr("dst",
@@ -101,9 +108,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("inflow"))
         .select(col("dst").as("node"), (lit(base) + col("inflow")).as("pr"))
-        .localCheckpoint()
     }
-    ew.unpersist(blocking = false)
     ranks
       .select(col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
@@ -146,12 +151,18 @@ object Graph {
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
         col("w")))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    // one reused exchange across the chained rounds — see q121's note
     val ew = edges.join(deg, Seq("src"))
-      .repartition(col("src")).persist() // see q121's partitioning note
+      .repartition(col("src"))
     val baseUnit = (15L * PrScale) / DampDen
     // node-sized (node, base) relation: teleport mass lands on seeds
-    // only; built once, checkpointed, joined back every round (`div`
-    // keeps the suppkey recovery in int64 — `/` would go double)
+    // only; built once, CHECKPOINTED (it stays multi-consumer — the
+    // initial vector plus every round's base join — so the barrier
+    // still guards against re-expansion), joined back every round
+    // (`div` keeps the suppkey recovery in int64 — `/` would go
+    // double). The per-round ranks checkpoints are gone (round 14):
+    // each round feeds exactly one consumer, so the rounds chain into
+    // one job exactly as in q121.
     val baseRel = deg.select(col("src").as("node"))
       .withColumn("base",
         when(expr("node % 2 = 1 AND ((node - 1) div 2) % 10 = 3"),
@@ -160,7 +171,6 @@ object Graph {
     var ranks = baseRel
       .select(col("node"),
         when(col("base") > 0, lit(PrScale)).otherwise(lit(0L)).as("pr"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       val inflow = ew.join(ranks, ew("src") === ranks("node"))
         .selectExpr("dst",
@@ -170,9 +180,7 @@ object Graph {
       ranks = inflow
         .join(baseRel, inflow("dst") === baseRel("node"))
         .select(col("node"), (col("base") + col("inflow")).as("pr"))
-        .localCheckpoint()
     }
-    ew.unpersist(blocking = false)
     ranks
       .select(col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
@@ -344,39 +352,21 @@ object Graph {
     * pipeline mutating its tables must use a fresh session or new
     * paths.
     */
-  /** Session-scoped cache of the WEIGHTED customer–supplier purchase
-    * pair relation `(cnode, snode, w)` — `lineitem ⨝ orders`
-    * pre-aggregated to one row per trading pair (round 14): FOUR
-    * registry queries derive their graph from this exact aggregate
+  /** The WEIGHTED customer–supplier purchase pair relation
+    * `(cnode, snode, w)` — `lineitem ⨝ orders` pre-aggregated to one
+    * row per trading pair. This is the [[coPurchaseWeighted]] "wsym"
+    * session cache under a column rename (round 14): FOUR more
+    * registry queries derive their graph from that exact aggregate
     * ([[q121]]/[[q125]] as-is, [[q124]] as its distinct key set,
     * [[q126]] under the bijective `cust = cnode div 2` /
     * `supp = (snode - 1) div 2` re-keying — COUNT per pair is
     * invariant under a bijection of the keys), and each used to pay
-    * the fact-table join + aggregate per bench run. Deterministic for
-    * a given dir ⇒ consumers bit-identical warm or cold; fill seconds
-    * on the honest-accounting ledger; pinned via the verdicts cache's
-    * count-then-dispatch (graph-pair-sized, never fact-table-sized).
+    * the fact-table join + aggregate per bench run; now q121, q124,
+    * q125, q126, q129 and q130 all share ONE fill per (session, dir).
     */
   private def purchasePairs(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionCaches.getOrBuild(spark, "pedges", dir) {
-      val li = Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("cnode"),
-          (col("l_suppkey") * 2 + 1).as("snode"))
-        .groupBy(col("cnode"), col("snode"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-      val n = p.count()
-      if (n <= ResultPinMaxRows) p
-      else {
-        val spilled = pinByRows(p, n, 0L, "pedges")
-        p.unpersist(blocking = false)
-        spilled
-      }
-    }
+    coPurchaseWeighted(spark, dir)
+      .select(col("a").as("cnode"), col("b").as("snode"), col("w"))
 
   private def coPurchaseGraph(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, Long) =
@@ -941,58 +931,88 @@ object Graph {
       }
     }
 
-  /** One synchronous peeling round: the weighted degree of each alive
-    * node within the alive-induced subgraph, floored at k. One join of
-    * the symmetric edge relation against the alive set on BOTH
-    * endpoints + one int64 sum, alive broadcast per the caller's
-    * once-decided dispatch.
+  /** Weighted degree of every `alive` node WITHIN the alive-induced
+    * subgraph: one join of the symmetric edge relation against the
+    * alive set on BOTH endpoints + one int64 sum, alive broadcast per
+    * the caller's once-decided dispatch. Checkpointed — each relation
+    * feeds the rung filter, the convergence count, and possibly the
+    * next rung's hand-off or [[kcoreOn]]'s final projection.
     */
-  private def peelRound(sym: DataFrame, prev: DataFrame, k: Long,
+  private def wdegWithin(sym: DataFrame, alive: DataFrame,
+      useBroadcast: Boolean): DataFrame =
+    wdegPlan(sym, alive, useBroadcast).localCheckpoint()
+
+  /** [[wdegWithin]] minus the materialization — the plan-inspectable
+    * seam for the dispatch spec (the checkpoint hides the join from
+    * the final executedPlan, so the contract "the dispatch hint alone
+    * decides the alive-set join strategy" is pinned here).
+    */
+  private[graft] def wdegPlan(sym: DataFrame, alive: DataFrame,
       useBroadcast: Boolean): DataFrame = {
-    val a = if (useBroadcast) broadcast(prev) else prev
+    val a = if (useBroadcast) broadcast(alive) else alive
     sym.join(a, Seq("node"))
       .join(a.withColumnRenamed("node", "peer"), Seq("peer"))
       .groupBy(col("node")).agg(sum(col("w")).as("wdeg"))
-      .filter(col("wdeg") >= k)
-      .select(col("node"))
-      .localCheckpoint()
   }
 
   /** Peel `alive0` at threshold `k` for up to `rounds` synchronous
     * rounds, EARLY-EXITING at the fixpoint: the alive set only
-    * shrinks, so an unchanged count means the round dropped nothing —
-    * the k-core is reached and further rounds are no-ops (fixpoints
-    * are stable, so early exit is output-identical to the full
-    * budget, which keeps the fixed-unroll DuckDB twins exact).
-    * Returns `(core, count, converged)`. With `strict`, a budget that
-    * ran out before an observed fixpoint buys ONE extra count-only
-    * verification round and THROWS if it would still drop nodes —
-    * round-12: a silently unconverged peel returns sub-k nodes that
-    * the identically-shaped oracle twin can't catch either (the r11
-    * advice); non-convergence must be loud, never a wrong answer.
+    * shrinks, so a filter that drops nothing means the k-core is
+    * reached and further rounds are no-ops (fixpoints are stable, so
+    * early exit is output-identical to the full budget, which keeps
+    * the fixed-unroll DuckDB twins exact).
+    *
+    * Round 14 — the wdeg HAND-OFF: each round is now "filter the
+    * standing wdeg relation at k, then recompute wdeg only if the
+    * filter dropped nodes". The arithmetic is the old
+    * join+sum-then-filter round verbatim; what changes is that the
+    * converged (no-op) round stops paying a join, and the
+    * (node, wdeg) relation is RETURNED alongside the core — valid by
+    * the loop invariant `wd = wdegWithin(sym, alive)` — so [[q129]]'s
+    * final in-core degree projection and each [[q130]] rung's first
+    * round reuse it instead of recomputing the identical join
+    * (nestedness: rung k+1 peels from rung k's survivors, whose
+    * in-core wdeg the previous rung's converged round just computed).
+    * `wdeg0` is that inherited relation.
+    *
+    * Returns `(core, count, converged, wdegOfCore)`. With `strict`, a
+    * budget that ran out before an observed fixpoint buys one extra
+    * count-only verification FILTER (no join — the standing wdeg
+    * relation already covers the final alive set) and THROWS if it
+    * would still drop nodes — round-12: a silently unconverged peel
+    * returns sub-k nodes that the identically-shaped oracle twin
+    * can't catch either (the r11 advice); non-convergence must be
+    * loud, never a wrong answer.
     */
   private def peelToCore(sym: DataFrame, alive0: DataFrame, n0: Long,
       k: Long, rounds: Int, useBroadcast: Boolean,
-      strict: Boolean): (DataFrame, Long, Boolean) = {
+      strict: Boolean,
+      wdeg0: Option[DataFrame] = None): (DataFrame, Long, Boolean, DataFrame) = {
     var alive = alive0
     var n = n0
+    // invariant everywhere below: wd = wdegWithin(sym, alive)
+    var wd = wdeg0.getOrElse(wdegWithin(sym, alive0, useBroadcast))
     var converged = false
     var i = 0
     while (i < rounds && !converged) {
-      val next = peelRound(sym, alive, k, useBroadcast)
+      val next = wd.filter(col("wdeg") >= k).select(col("node"))
+        .localCheckpoint()
       val m = next.count()
       if (m == n) converged = true
-      alive = next
-      n = m
+      else {
+        alive = next
+        wd = wdegWithin(sym, alive, useBroadcast)
+        n = m
+      }
       i += 1
     }
     if (strict && !converged &&
-        peelRound(sym, alive, k, useBroadcast).count() != n)
+        wd.filter(col("wdeg") >= k).count() != n)
       throw new IllegalStateException(
         s"k-core peel (k=$k) not converged within $rounds rounds — " +
           "raise the round budget (and the oracle twin's unroll) " +
           "for this graph")
-    (alive, n, converged)
+    (alive, n, converged, wd)
   }
 
   /** [[q129]]'s core over an arbitrary weighted `(a, b, w)` edge
@@ -1014,14 +1034,12 @@ object Graph {
     // dispatch once: a node set that starts under the bound only
     // shrinks (deterministic for a given graph, the q34 discipline)
     val useBroadcast = n0 <= broadcastMaxRows
-    val (alive, _, _) =
+    // the returned wdeg relation IS the final weighted degree within
+    // the core (the peel loop's invariant) — the old final join+sum
+    // recomputed it verbatim (round 14)
+    val (_, _, _, wd) =
       peelToCore(sym, alive0, n0, k, rounds, useBroadcast, strict)
-    // final weighted degree WITHIN the core
-    val a = if (useBroadcast) broadcast(alive) else alive
-    sym.join(a, Seq("node"))
-      .join(a.withColumnRenamed("node", "peer"), Seq("peer"))
-      .groupBy(col("node")).agg(sum(col("w")).as("wdeg"))
-      .orderBy(col("node"))
+    wd.orderBy(col("node"))
   }
 
   /** DuckDB twin of [[q129]]: the same four synchronous peeling
@@ -1118,11 +1136,17 @@ object Graph {
     val useBroadcast = n0 <= broadcastMaxRows
     var alive = all
     var n = n0
+    // nestedness hand-off (round 14): rung k+1 peels from rung k's
+    // survivors, whose in-core wdeg rung k's converged round already
+    // computed — passing it forward makes each rung's first round a
+    // filter instead of a join
+    var wd: Option[DataFrame] = None
     val rungs = ladder.map { k =>
-      val (core, m, _) =
-        peelToCore(sym, alive, n, k, rounds, useBroadcast, strict)
+      val (core, m, _, wdOut) =
+        peelToCore(sym, alive, n, k, rounds, useBroadcast, strict, wd)
       alive = core
       n = m
+      wd = Some(wdOut)
       core.select(col("node"), lit(k).as("k"))
     }
     rungs.foldLeft(all.select(col("node"), lit(0L).as("k")))(
@@ -1218,7 +1242,12 @@ object Graph {
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(level).as("hops"))
         .localCheckpoint()
-      settled = settled.unionAll(frontier).localCheckpoint()
+      // settled is a FLAT UNION of the already-checkpointed frontiers
+      // — no expression tree to re-expand, so re-materializing the
+      // whole settled set every round (O(V·rounds) checkpoint writes)
+      // bought nothing (round 14); the per-round frontier checkpoint
+      // above stays, because the isEmpty convergence probe reads it
+      settled = settled.unionAll(frontier)
     }
     settled.orderBy(col("hops"), col("node"))
   }

@@ -399,19 +399,25 @@ class GraphSpec extends SparkSpec {
 
   test("q129 plan: the dispatch hint alone decides the alive-set join strategy") {
     import spark.implicits._
+    // the per-round wdeg join is materialized inside the peel loop
+    // (round 14's hand-off refactor), so the dispatch contract is
+    // pinned on the plan seam the loop executes, not on q129's final
+    // (post-checkpoint) plan
     val g = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L))
       .toDF("a", "b", "w").localCheckpoint()
+    val sym = g.select(col("a").as("node"), col("b").as("peer"), col("w"))
+      .unionAll(g.select(col("b").as("node"), col("a").as("peer"), col("w")))
+    val alive = sym.select(col("node")).distinct().localCheckpoint()
     // silence stats-based auto-broadcast so only the dispatch hint can
     // broadcast — at 100 TB the alive set has no small-stats shortcut
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val bcast = Graph.kcoreOn(g, k = 2L, rounds = 1)
+      val bcast = Graph.wdegPlan(sym, alive, useBroadcast = true)
         .queryExecution.executedPlan.toString
       assert(bcast.contains("BroadcastExchange"),
         s"alive set not broadcast below the bound:\n$bcast")
-      val shuffled = Graph.kcoreOn(g, k = 2L, rounds = 1,
-          broadcastMaxRows = 0L)
+      val shuffled = Graph.wdegPlan(sym, alive, useBroadcast = false)
         .queryExecution.executedPlan.toString
       assert(!shuffled.contains("BroadcastExchange"),
         s"alive set broadcast above the bound:\n$shuffled")
