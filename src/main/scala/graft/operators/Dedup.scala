@@ -183,8 +183,13 @@ object Dedup {
     */
   def q32(spark: SparkSession, dir: String, minEst: Double = 0.5): DataFrame = {
     val sigs = signatures(spark, dir)
+    // barrier: the signature relation feeds the banding pass AND both
+    // sides of the pair rejoin — the shingle pass + 64-way min
+    // aggregate must run once, not three times (round 14; doc-sized,
+    // 64 longs per doc)
     val sigArr = sigs.select(col("doc_id"),
       array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+      .localCheckpoint()
     val banded = sigArr.select(col("doc_id"), col("sig"),
       posexplode(array((0 until NumBands).map(b =>
         xxhash64(col(s"sig")(4 * b), col("sig")(4 * b + 1),
@@ -331,7 +336,9 @@ object Dedup {
     * hamming ≤ 8. Rows-only; DedupSpec cross-checks against q31.
     */
   def q33(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val sh = simhashes(spark, dir)
+    // barrier: both sides of the band self-join read the simhash
+    // relation — one shingle+fold pass, not two (round 14; 16 B/doc)
+    val sh = simhashes(spark, dir).localCheckpoint()
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(j =>
         shiftrightunsigned(col("simhash"), 8 * j)
@@ -1066,12 +1073,19 @@ object Dedup {
   def q37(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val isBatch = col("doc_id") % 10 === 7
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val batch = docs.filter(isBatch)
-    val exactIds = batch.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(docs.filter(!isBatch).select(md5(col("text")).as("h")).distinct(),
+    // barrier: the content-hash relation feeds the batch side, the
+    // corpus side AND the final batch id list — one md5 pass over the
+    // text, not three (round 14; 40 B/doc, text never materializes)
+    val hashed = docs
+      .select(col("doc_id"), md5(col("text")).as("h"), isBatch.as("b"))
+      .localCheckpoint()
+    val exactIds = hashed.filter(col("b")).select(col("doc_id"), col("h"))
+      .join(hashed.filter(!col("b")).select(col("h")).distinct(),
         Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1))
-    val sh = shingleBase(spark, dir)
+    // barrier: both sides of the boundary join filter the same
+    // shingle relation — one tokenize+shingle pass, not two
+    val sh = shingleBase(spark, dir).localCheckpoint()
     val shB = sh.filter(isBatch)
       .select(col("doc_id").as("bid"), col("n").as("nb"), col("h"))
     val shC = sh.filter(!isBatch)
@@ -1091,7 +1105,7 @@ object Dedup {
         / (col("nb") + col("nc") - col("inter")) >= threshold)
       .select(col("bid").as("doc_id")).distinct()
       .withColumn("is_near", lit(1))
-    batch.select(col("doc_id"))
+    hashed.filter(col("b")).select(col("doc_id"))
       .join(exactIds, Seq("doc_id"), "left")
       .join(nearIds, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1720,9 +1734,12 @@ object Dedup {
   private def fuzzyMatch(spark: SparkSession, dir: String, d: Int,
       dfCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // barrier: the name dim feeds the variant flatMap AND both pair
+    // rejoin sides — one scan+distinct, not three (round 14)
     val nameDim = Tables.spread(Tables(spark, dir, "customer")
         .select(col("c_name"))).distinct()
       .select(col("c_name").as("name"), xxhash64(col("c_name")).as("nid"))
+      .localCheckpoint()
     fastssPairs(spark, nameDim, d, dfCap)
       .join(nameDim.select(col("nid").as("ida"), col("name").as("na")), "ida")
       .join(nameDim.select(col("nid").as("idb"), col("name").as("nb")), "idb")

@@ -609,9 +609,12 @@ object Graph {
     * only thing that leaves the aggregation.
     */
   def q123(spark: SparkSession, dir: String): DataFrame = {
+    // barrier: the distinct basket relation feeds FIVE consumers
+    // (order count, item counts referenced twice, both sides of the
+    // pair self-join) — one scan+distinct, not five (round 14)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nOrders = li.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("item_cnt"))

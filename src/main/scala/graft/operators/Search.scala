@@ -93,7 +93,10 @@ object Search {
     val spark = relation.sparkSession
     import spark.implicits._
     val docs = relation.select(col("doc_id"), col("text"))
-    val tf = tfIndex(docs)
+    // barrier: tf feeds the df aggregate AND the scoring join — the
+    // tokenize+explode pass must run once, not once per consumer
+    // (round 14; the q75 multi-consumer discipline)
+    val tf = tfIndex(docs).localCheckpoint()
     // 1-row corpus statistics: N docs, total token count (exact ints)
     val stats = docs
       .select(col("doc_id"), size(expr(
@@ -126,7 +129,8 @@ object Search {
   private[graft] def bm25MoreLikeThis(relation: DataFrame,
       queryDocIds: Seq[Long], topK: Int = SearchTopK): DataFrame = {
     val docs = relation.select(col("doc_id"), col("text"))
-    val tf = tfIndex(docs)
+    // barrier: tf feeds df_, qterms AND the scoring join (see bm25On)
+    val tf = tfIndex(docs).localCheckpoint()
     val stats = docs
       .select(col("doc_id"), size(expr(
         "regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("dl"))

@@ -115,30 +115,38 @@ object Similarity {
       planes.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
         d.withColumn(s"plane_$i", p)
       }
-    val hashed = withPlanes(vectors(spark, dir))
+    // barriers (round 14): the vector relation fed three separate
+    // embeddings scans and the plane-hashed relation two consumers —
+    // now the scan + norm runs once, the 64-plane dot products run
+    // once, and the bucket relation carries only (id, table, bucket)
+    // so its checkpoint never pins the vectors per table row (the
+    // query side's qv/qnrm rejoin from vecs; candidates only ever
+    // needed the bucket keys)
+    val vecs = vectors(spark, dir).localCheckpoint()
+    val bucketed = withPlanes(vecs)
       .withColumn("buckets", tableBuckets(planes))
-      .select(col("vec_id"), col("v"), col("nrm"),
+      .select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val queries = hashed
+      .localCheckpoint()
+    val queries = bucketed
       .filter(col("vec_id").isInCollection(QueryIds))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("table").as("qtable"),
+      .select(col("vec_id").as("query_id"), col("table").as("qtable"),
         col("bucket").as("qbucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     // candidate ids first (8-byte pairs through the distinct), vectors
     // re-attached once per surviving candidate
-    val candidates = hashed.join(broadcast(queries),
+    val candidates = bucketed.join(broadcast(queries),
       col("table") === col("qtable") && col("bucket") === col("qbucket")
         && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct() // union of per-table candidate sets
-    val qset = vectors(spark, dir)
+    val qset = vecs
       .filter(col("vec_id").isInCollection(QueryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     candidates
-      .join(vectors(spark, dir).select(col("vec_id"), col("v"), col("nrm")),
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
         Seq("vec_id"))
       .join(broadcast(qset), Seq("query_id"))
       .withColumn("cosine", dot / (col("nrm") * col("qnrm")))
