@@ -306,6 +306,47 @@ object Multimodal {
     * at 100 TB this pipelines inside the scan stage and writes
     * straight to a binary-column sink.
     */
+  /** One 2×2-box-mean downscale step over a decoded image — the
+    * resize kernel shared by [[resizeImages]] (which PNG-encodes the
+    * result as the media artifact) and [[imageHashes]] (which hashes
+    * the pixels directly: PNG is lossless, so hashing the buffer is
+    * bit-identical to hashing a decode of its encoding — the
+    * PNG-lossless spec pins exactly this).
+    */
+  private def halveImage(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
+    val small = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < nh) {
+      var cx = 0
+      while (cx < nw) {
+        var r = 0; var g = 0; var b = 0; var n = 0
+        var dy = 0
+        while (dy < 2) {
+          val y = cy * 2 + dy
+          var dx = 0
+          while (dx < 2) {
+            val x = cx * 2 + dx
+            if (x < w && y < h) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xFF; g += (rgb >> 8) & 0xFF
+              b += rgb & 0xFF; n += 1
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        small.setRGB(cx, cy, ((r / n) << 16) | ((g / n) << 8) | (b / n))
+        cx += 1
+      }
+      cy += 1
+    }
+    small
+  }
+
   def resizeImages(images: Dataset[ImageItem]): Dataset[ResizedImage] = {
     import images.sparkSession.implicits._
     images.mapPartitions { items =>
@@ -320,40 +361,14 @@ object Multimodal {
           try { reader.setInput(iis, true, true); reader.read(0) }
           finally iis.close()
         val (w, h) = (img.getWidth, img.getHeight)
-        val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
-        val small = new java.awt.image.BufferedImage(
-          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var cy = 0
-        while (cy < nh) {
-          var cx = 0
-          while (cx < nw) {
-            var r = 0; var g = 0; var b = 0; var n = 0
-            var dy = 0
-            while (dy < 2) {
-              val y = cy * 2 + dy
-              var dx = 0
-              while (dx < 2) {
-                val x = cx * 2 + dx
-                if (x < w && y < h) {
-                  val rgb = img.getRGB(x, y)
-                  r += (rgb >> 16) & 0xFF; g += (rgb >> 8) & 0xFF
-                  b += rgb & 0xFF; n += 1
-                }
-                dx += 1
-              }
-              dy += 1
-            }
-            small.setRGB(cx, cy, ((r / n) << 16) | ((g / n) << 8) | (b / n))
-            cx += 1
-          }
-          cy += 1
-        }
+        val small = halveImage(img)
         val baos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
         writer.setOutput(ios)
         writer.write(small)
         ios.close()
-        ResizedImage(im.doc_id, w, h, nw, nh, baos.toByteArray)
+        ResizedImage(im.doc_id, w, h, small.getWidth, small.getHeight,
+          baos.toByteArray)
       }
       out ++ { reader.dispose(); writer.dispose(); Iterator.empty }
     }
@@ -737,34 +752,29 @@ object Multimodal {
     */
   def imageHashes(images: Dataset[ImageItem]): Dataset[ImageHash] = {
     import images.sparkSession.implicits._
-    val thumbs = resizeImages(images)
-    val srcHashes = images.mapPartitions { items =>
+    // ONE decode per image (round 14): the old form decoded each
+    // source, then resizeImages decoded it again and PNG-ENCODED the
+    // thumb, then the thumb hash pass decoded THAT — three decodes and
+    // one encode per image, all for 16 bytes of hashes. PNG is
+    // lossless (spec-pinned), so dHash over the in-memory halved
+    // buffer is bit-identical to dHash over a decode of its encoding;
+    // both hashes now come out of one decode in one map stage.
+    images.mapPartitions { items =>
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
-      val out = items.map { im =>
+      val out = items.flatMap { im =>
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(im.payload))
         val img =
           try { reader.setInput(iis, true, true); reader.read(0) }
           finally iis.close()
-        ImageHash(im.doc_id * 2, im.doc_id, "src", dHash(img))
+        Iterator(
+          ImageHash(im.doc_id * 2, im.doc_id, "src", dHash(img)),
+          ImageHash(im.doc_id * 2 + 1, im.doc_id, "thumb",
+            dHash(halveImage(img))))
       }
       out ++ { reader.dispose(); Iterator.empty }
     }
-    val thumbHashes = thumbs.mapPartitions { items =>
-      val reader = javax.imageio.ImageIO
-        .getImageReadersByFormatName("png").next()
-      val out = items.map { rz =>
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(rz.payload))
-        val img =
-          try { reader.setInput(iis, true, true); reader.read(0) }
-          finally iis.close()
-        ImageHash(rz.doc_id * 2 + 1, rz.doc_id, "thumb", dHash(img))
-      }
-      out ++ { reader.dispose(); Iterator.empty }
-    }
-    srcHashes.union(thumbHashes)
   }
 
   /** q119: image near-duplicate pairs by banded perceptual hash —

@@ -185,10 +185,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // barrier: tf feeds the df aggregate AND the scoring join — one
+    // tokenize+explode pass, not two (round 14; the q105 discipline)
     val tf = Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(wsTokens).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
