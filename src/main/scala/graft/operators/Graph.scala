@@ -427,14 +427,37 @@ object Graph {
     counts.orderBy(col("part"))
   }
 
-  /** The oriented-wedge triangle enumeration shared by [[q122]] and
-    * [[q127]]: returns the triangle corner relation
+  /** The triangle enumeration shared by [[q122]], [[q127]] and
+    * [[q135]]: returns the triangle corner relation
     * `(apex, lo, hi)` (lo < hi; apex the (deg,id)-minimum corner)
-    * and the PERSISTED oriented edge relation the wedge self-join
-    * read — callers unpersist it once their aggregate materializes.
+    * and a second relation callers unpersist once their aggregate
+    * materializes (the persisted oriented edge relation in the
+    * shuffle arm; a no-op placeholder in the broadcast arm).
+    *
+    * Below `broadcastMaxRows` the enumeration is adjacency-merge
+    * ("compact-forward", Latapy '08): the old arm already shipped the
+    * FULL edge set to every task as a broadcast hash relation (built
+    * on the driver), yet still materialized the O(m^1.5) wedge stream
+    * through a 41M-row join probe at sf0.1 — 5.4 s of the 9.2 s tri
+    * fill, measured round 15. Same driver/executor memory class, but
+    * the wedge stream never exists: each canonical edge (lo, hi)
+    * orients to (u, v) via the degree map and two-pointer-merges the
+    * sorted out-adjacency arrays adj⁺(u) ∩ adj⁺(v) — every match is a
+    * triangle, each triangle found exactly once (w ∈ adj⁺(u) ∩ adj⁺(v)
+    * exists only for the oriented edge (u, v) with v → w; the probe at
+    * (u, w) cannot see v because orientation is antisymmetric). Rows
+    * are identical to the wedge arm's: apex = the (deg,id)-min corner,
+    * (lo, hi) = the id-ordered closing pair.
+    *
+    * Above the bound the edge set cannot ride a broadcast, so the
+    * oriented-wedge self-join + Bloom-screened closing join runs as
+    * before (O(m^1.5) wedges, shuffle volume ~triangles + fpp·wedges).
     */
   private def triangleEnum(pairs: DataFrame,
       broadcastMaxRows: Long): (DataFrame, DataFrame) = {
+    val nPairsEarly = pairs.count()
+    if (nPairsEarly <= broadcastMaxRows)
+      return (trianglesByAdjacencyMerge(pairs), pairs.limit(0))
     val deg = pairs.select(col("lo").as("node"))
       .unionAll(pairs.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -462,36 +485,98 @@ object Graph {
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
       .select(col("x.src").as("apex"),
         col("x.dst").as("lo"), col("y.dst").as("hi"))
-    // close wedges against the edge set: broadcast it when small so
-    // the O(m^1.5) wedge stream never leaves its map stage. Above the
-    // broadcast bound the join must shuffle — so screen the wedge
-    // stream with a Bloom over the canonical edge keys FIRST (round
-    // 10): most wedges never close (sf1: 190M wedges, 2.3M triangles
-    // over 6.9M edges), the probe is one codegen'd virtual call in
-    // the wedge map stage, and one-sided Bloom error means only rows
-    // the join would drop anyway can slip through — byte-identical
-    // results, shuffle volume cut to ~triangles + fpp·wedges.
-    val nPairs = pairs.count()
-    val tris =
-      if (nPairs <= broadcastMaxRows) wedges.join(broadcast(pairs), Seq("lo", "hi"))
-      else {
-        val bloom = pairs
-          .select(xxhash64(col("lo"), col("hi")).as("k"))
-          .stat.bloomFilter("k", math.max(1000L, nPairs), WedgeBloomFpp)
-        // the probe key is the same xxhash64(lo, hi) (seed 42) the
-        // bloom was built over — constructed as a raw Catalyst tree so
-        // the custom expression nests without a registered SQL name
-        val keyExpr = org.apache.spark.sql.catalyst.expressions.XxHash64(
-          Seq(org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute("lo"),
-            org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute("hi")), 42L)
-        val screened = wedges.filter(
-          org.apache.spark.sql.graftbridge.ExprBridge.column(
-            graft.functions.BloomContainsLong(keyExpr, bloom)))
-        screened.join(pairs, Seq("lo", "hi"))
-      }
+    // close wedges against the edge set. This arm only runs ABOVE the
+    // broadcast bound (the adjacency-merge arm returned early below
+    // it), so the join must shuffle — screen the wedge stream with a
+    // Bloom over the canonical edge keys FIRST (round 10): most
+    // wedges never close (sf1: 190M wedges, 2.3M triangles over 6.9M
+    // edges), the probe is one codegen'd virtual call in the wedge
+    // map stage, and one-sided Bloom error means only rows the join
+    // would drop anyway can slip through — byte-identical results,
+    // shuffle volume cut to ~triangles + fpp·wedges.
+    val bloom = pairs
+      .select(xxhash64(col("lo"), col("hi")).as("k"))
+      .stat.bloomFilter("k", math.max(1000L, nPairsEarly), WedgeBloomFpp)
+    // the probe key is the same xxhash64(lo, hi) (seed 42) the
+    // bloom was built over — constructed as a raw Catalyst tree so
+    // the custom expression nests without a registered SQL name
+    val keyExpr = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute("lo"),
+        org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute("hi")), 42L)
+    val screened = wedges.filter(
+      org.apache.spark.sql.graftbridge.ExprBridge.column(
+        graft.functions.BloomContainsLong(keyExpr, bloom)))
+    val tris = screened.join(pairs, Seq("lo", "hi"))
     (tris, oriented)
+  }
+
+  /** The below-broadcast-bound triangle enumeration: driver-built
+    * degree + sorted out-adjacency maps (the same edge relation the
+    * old arm collected to the driver to BUILD the broadcast hash
+    * join), one map stage over the canonical edges, two-pointer merge
+    * of adj⁺(u) ∩ adj⁺(v) per edge. No wedge stream, no join — the
+    * emitted rows are exactly the wedge arm's `(apex, lo, hi)`.
+    */
+  private def trianglesByAdjacencyMerge(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("lo"), col("hi"))
+      .as[(Long, Long)].collect()
+    val deg = new scala.collection.mutable.LongMap[Int](edges.length * 2)
+    edges.foreach { case (l, h) =>
+      deg(l) = deg.getOrElse(l, 0) + 1
+      deg(h) = deg.getOrElse(h, 0) + 1
+    }
+    // (deg, id)-orientation: u -> v when deg(u) < deg(v), id tiebreak
+    @inline def orientLoFirst(l: Long, h: Long): Boolean = {
+      val dl = deg(l); val dh = deg(h)
+      dl < dh || (dl == dh && l < h)
+    }
+    val outDeg = new scala.collection.mutable.LongMap[Int](edges.length)
+    edges.foreach { case (l, h) =>
+      val u = if (orientLoFirst(l, h)) l else h
+      outDeg(u) = outDeg.getOrElse(u, 0) + 1
+    }
+    val adj = new scala.collection.mutable.LongMap[Array[Long]](outDeg.size)
+    val fill = new scala.collection.mutable.LongMap[Int](outDeg.size)
+    outDeg.foreachEntry((u, d) => adj(u) = new Array[Long](d))
+    edges.foreach { case (l, h) =>
+      val (u, v) = if (orientLoFirst(l, h)) (l, h) else (h, l)
+      val i = fill.getOrElse(u, 0)
+      adj(u)(i) = v
+      fill(u) = i + 1
+    }
+    adj.foreachValue(java.util.Arrays.sort)
+    val bc = spark.sparkContext.broadcast((deg, adj))
+    val empty = Array.emptyLongArray
+    pairs.select(col("lo"), col("hi")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val (degM, adjM) = bc.value
+        it.flatMap { case (l, h) =>
+          val dl = degM(l); val dh = degM(h)
+          val (u, v) =
+            if (dl < dh || (dl == dh && l < h)) (l, h) else (h, l)
+          val au = adjM.getOrElse(u, empty)
+          val av = adjM.getOrElse(v, empty)
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var i = 0
+          var j = 0
+          while (i < au.length && j < av.length) {
+            val x = au(i); val y = av(j)
+            if (x == y) {
+              // triangle u→v, u→w, v→w with w = x; closing pair in
+              // canonical id order, apex = the (deg,id)-min corner u
+              if (v < x) out += ((u, v, x)) else out += ((u, x, v))
+              i += 1; j += 1
+            } else if (x < y) i += 1
+            else j += 1
+          }
+          out
+        }
+      }
+      .toDF("apex", "lo", "hi")
   }
 
   /** q127: per-edge triangle support and neighborhood Jaccard over

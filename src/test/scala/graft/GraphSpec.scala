@@ -209,8 +209,14 @@ class GraphSpec extends SparkSpec {
       .distinct().localCheckpoint()
     val bcast = Graph.trianglesOn(pairs, checkpointResult = false)
     val p = bcast.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"closing join should broadcast the edge set below the bound:\n$p")
+    // round 15: below the bound the enumeration is the adjacency-merge
+    // map stage (driver-built degree/adjacency maps — the same edge
+    // relation the old arm collected to build its broadcast hash
+    // join), so the plan carries NO join and NO wedge stream at all
+    assert(p.contains("MapPartitions"),
+      s"below-bound arm should be the adjacency-merge map stage:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"below-bound arm should not join at all:\n$p")
     // force the above-bound arm on the same graph: results identical
     val shuffled = Graph.trianglesOn(pairs, broadcastMaxRows = 0L)
     assert(shuffled.collect().map(_.toSeq).toSet ==
