@@ -1746,6 +1746,25 @@ object Graph {
       oriented.unpersist(blocking = false)
       m
     }
+    // round 15: below the broadcast bound the peel itself runs ON THE
+    // DRIVER (the BPE/q34 local-vs-distributed dispatch discipline).
+    // In this regime the edge relation already rides to the driver —
+    // it builds the alive-set broadcasts (and the tri fill's adjacency
+    // broadcast) — and the 4-round synchronous peel was paying ~20
+    // sequential Spark jobs (checkpoints, semi-joins, convergence
+    // probes) to move a few hundred thousand int64s per round: 5.8 s
+    // at sf0.1 where the arithmetic is ~10M array ops. The triangle
+    // relation is additionally bounded by [[ResultPinMaxRows]]
+    // (triangles can outgrow edges on dense graphs; above it the
+    // distributed rounds below run even when the edges broadcast).
+    // Identical arithmetic, budget and strict-throw semantics —
+    // GraphSpec pins arm equality on planted graphs, the oracle the
+    // real ones at two SFs.
+    if (nEdges <= broadcastMaxRows) {
+      val nTris = tris0.count()
+      if (nTris <= ResultPinMaxRows)
+        return trussLocal(pairs, tris0, nEdges, rounds, strict)
+    }
     val sup0 = pairs.join(edgeSupportCounts(tris0, "supp"),
         Seq("lo", "hi"), "left")
       .na.fill(0L, Seq("supp"))
@@ -1862,6 +1881,152 @@ object Graph {
     }
     suppRel.filter(col("supp") >= thr)
       .select(col("lo"), col("hi"), col("supp"), lit(thr).as("thr"))
+      .orderBy(col("lo"), col("hi"))
+  }
+
+  /** Driver-local synchronous peel — [[trussOn]]'s below-bound arm.
+    * Edges index into two sorted primitive arrays (binary search per
+    * triangle edge, done once); each round is one pass over the
+    * triangle index triples (alive×3 → credit 3 edges) and one pass
+    * over the edge arrays. Threshold, round counting, early exit,
+    * budget and strict-throw semantics mirror the distributed rounds
+    * exactly (including the rounds=0 count-only verification
+    * degenerate); the output relation is re-parallelized and sorted
+    * like the distributed arm's.
+    */
+  private def trussLocal(pairs: DataFrame, tris: DataFrame,
+      nEdges: Long, rounds: Int, strict: Boolean): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val m = nEdges.toInt
+    // executeCollect: InternalRows, primitive getLong — the external
+    // Row/tuple conversion was the local arm's dominant cost
+    val es = pairs.select(col("lo"), col("hi"))
+      .queryExecution.executedPlan.executeCollect()
+    // group-contiguous primitive layout: edges bucketed by lo via a
+    // counting scatter, hi sorted within each lo-group — an edge
+    // lookup is then one hash probe plus a binary search over a
+    // CONTIGUOUS few-entry slice (the flat lexicographic search paid
+    // ~250 ns/lookup in cache misses across two 10 MB arrays,
+    // 1.45 s of the local arm at sf0.1)
+    val eLo = new Array[Long](m); val eHi = new Array[Long](m)
+    // lo -> (group start << 32 | group length), one probe per lookup
+    val grp = new scala.collection.mutable.LongMap[Long](m)
+    var k = 0
+    while (k < m) {
+      val lo = es(k).getLong(0)
+      grp(lo) = grp.getOrElse(lo, 0L) + 1L
+      k += 1
+    }
+    var acc = 0L
+    grp.foreachKey { lo =>
+      val c = grp(lo); grp(lo) = (acc << 32) | c; acc += c
+    }
+    val fillAt = new scala.collection.mutable.LongMap[Int](grp.size)
+    k = 0
+    while (k < m) {
+      val lo = es(k).getLong(0)
+      val at = (grp(lo) >>> 32).toInt + fillAt.getOrElse(lo, 0)
+      eLo(at) = lo; eHi(at) = es(k).getLong(1)
+      fillAt(lo) = fillAt.getOrElse(lo, 0) + 1
+      k += 1
+    }
+    grp.foreachValue { sl =>
+      val st = (sl >>> 32).toInt
+      java.util.Arrays.sort(eHi, st, st + (sl & 0xFFFFFFFFL).toInt)
+    }
+    def idx(lo: Long, hi: Long): Int = {
+      val sl = grp.getOrElse(lo, -1L)
+      if (sl < 0) throw new IllegalStateException(
+        s"triangle edge ($lo,$hi) missing from the edge relation")
+      var a = (sl >>> 32).toInt
+      var b = a + (sl & 0xFFFFFFFFL).toInt - 1
+      while (a <= b) {
+        val mid = (a + b) >>> 1
+        val c = java.lang.Long.compare(eHi(mid), hi)
+        if (c == 0) return mid
+        else if (c < 0) a = mid + 1
+        else b = mid - 1
+      }
+      throw new IllegalStateException(
+        s"triangle edge ($lo,$hi) missing from the edge relation")
+    }
+    val ts = tris.select(col("apex"), col("lo"), col("hi"))
+      .queryExecution.executedPlan.executeCollect()
+    val nT = ts.length
+    val te1 = new Array[Int](nT)
+    val te2 = new Array[Int](nT)
+    val te3 = new Array[Int](nT)
+    k = 0
+    while (k < nT) {
+      val r = ts(k)
+      val a = r.getLong(0); val l = r.getLong(1); val h = r.getLong(2)
+      te1(k) = idx(math.min(a, l), math.max(a, l))
+      te2(k) = idx(math.min(a, h), math.max(a, h))
+      te3(k) = idx(l, h)
+      k += 1
+    }
+    def supportWithin(alive: Array[Boolean]): Array[Long] = {
+      val s = new Array[Long](m)
+      var t = 0
+      while (t < nT) {
+        val a = te1(t); val b = te2(t); val c = te3(t)
+        if (alive(a) && alive(b) && alive(c)) {
+          s(a) += 1; s(b) += 1; s(c) += 1
+        }
+        t += 1
+      }
+      s
+    }
+    def anySubThr(alive: Array[Boolean], s: Array[Long],
+        thr: Long): Boolean = {
+      var e = 0
+      while (e < m) {
+        if (alive(e) && s(e) < thr) return true
+        e += 1
+      }
+      false
+    }
+    val sup0 = supportWithin(Array.fill(m)(true))
+    // lower median over the initial supports: smallest v with
+    // #{e : supp(e) <= v} >= ceil(m/2) = the rank-target order stat
+    val sorted = sup0.clone()
+    java.util.Arrays.sort(sorted)
+    val thr = sorted(((nEdges + 1L) / 2L).toInt - 1)
+    val alive = new Array[Boolean](m)
+    k = 0; while (k < m) { alive(k) = sup0(k) >= thr; k += 1 }
+    // INVARIANT mirrors the distributed loop: curSupp = every current
+    // survivor's support within the survivor set (sup0 plays the
+    // rounds=0 degenerate's stale role); sub-thr rows are the next
+    // round's peel; none left <=> fixpoint
+    var curSupp = sup0
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
+      if (i > 0) {
+        var e = 0
+        while (e < m) { alive(e) &&= curSupp(e) >= thr; e += 1 }
+      }
+      curSupp = supportWithin(alive)
+      converged = !anySubThr(alive, curSupp, thr)
+      i += 1
+    }
+    if (strict && !converged) {
+      val stable = i == 0 && !anySubThr(alive, supportWithin(alive), thr)
+      if (!stable)
+        throw new IllegalStateException(
+          s"k-truss peel (thr=$thr) not converged within $rounds " +
+            "rounds — raise the round budget (and the oracle twin's " +
+            "unroll) for this graph")
+    }
+    val out = Vector.newBuilder[(Long, Long, Long, Long)]
+    k = 0
+    while (k < m) {
+      if (alive(k) && curSupp(k) >= thr)
+        out += ((eLo(k), eHi(k), curSupp(k), thr))
+      k += 1
+    }
+    spark.createDataset(out.result()).toDF("lo", "hi", "supp", "thr")
       .orderBy(col("lo"), col("hi"))
   }
 
