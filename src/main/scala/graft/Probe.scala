@@ -107,6 +107,28 @@ object Probe {
       Multimodal.q119(spark, dir).count(): Unit)
   }
 
+  /** q119 pair-machinery attribution: band bucket histogram and the
+    * candidate-pair volume the capped inverted index emits.
+    */
+  private def img2(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Multimodal
+    warmup(spark, Seq("q119_phash_neardup"))
+    val hs = Multimodal.imageHashes(Multimodal.photoTable(spark, dir))
+      .toDF().localCheckpoint()
+    Console.err.println("  hashes = " + hs.count())
+    val banded = hs.select(col("img_id"),
+      posexplode(array((0 until 8).map(j =>
+        shiftrightunsigned(col("phash"), 8 * j)
+          .bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "chunk")))
+    val sizes = banded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("df")).as[Long](spark.implicits.newLongEncoder).collect()
+    val capped = sizes.filter(_ <= 1000)
+    Console.err.println(s"  buckets=${sizes.length} " +
+      s"tombstoned=${sizes.count(_ > 1000)} maxdf=${sizes.max} " +
+      s"pairsEmitted=${capped.map(d => d * (d - 1) / 2).sum}")
+  }
+
   /** ccLabels fill phases: the q31 edge pass vs the propagation. */
   private def cc(spark: SparkSession, dir: String): Unit = {
     warmup(spark, Seq("q31_ngram_jaccard", "q35_dup_clusters"))
@@ -173,6 +195,7 @@ object Probe {
     scenarios.foreach {
       case "tri" => tri(spark, dir)
       case "img" => img(spark, dir)
+      case "img2" => img2(spark, dir)
       case "cc" => cc(spark, dir)
       case "fuzzy" => fuzzy(spark, dir)
       case s if SparkEntry.queries.contains(s) => one(spark, dir, s)

@@ -844,20 +844,45 @@ object Multimodal {
           .bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "chunk")))
     // capped inverted index: hot buckets tombstone map-side (null),
     // survivors sort by img_id (unique within a bucket — one row per
-    // (img, band)) so emitted pairs have ia < ib by construction
+    // (img, band)) so emitted pairs have ia < ib by construction.
+    // Round 15: emission moved from the flatten(transform(...))
+    // expression to a typed per-bucket loop with the Hamming check
+    // INSIDE it (the q34/fastss shape) — the expression form allocated
+    // a C(df,2)-struct array per bucket (smooth photo content piles
+    // hashes into few chunk values: 729 live buckets, max df 448,
+    // 8.4M candidate structs at sf0.1, measured) and ran `distinct`
+    // over ALL candidates BEFORE the Hamming filter; now only passing
+    // pairs (output-sized, not candidate-sized) reach the exchange.
+    // filter∘distinct ≡ distinct∘filter row-wise, so rows identical.
+    import hashes.sparkSession.implicits._
     val pairs = banded.groupBy(col("band"), col("chunk"))
       .agg(expr(s"collect_capped(img, $bandDfCap)").as("dsr"))
       .filter(col("dsr").isNotNull && size(col("dsr")) > 1)
-      .select(sort_array(col("dsr")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
-      .select(col("p.a.id").as("ia"), col("p.b.id").as("ib"),
-        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash")))
-          .cast("long").as("hamming"))
+      .select(col("dsr"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val buf = members.toArray
+        // id order (ids unique per bucket) — same order sort_array
+        // gave the struct form, so ia < ib by construction
+        java.util.Arrays.sort(buf, Ordering.by((x: (Long, Long)) => x._1))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        var i = 0
+        while (i < buf.length) {
+          val (ia, pa) = buf(i)
+          var j = i + 1
+          while (j < buf.length) {
+            val (ib, pb) = buf(j)
+            val h = java.lang.Long.bitCount(pa ^ pb)
+            if (h <= maxHamming) out += ((ia, ib, h.toLong))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("ia", "ib", "hamming")
       .distinct()
-      .filter(col("hamming") <= maxHamming)
     val meta = hs.select(col("img_id"), col("doc_id"), col("variant"))
     pairs
       .join(meta.select(col("img_id").as("ia"), col("doc_id").as("doc_a"),
