@@ -747,10 +747,87 @@ object Dedup {
     * count-then-dispatch so a 100 TB corpus's label relation never
     * pins executor storage.
     */
+  /** Edge-count bound under which [[clusterLabels]] computes the
+    * components on the driver (union-find) instead of by iterative
+    * min-label propagation — the BPE/q34/q135 local-vs-distributed
+    * dispatch discipline. The near-dup pair graph is TINY relative to
+    * the corpus (256 edges at sf0.1), and each propagation round is a
+    * join + aggregate + checkpoint + driver probe — pure job latency
+    * at that size. Labels (min reachable doc_id) and sizes are
+    * identical by construction; DedupSpec pins arm equality.
+    */
+  private[graft] val CcLocalMaxEdges = 4000000L
+
   private[graft] def clusterLabels(spark: SparkSession,
       dir: String): DataFrame =
+    clusterLabelsBounded(spark, dir, CcLocalMaxEdges)
+
+  private[graft] def clusterLabelsBounded(spark: SparkSession,
+      dir: String, localMaxEdges: Long): DataFrame =
     graft.SessionCaches.getOrBuild(spark, "ccLabels", dir) {
       val edges = q31(spark, dir).select(col("ia"), col("ib")).localCheckpoint()
+      val nEdges = edges.count()
+      if (nEdges <= localMaxEdges) ccLabelsLocal(spark, edges)
+      else ccLabelsPropagated(spark, edges)
+    }
+
+  /** Driver-local arm of [[clusterLabelsBounded]]: union-find with
+    * min-id roots — comp = min reachable node id, exactly the
+    * propagation fixpoint. NOTE: no `return` inside the cache build
+    * closure (a non-local return would unwind through the lazy
+    * holder and void both the entry and the ledger record).
+    */
+  private[graft] def ccLabelsLocal(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+        val rows = edges.queryExecution.executedPlan.executeCollect()
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        var k = 0
+        while (k < rows.length) {
+          val a = find(rows(k).getLong(0))
+          val b = find(rows(k).getLong(1))
+          if (a != b) {
+            // min id becomes the root so labels match min-propagation
+            if (a < b) parent(b) = a else parent(a) = b
+          }
+          k += 1
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Long]
+        k = 0
+        while (k < rows.length) {
+          nodes(rows(k).getLong(0)) = 0L
+          nodes(rows(k).getLong(1)) = 0L
+          k += 1
+        }
+        val compOf = scala.collection.mutable.LongMap.empty[Long]
+        val sizeOf = scala.collection.mutable.LongMap.empty[Long]
+        nodes.foreachKey { n =>
+          val c = find(n)
+          compOf(n) = c
+          sizeOf(c) = sizeOf.getOrElse(c, 0L) + 1L
+        }
+        val out = Vector.newBuilder[(Long, Long, Long)]
+        compOf.foreachEntry((n, c) => out += ((n, c, sizeOf(c))))
+        import spark.implicits._
+        spark.createDataset(out.result())
+          .toDF("doc_id", "cluster_id", "cluster_size")
+          .localCheckpoint()
+  }
+
+  /** Distributed arm of [[clusterLabelsBounded]]: iterative min-label
+    * propagation with a loud non-convergence throw (at 10⁹+ edges
+    * swap in [[ccLargeSmallStar]]'s star rounds — same labels).
+    */
+  private[graft] def ccLabelsPropagated(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
       val sym = edges.unionAll(
         edges.select(col("ib").as("ia"), col("ia").as("ib")))
         .toDF("a", "b")

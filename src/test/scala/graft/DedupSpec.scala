@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusterLabels arms agree: driver union-find bit-equals min-label propagation") {
+    // round 15: below CcLocalMaxEdges the labels come from a driver
+    // union-find with min-id roots — pin bit-equality (doc_id,
+    // cluster_id, cluster_size) against the distributed propagation
+    // on the real near-dup graph plus a planted multi-component graph
+    val edges = Dedup.q31(spark, sf)
+      .select(org.apache.spark.sql.functions.col("ia"),
+        org.apache.spark.sql.functions.col("ib")).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Dedup.ccLabelsLocal(spark, edges)) ===
+      rows(Dedup.ccLabelsPropagated(spark, edges)))
+    import spark.implicits._
+    val planted = Seq((7L, 3L), (3L, 9L), (12L, 15L), (20L, 21L),
+      (21L, 22L), (22L, 20L)).toDF("ia", "ib").localCheckpoint()
+    assert(rows(Dedup.ccLabelsLocal(spark, planted)) ===
+      rows(Dedup.ccLabelsPropagated(spark, planted)))
+  }
+
   test("large-star/small-star CC matches q35's labels and conquers a deep chain in log rounds") {
     // identical labels on the real near-dup graph
     val edges = Dedup.q31(spark, sf)
