@@ -68,10 +68,19 @@ object Graph {
     * algorithm hash-match across engines (the q105 int64-contribution
     * trick applied to a fixpoint loop).
     */
-  def q121(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def q121(spark: SparkSession, dir: String, iters: Int = 5,
+      localMaxEdges: Long = BroadcastEdgeMaxRows): DataFrame = {
     // one row per trading pair, session-cached (round 14) — the
     // fact-table join + aggregate used to re-run per execution
     val pairs = purchasePairs(spark, dir)
+    // round 15: below the edge bound the whole fixpoint runs on the
+    // driver (the q135/BPE local-vs-distributed dispatch — in this
+    // regime the rank relation broadcasts every round anyway, and the
+    // five chained rounds were paying scheduler latency to move a
+    // node-sized int64 vector). Identical arithmetic; GraphSpec's
+    // imperative twin and the forced-distributed arm pin equality.
+    if (pairs.count() <= localMaxEdges)
+      return pagerankLocal(spark, pairs, iters, personalized = false)
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"),
         col("w"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
@@ -144,8 +153,11 @@ object Graph {
     * like the ranks side at 1e9 nodes). Oracle: the same five rounds
     * unrolled as chained DuckDB CTEs.
     */
-  def q125(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def q125(spark: SparkSession, dir: String, iters: Int = 5,
+      localMaxEdges: Long = BroadcastEdgeMaxRows): DataFrame = {
     val pairs = purchasePairs(spark, dir) // session-cached, see q121
+    if (pairs.count() <= localMaxEdges) // see q121's dispatch note
+      return pagerankLocal(spark, pairs, iters, personalized = true)
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"),
         col("w"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst"),
@@ -231,6 +243,78 @@ object Graph {
        |  node // 2 AS key, pr
        |FROM it5
        |ORDER BY pr DESC, node""".stripMargin
+  }
+
+  /** Driver-local arm of [[q121]]/[[q125]]: the identical int64
+    * update over dense-indexed edge arrays — contrib(u→v) =
+    * w × ((85·pr(u)) div (100·deg(u))), pr'(v) = base(v) + Σ inflow —
+    * with the personalized variant differing only in the initial
+    * vector and the seed-restricted base, exactly as the distributed
+    * rounds. Integer sums are order-independent, so the arms are
+    * bit-identical (spec-pinned, plus GraphSpec's pre-existing
+    * imperative twins).
+    */
+  private def pagerankLocal(spark: SparkSession, pairs: DataFrame,
+      iters: Int, personalized: Boolean): DataFrame = {
+    import spark.implicits._
+    val rows = pairs.select(col("cnode"), col("snode"), col("w"))
+      .queryExecution.executedPlan.executeCollect()
+    val nP = rows.length
+    val id2ix = new scala.collection.mutable.LongMap[Int](nP * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(id: Long): Int = {
+      val got = id2ix.getOrElse(id, -1)
+      if (got >= 0) got
+      else { val i = ids.length; id2ix(id) = i; ids += id; i }
+    }
+    val eSrc = new Array[Int](2 * nP)
+    val eDst = new Array[Int](2 * nP)
+    val eW = new Array[Long](2 * nP)
+    var k = 0
+    while (k < nP) {
+      val c = ix(rows(k).getLong(0)); val s = ix(rows(k).getLong(1))
+      val w = rows(k).getLong(2)
+      eSrc(2 * k) = c; eDst(2 * k) = s; eW(2 * k) = w
+      eSrc(2 * k + 1) = s; eDst(2 * k + 1) = c; eW(2 * k + 1) = w
+      k += 1
+    }
+    val nN = ids.length
+    val deg = new Array[Long](nN)
+    k = 0
+    while (k < 2 * nP) { deg(eSrc(k)) += eW(k); k += 1 }
+    val baseUnit = (15L * PrScale) / DampDen
+    def isSeed(id: Long): Boolean = id % 2 == 1 && ((id - 1) / 2) % 10 == 3
+    val base = new Array[Long](nN)
+    var pr = new Array[Long](nN)
+    var i = 0
+    while (i < nN) {
+      if (!personalized) { base(i) = baseUnit; pr(i) = PrScale }
+      else if (isSeed(ids(i))) { base(i) = baseUnit; pr(i) = PrScale }
+      i += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val next = new Array[Long](nN)
+      k = 0
+      while (k < 2 * nP) {
+        val s = eSrc(k)
+        next(eDst(k)) += eW(k) * ((DampNum * pr(s)) / (DampDen * deg(s)))
+        k += 1
+      }
+      i = 0
+      while (i < nN) { next(i) += base(i); i += 1 }
+      pr = next
+      it += 1
+    }
+    val out = Vector.newBuilder[(Long, String, Long, Long)]
+    i = 0
+    while (i < nN) {
+      val id = ids(i)
+      out += ((id, if (id % 2 == 0) "cust" else "supp", id / 2, pr(i)))
+      i += 1
+    }
+    spark.createDataset(out.result()).toDF("node", "kind", "key", "pr")
+      .orderBy(col("pr").desc, col("node"))
   }
 
   /** q122: per-node triangle counts over the part co-order graph —
@@ -1111,7 +1195,13 @@ object Graph {
     */
   private[graft] def kcoreOn(pairs: DataFrame, k: Long, rounds: Int,
       broadcastMaxRows: Long = BroadcastEdgeMaxRows,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      localMaxEdges: Long = BroadcastEdgeMaxRows): DataFrame = {
+    // round 15: below the edge bound the peel runs on the driver —
+    // the q135/q121 dispatch note; each distributed round was a
+    // filter + checkpoint + count + join + sum over node-sized sets
+    if (pairs.count() <= localMaxEdges)
+      return kcoreLocalOn(pairs, k, rounds, strict)
     val sym = pairs.select(col("a").as("node"), col("b").as("peer"),
         col("w"))
       .unionAll(pairs.select(col("b").as("node"), col("a").as("peer"),
@@ -1128,6 +1218,135 @@ object Graph {
     val (_, _, _, wd) =
       peelToCore(sym, alive0, n0, k, rounds, useBroadcast, strict)
     wd.orderBy(col("node"))
+  }
+
+  /** Dense-indexed weighted symmetric graph with the [[peelToCore]]
+    * loop on primitive arrays — the driver-local arm shared by
+    * [[kcoreOn]] and [[coreLevelsOn]]. Mirrors the distributed loop
+    * exactly: the within-subgraph weighted-degree relation has a row
+    * only for alive nodes with ≥ 1 alive peer (the join's semantics —
+    * tracked as `has`), next = {alive with a row and wdeg ≥ k},
+    * converged when nothing drops, strict throws the same message.
+    */
+  private final class WGraphLocal(pairs: DataFrame) {
+    private val rows = pairs.select(col("a"), col("b"), col("w"))
+      .queryExecution.executedPlan.executeCollect()
+    private val id2ix = new scala.collection.mutable.LongMap[Int](rows.length * 2)
+    private val idsBuf = new scala.collection.mutable.ArrayBuffer[Long]()
+    private def ix(id: Long): Int = {
+      val got = id2ix.getOrElse(id, -1)
+      if (got >= 0) got
+      else { val i = idsBuf.length; id2ix(id) = i; idsBuf += id; i }
+    }
+    private val nP = rows.length
+    private val eA = new Array[Int](nP)
+    private val eB = new Array[Int](nP)
+    private val eW = new Array[Long](nP)
+    locally {
+      var k = 0
+      while (k < nP) {
+        eA(k) = ix(rows(k).getLong(0)); eB(k) = ix(rows(k).getLong(1))
+        eW(k) = rows(k).getLong(2)
+        k += 1
+      }
+    }
+    val ids: Array[Long] = idsBuf.toArray
+    val nNodes: Int = ids.length
+
+    /** (wdeg, hasAlivePeer) within the alive-induced subgraph. */
+    def wdegWithin(alive: Array[Boolean]): (Array[Long], Array[Boolean]) = {
+      val wd = new Array[Long](nNodes)
+      val has = new Array[Boolean](nNodes)
+      var k = 0
+      while (k < nP) {
+        val a = eA(k); val b = eB(k)
+        if (alive(a) && alive(b)) {
+          wd(a) += eW(k); wd(b) += eW(k)
+          has(a) = true; has(b) = true
+        }
+        k += 1
+      }
+      (wd, has)
+    }
+
+    /** [[peelToCore]] verbatim on arrays; returns
+      * (aliveAfter, wdeg, has) — the wdeg/has pair covers aliveAfter
+      * by the loop invariant.
+      */
+    def peel(alive0: Array[Boolean], k: Long, rounds: Int,
+        strict: Boolean): (Array[Boolean], Array[Long], Array[Boolean]) = {
+      var alive = alive0
+      var n: Long = alive0.count(identity).toLong
+      var (wd, has) = wdegWithin(alive)
+      var converged = false
+      var i = 0
+      while (i < rounds && !converged) {
+        val next = new Array[Boolean](nNodes)
+        var m = 0L
+        var e = 0
+        while (e < nNodes) {
+          if (alive(e) && has(e) && wd(e) >= k) { next(e) = true; m += 1 }
+          e += 1
+        }
+        if (m == n) converged = true
+        else {
+          alive = next
+          val r = wdegWithin(alive)
+          wd = r._1; has = r._2
+          n = m
+        }
+        i += 1
+      }
+      if (strict && !converged) {
+        var m = 0L
+        var e = 0
+        while (e < nNodes) {
+          if (alive(e) && has(e) && wd(e) >= k) m += 1
+          e += 1
+        }
+        if (m != n)
+          throw new IllegalStateException(
+            s"k-core peel (k=$k) not converged within $rounds rounds — " +
+              "raise the round budget (and the oracle twin's unroll) " +
+              "for this graph")
+      }
+      (alive, wd, has)
+    }
+  }
+
+  private def kcoreLocalOn(pairs: DataFrame, k: Long, rounds: Int,
+      strict: Boolean): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val g = new WGraphLocal(pairs)
+    val (alive, wd, has) = g.peel(Array.fill(g.nNodes)(true), k, rounds, strict)
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < g.nNodes) {
+      if (alive(i) && has(i)) out += ((g.ids(i), wd(i)))
+      i += 1
+    }
+    spark.createDataset(out.result()).toDF("node", "wdeg")
+      .orderBy(col("node"))
+  }
+
+  private def coreLevelsLocalOn(pairs: DataFrame, ladder: Seq[Long],
+      rounds: Int, strict: Boolean): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val g = new WGraphLocal(pairs)
+    val level = new Array[Long](g.nNodes)
+    var alive = Array.fill(g.nNodes)(true)
+    ladder.foreach { k =>
+      alive = g.peel(alive, k, rounds, strict)._1
+      var i = 0
+      while (i < g.nNodes) { if (alive(i)) level(i) = k; i += 1 }
+    }
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < g.nNodes) { out += ((g.ids(i), level(i))); i += 1 }
+    spark.createDataset(out.result()).toDF("node", "core_level")
+      .orderBy(col("node"))
   }
 
   /** DuckDB twin of [[q129]]: the same four synchronous peeling
@@ -1211,9 +1430,12 @@ object Graph {
     */
   private[graft] def coreLevelsOn(pairs: DataFrame, ladder: Seq[Long],
       rounds: Int, broadcastMaxRows: Long = BroadcastEdgeMaxRows,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      localMaxEdges: Long = BroadcastEdgeMaxRows): DataFrame = {
     require(ladder.nonEmpty && ladder.zip(ladder.tail).forall {
       case (a, b) => a < b }, s"ladder must ascend strictly: $ladder")
+    if (pairs.count() <= localMaxEdges) // see kcoreOn's dispatch note
+      return coreLevelsLocalOn(pairs, ladder, rounds, strict)
     val sym = pairs.select(col("a").as("node"), col("b").as("peer"),
         col("w"))
       .unionAll(pairs.select(col("b").as("node"), col("a").as("peer"),
@@ -1311,9 +1533,18 @@ object Graph {
     * Spark loop ALSO caps at the same 12 for the oracled query, and
     * the spec asserts the cap was not binding on the real graph).
     */
-  def q124(spark: SparkSession, dir: String, maxHops: Int = 12): DataFrame = {
+  def q124(spark: SparkSession, dir: String, maxHops: Int = 12,
+      localMaxEdges: Long = BroadcastEdgeMaxRows): DataFrame = {
     // the weighted pair aggregate's key set IS the distinct pair set
     val pairs = purchasePairs(spark, dir).select(col("cnode"), col("snode"))
+    // round 15: below the edge bound the level loop runs on the
+    // driver (the q121/q135 dispatch note) — each distributed level
+    // was a join + distinct + anti-join + checkpoint + isEmpty probe
+    // over a frontier of a few thousand 8-byte ids
+    if (pairs.count() <= localMaxEdges) {
+      val local = bfsLocal(spark, pairs, maxHops)
+      if (local.isDefined) return local.get
+    }
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .repartition(col("src")).localCheckpoint()
@@ -1338,6 +1569,85 @@ object Graph {
       settled = settled.unionAll(frontier)
     }
     settled.orderBy(col("hops"), col("node"))
+  }
+
+  /** Driver-local arm of [[q124]]: level-synchronous BFS over a
+    * dense-indexed CSR adjacency from the seed (the smallest odd
+    * node), levels capped at `maxHops` exactly like the distributed
+    * loop. Returns None when the graph has no supplier node (the
+    * distributed arm's null-seed degenerate keeps that path).
+    */
+  private def bfsLocal(spark: SparkSession, pairs: DataFrame,
+      maxHops: Int): Option[DataFrame] = {
+    import spark.implicits._
+    val rows = pairs.select(col("cnode"), col("snode"))
+      .queryExecution.executedPlan.executeCollect()
+    val nP = rows.length
+    val id2ix = new scala.collection.mutable.LongMap[Int](nP * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(id: Long): Int = {
+      val got = id2ix.getOrElse(id, -1)
+      if (got >= 0) got
+      else { val i = ids.length; id2ix(id) = i; ids += id; i }
+    }
+    val eA = new Array[Int](nP); val eB = new Array[Int](nP)
+    var k = 0
+    while (k < nP) {
+      eA(k) = ix(rows(k).getLong(0)); eB(k) = ix(rows(k).getLong(1))
+      k += 1
+    }
+    val nN = ids.length
+    var seed = -1
+    var seedId = Long.MaxValue
+    var i = 0
+    while (i < nN) {
+      if (ids(i) % 2 == 1 && ids(i) < seedId) { seedId = ids(i); seed = i }
+      i += 1
+    }
+    if (seed < 0) return None
+    // CSR over the symmetric closure
+    val degC = new Array[Int](nN)
+    k = 0
+    while (k < nP) { degC(eA(k)) += 1; degC(eB(k)) += 1; k += 1 }
+    val off = new Array[Int](nN + 1)
+    i = 0
+    while (i < nN) { off(i + 1) = off(i) + degC(i); i += 1 }
+    val adj = new Array[Int](2 * nP)
+    val fill = new Array[Int](nN)
+    k = 0
+    while (k < nP) {
+      adj(off(eA(k)) + fill(eA(k))) = eB(k); fill(eA(k)) += 1
+      adj(off(eB(k)) + fill(eB(k))) = eA(k); fill(eB(k)) += 1
+      k += 1
+    }
+    val hops = Array.fill(nN)(-1)
+    hops(seed) = 0
+    var frontier = Array(seed)
+    var level = 0
+    while (level < maxHops && frontier.nonEmpty) {
+      level += 1
+      val next = new scala.collection.mutable.ArrayBuffer[Int]()
+      var f = 0
+      while (f < frontier.length) {
+        val u = frontier(f)
+        var p = off(u)
+        while (p < off(u + 1)) {
+          val v = adj(p)
+          if (hops(v) < 0) { hops(v) = level; next += v }
+          p += 1
+        }
+        f += 1
+      }
+      frontier = next.toArray
+    }
+    val out = Vector.newBuilder[(Long, Int)]
+    i = 0
+    while (i < nN) {
+      if (hops(i) >= 0) out += ((ids(i), hops(i)))
+      i += 1
+    }
+    Some(spark.createDataset(out.result()).toDF("node", "hops")
+      .orderBy(col("hops"), col("node")))
   }
 
   val q124Sql: String =
@@ -1448,13 +1758,20 @@ object Graph {
     hitsFixed(spark, dir, iters, BroadcastEdgeMaxRows)
 
   private[graft] def hitsFixed(spark: SparkSession, dir: String,
-      iters: Int, broadcastMaxRows: Long): DataFrame = {
+      iters: Int, broadcastMaxRows: Long,
+      localMaxEdges: Long = BroadcastEdgeMaxRows): DataFrame = {
     // the session-cached weighted pair relation under the bijective
     // re-keying (cnode = cust×2, snode = supp×2+1 ⇒ COUNT per pair
     // invariant; `div` keeps int64) — already materialized, so the
     // per-query persist/unpersist pair is gone with the rebuild
     val pairs = purchasePairs(spark, dir)
       .selectExpr("cnode div 2 AS cust", "(snode - 1) div 2 AS supp", "w")
+    // round 15: below the edge bound the mutual-reinforcement rounds
+    // run on the driver (the q121/q135 dispatch note) — each
+    // distributed half-round was a join + sum + 1-row total +
+    // checkpoint over node-sized int64 vectors
+    if (purchasePairs(spark, dir).count() <= localMaxEdges)
+      return hitsLocal(spark, pairs, iters)
     def renorm(df: DataFrame, key: String, raw: String,
         out: String): DataFrame = {
       val tot = df.agg(sum(col(raw)).as("t"))
@@ -1485,6 +1802,73 @@ object Graph {
         col("h").as("score"))
       .unionAll(auth.select(lit("auth").as("kind"), col("supp").as("key"),
         col("a").as("score")))
+      .orderBy(col("kind"), col("score").desc, col("key"))
+  }
+
+  /** Driver-local arm of [[q126]]: the identical int64-grid
+    * mutual-reinforcement rounds over dense-indexed arrays —
+    * araw(s) = Σ w·h(c), renorm x ↦ x div max(1, Σx div SCALE),
+    * then the hub half-round; integer sums are order-free so the
+    * arms are bit-identical (spec-pinned).
+    */
+  private def hitsLocal(spark: SparkSession, pairs: DataFrame,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val rows = pairs.select(col("cust"), col("supp"), col("w"))
+      .queryExecution.executedPlan.executeCollect()
+    val nP = rows.length
+    val c2ix = new scala.collection.mutable.LongMap[Int](nP)
+    val s2ix = new scala.collection.mutable.LongMap[Int](nP)
+    val custIds = new scala.collection.mutable.ArrayBuffer[Long]()
+    val suppIds = new scala.collection.mutable.ArrayBuffer[Long]()
+    def cix(id: Long): Int = {
+      val got = c2ix.getOrElse(id, -1)
+      if (got >= 0) got
+      else { val i = custIds.length; c2ix(id) = i; custIds += id; i }
+    }
+    def six(id: Long): Int = {
+      val got = s2ix.getOrElse(id, -1)
+      if (got >= 0) got
+      else { val i = suppIds.length; s2ix(id) = i; suppIds += id; i }
+    }
+    val eC = new Array[Int](nP); val eS = new Array[Int](nP)
+    val eW = new Array[Long](nP)
+    var k = 0
+    while (k < nP) {
+      eC(k) = cix(rows(k).getLong(0)); eS(k) = six(rows(k).getLong(1))
+      eW(k) = rows(k).getLong(2)
+      k += 1
+    }
+    val nC = custIds.length; val nS = suppIds.length
+    def renorm(x: Array[Long]): Array[Long] = {
+      var t = 0L
+      var i = 0
+      while (i < x.length) { t += x(i); i += 1 }
+      val d = math.max(1L, t / HitsScale)
+      i = 0
+      while (i < x.length) { x(i) = x(i) / d; i += 1 }
+      x
+    }
+    var hub = Array.fill(nC)(HitsScale)
+    var auth: Array[Long] = null
+    var it = 0
+    while (it < iters) {
+      val araw = new Array[Long](nS)
+      k = 0
+      while (k < nP) { araw(eS(k)) += eW(k) * hub(eC(k)); k += 1 }
+      auth = renorm(araw)
+      val hraw = new Array[Long](nC)
+      k = 0
+      while (k < nP) { hraw(eC(k)) += eW(k) * auth(eS(k)); k += 1 }
+      hub = renorm(hraw)
+      it += 1
+    }
+    val out = Vector.newBuilder[(String, Long, Long)]
+    var i = 0
+    while (i < nC) { out += (("hub", custIds(i), hub(i))); i += 1 }
+    i = 0
+    while (i < nS) { out += (("auth", suppIds(i), auth(i))); i += 1 }
+    spark.createDataset(out.result()).toDF("kind", "key", "score")
       .orderBy(col("kind"), col("score").desc, col("key"))
   }
 

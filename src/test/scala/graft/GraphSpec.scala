@@ -53,6 +53,19 @@ class GraphSpec extends SparkSpec {
     assert(diff.isEmpty, s"ranks differ at nodes: ${diff.take(5)}")
   }
 
+  test("q121/q125/q124 driver-local arm bit-equals the distributed arm") {
+    // round 15: the default dispatches to a driver-local fixpoint
+    // below the edge bound; localMaxEdges = 0 forces the distributed
+    // rounds — outputs must be bit-identical (int64 arithmetic is
+    // order-free)
+    assert(Graph.q121(spark, sf).collect().map(_.toSeq).toSeq ===
+      Graph.q121(spark, sf, localMaxEdges = 0L).collect().map(_.toSeq).toSeq)
+    assert(Graph.q125(spark, sf).collect().map(_.toSeq).toSeq ===
+      Graph.q125(spark, sf, localMaxEdges = 0L).collect().map(_.toSeq).toSeq)
+    assert(Graph.q124(spark, sf).collect().map(_.toSeq).toSeq ===
+      Graph.q124(spark, sf, localMaxEdges = 0L).collect().map(_.toSeq).toSeq)
+  }
+
   test("q121 is bit-identical at different parallelism") {
     val a = Graph.q121(spark, sf).collect().map(_.toSeq)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -398,9 +411,16 @@ class GraphSpec extends SparkSpec {
     // one round is not enough — the cascade is real
     assert(rows(Graph.kcoreOn(g, k = 2L, rounds = 1)).keySet
       .contains(10L))
-    // broadcast and shuffle-join arms agree
+    // driver-local (default), distributed-broadcast and
+    // distributed-shuffle arms all agree
     assert(rows(Graph.kcoreOn(g, k = 2L, rounds = 4,
-      broadcastMaxRows = 0L)) === core)
+      localMaxEdges = 0L)) === core)
+    assert(rows(Graph.kcoreOn(g, k = 2L, rounds = 4,
+      broadcastMaxRows = 0L, localMaxEdges = 0L)) === core)
+    // the truncated-budget partial peel matches across arms too (the
+    // local loop must mirror round counting, not just the fixpoint)
+    assert(rows(Graph.kcoreOn(g, k = 2L, rounds = 1)) ===
+      rows(Graph.kcoreOn(g, k = 2L, rounds = 1, localMaxEdges = 0L)))
   }
 
   test("q129 plan: the dispatch hint alone decides the alive-set join strategy") {
@@ -548,16 +568,24 @@ class GraphSpec extends SparkSpec {
     val got = levels(Graph.coreLevelsOn(g, Seq(2L, 3L, 4L), rounds = 4))
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       10L -> 0L, 11L -> 0L, 12L -> 0L))
-    // broadcast and shuffle-join arms agree
+    // driver-local (default), distributed-broadcast and
+    // distributed-shuffle arms all agree
     assert(levels(Graph.coreLevelsOn(g, Seq(2L, 3L, 4L), rounds = 4,
-      broadcastMaxRows = 0L)) === got)
+      localMaxEdges = 0L)) === got)
+    assert(levels(Graph.coreLevelsOn(g, Seq(2L, 3L, 4L), rounds = 4,
+      broadcastMaxRows = 0L, localMaxEdges = 0L)) === got)
     // strict + a budget too small for the 3-deep cascade must be LOUD
     // (the r11 advice: silent non-convergence returns sub-k nodes the
-    // oracle twin cannot catch)
+    // oracle twin cannot catch) — on BOTH arms
     val e = intercept[IllegalStateException] {
       Graph.kcoreOn(g, k = 2L, rounds = 1, strict = true).collect()
     }
     assert(e.getMessage.contains("not converged"))
+    val eD = intercept[IllegalStateException] {
+      Graph.kcoreOn(g, k = 2L, rounds = 1, strict = true,
+        localMaxEdges = 0L).collect()
+    }
+    assert(eD.getMessage.contains("not converged"))
     // non-strict truncated budgets stay available to cascade specs
     assert(Graph.kcoreOn(g, k = 2L, rounds = 1).collect().nonEmpty)
   }
@@ -683,14 +711,24 @@ class GraphSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Graph.q126(spark, sf).collect()
-      Graph.hitsFixed(spark, sf, iters = 3, broadcastMaxRows = 0L).collect()
-      val (bcast, shB) = measured(Graph.q126(spark, sf).collect())
-      val (shuf, shS) = measured(
-        Graph.hitsFixed(spark, sf, iters = 3, broadcastMaxRows = 0L).collect())
+      // force the two DISTRIBUTED arms explicitly (round 15: the
+      // default now dispatches to the driver-local arm below the
+      // edge bound — compared against both at the end)
+      Graph.hitsFixed(spark, sf, iters = 3,
+        broadcastMaxRows = Graph.BroadcastEdgeMaxRows,
+        localMaxEdges = 0L).collect()
+      Graph.hitsFixed(spark, sf, iters = 3, broadcastMaxRows = 0L,
+        localMaxEdges = 0L).collect()
+      val (bcast, shB) = measured(Graph.hitsFixed(spark, sf, iters = 3,
+        broadcastMaxRows = Graph.BroadcastEdgeMaxRows,
+        localMaxEdges = 0L).collect())
+      val (shuf, shS) = measured(Graph.hitsFixed(spark, sf, iters = 3,
+        broadcastMaxRows = 0L, localMaxEdges = 0L).collect())
       assert(bcast === shuf, "dispatch arms disagree")
       assert(shB < shS,
         s"broadcast arm shuffled $shB >= shuffled arm $shS")
+      // the driver-local default bit-equals both distributed arms
+      assert(Graph.q126(spark, sf).collect().map(_.toSeq).toSeq === bcast)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
